@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -18,9 +19,20 @@ object Tables {
 
   /** Read one synthetic table. Parquet scan → columnar, vectorized; filters
     * and projections placed on top are pushed into the scan by Catalyst.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * schema converter rejects outright. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.Session]]
+    * and the Verify/Bench mains) the column surfaces as nanos-since-epoch
+    * LongType; we convert to a proper TimestampType (micro precision,
+    * floor-truncated like DuckDB's TIMESTAMP_NS→TIMESTAMP read).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views so SQL-text entry points work too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

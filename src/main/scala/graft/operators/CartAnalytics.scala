@@ -1,6 +1,9 @@
 package graft.operators
 
+import java.time.LocalDate
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -11,36 +14,61 @@ import graft.Tables
   * Role mapping (FIXTURES.md §B): `orders` = cart header (abandoned ≡
   * `o_orderstatus = 'O'`, the reference's `p_paymentinfo IS NULL`,
   * `TyreStore Challenge.py:171`), `lineitem` = cart lines
-  * (`l_orderkey`→orders, `l_partkey` = product).
+  * (`l_orderkey`→orders, `l_partkey` = product), `customer`/`nation`/
+  * `region` = user/region dims, `part`/`supplier` = small broadcast dims.
   *
-  * Every query is a declarative DataFrame build — Catalyst handles
-  * predicate pushdown, column pruning, join-strategy selection (broadcast
-  * for the small dims), and AQE re-planning. Scale notes per query inline.
+  * Every query is a declarative DataFrame build — Catalyst does predicate
+  * pushdown, column pruning, join-strategy selection (broadcast for the
+  * small dims), and AQE re-planning. Scale notes per query inline: each
+  * query states why its plan survives a 1000-executor / 100 TB run.
+  *
+  * Determinism rules (shared with the DuckDB oracles in `oracleSql`):
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and
+  *    are cast to double once at the end — results cannot depend on the
+  *    shuffle/partition layout;
+  *  - every result has a total ORDER BY with a unique tiebreaker;
+  *  - Spark's null ordering (ASC→nulls first, DESC→nulls last) is spelled
+  *    out explicitly in the oracle SQL.
   */
 object CartAnalytics {
 
   /** Abandonment predicate — reference: `carts.p_paymentinfo IS NULL` (py:171). */
   private val abandoned: Column = col("o_orderstatus") === "O"
 
-  /** Exact money arithmetic: sum in DECIMAL(18,2) (exact, order-independent)
-    * then one cast to double — bit-identical across engines regardless of
-    * partitioning/summation order, unlike a raw double sum. Matters for a
-    * distributed engine: result must not depend on the shuffle layout.
-    */
+  /** Exact money sum: DECIMAL(18,2) accumulate, one double cast at the end. */
   private def moneySum(c: Column): Column =
     coalesce(sum(c.cast(DecimalType(18, 2))).cast(DoubleType), lit(0.0))
 
-  /** Q1 — top-100 parts by abandoned-order count (reference py:180-188).
-    * Shape: RIGHT OUTER join (preserves empty orders), null-tolerant
-    * IS-abandoned filter, exact COUNT(DISTINCT), top-k.
-    * Scale: the filter on the preserved (orders) side pushes into the
-    * parquet scan; ORDER BY+LIMIT plans as TakeOrderedAndProject (no global
-    * sort); the distinct-agg is two-phase partial/final over the group keys.
+  /** Scalar-param capture (reference S8/S9, py:78-82): fetch
+    * MAX(o_orderdate) to the driver once and splice it into later plans as
+    * a foldable literal — the reference's `spark.conf.set` + `${var}`
+    * pattern, minus string substitution. Turns would-be scalar subqueries
+    * into constants Catalyst folds at plan time.
+    * Extracted via date_format (session-TZ-aware) to avoid JVM-default-TZ
+    * skew when converting java.sql.Timestamp.
     */
-  def q01TopAbandonedParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"), "right_outer")
+  private def anchorDate(spark: SparkSession, dir: String): LocalDate = {
+    val s = Tables.load(spark, dir, "orders")
+      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d"))
+      .first().getString(0)
+    LocalDate.parse(s)
+  }
+
+  private def dlit(d: LocalDate): Column = lit(java.sql.Date.valueOf(d))
+
+  private def li(spark: SparkSession, dir: String) = Tables.load(spark, dir, "lineitem")
+  private def ord(spark: SparkSession, dir: String) = Tables.load(spark, dir, "orders")
+
+  // ---------------------------------------------------------------------
+  // Q1 — top-100 parts by abandoned-order count (reference py:180-188).
+  // RIGHT OUTER join preserves line-less orders; IS-abandoned filter sits
+  // on the preserved side so EliminateOuterJoin must keep the join type.
+  // Scale: status filter pushes into the orders parquet scan; ORDER
+  // BY+LIMIT plans as TakeOrderedAndProject (no global sort); distinct agg
+  // is two-phase partial/final hashed on l_partkey.
+  // ---------------------------------------------------------------------
+  def q01TopAbandonedParts(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir).join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
       .where(abandoned)
       .groupBy(col("l_partkey"))
       .agg(
@@ -48,21 +76,685 @@ object CartAnalytics {
         moneySum(col("l_extendedprice")).as("abandoned_value"))
       .orderBy(col("abandoned_orders").desc, col("l_partkey").asc)
       .limit(100)
+
+  // ---------------------------------------------------------------------
+  // Q2 — co-abandoned part pairs (reference py:197-213: comma-join theta
+  // self-join J4). The reference deduplicates unordered (a,b)/(b,a) rows
+  // with a CASE-built canonical key + row_number; least/greatest +
+  // groupBy is the algebraic equivalent with one less shuffle (the
+  // row_number partition-sort disappears; the pair groupBy dedups).
+  // Scale: self-join shuffles both sides on l_orderkey (co-partitioned);
+  // pair blowup is quadratic per order — bounded by per-order line counts,
+  // and AQE skew-join splits any hot order key.
+  // ---------------------------------------------------------------------
+  def q02CoAbandonedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val lines = li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val c1 = lines.as("c1")
+    val c2 = lines.as("c2")
+    c1.join(c2,
+        col("c1.l_orderkey") === col("c2.l_orderkey") &&
+          col("c1.l_partkey") =!= col("c2.l_partkey"))
+      .join(ord(spark, dir), col("c1.l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned)
+      .select(
+        least(col("c1.l_partkey"), col("c2.l_partkey")).as("part_a"),
+        greatest(col("c1.l_partkey"), col("c2.l_partkey")).as("part_b"),
+        col("o_orderkey"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(countDistinct(col("o_orderkey")).as("abandoned_orders"))
+      .orderBy(col("abandoned_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q3/Q4 — period-over-period abandonment increase per part (reference
+  // py:222-277): two aggregated subqueries joined on part, HAVING
+  // increase > 0. The anchor month/year comes from the driver-side scalar
+  // param (S8/S9) so both period filters are foldable constants that push
+  // into the scan.
+  // ---------------------------------------------------------------------
+  private def abandonedInPeriod(spark: SparkSession, dir: String,
+      y: Int, mOpt: Option[Int], alias: String): DataFrame = {
+    val base = li(spark, dir)
+      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned && year(col("o_orderdate")) === lit(y) &&
+        mOpt.map(m => month(col("o_orderdate")) === lit(m)).getOrElse(lit(true)))
+    base.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("o_orderkey")).as(alias))
+  }
+
+  def q03MomIncrease(spark: SparkSession, dir: String): DataFrame = {
+    // Compare the last two COMPLETE months: the anchor month only contains
+    // data up to the max order date, so month-over-month vs a full month
+    // would be systematically negative (and usually empty).
+    val a = anchorDate(spark, dir).minusMonths(1)
+    val prev = a.minusMonths(1)
+    val cur = abandonedInPeriod(spark, dir, a.getYear, Some(a.getMonthValue), "last_month_orders")
+    val pre = abandonedInPeriod(spark, dir, prev.getYear, Some(prev.getMonthValue), "prev_month_orders")
+    cur.join(pre, Seq("l_partkey"), "left_outer")
+      .select(
+        col("l_partkey"),
+        coalesce(col("prev_month_orders"), lit(0L)).as("prev_month_orders"),
+        col("last_month_orders"),
+        (col("last_month_orders") - coalesce(col("prev_month_orders"), lit(0L))).as("increase"))
+      .where(col("increase") > 0) // HAVING-on-alias (reference A8, py:242)
+      .orderBy(col("increase").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  def q04YoyIncrease(spark: SparkSession, dir: String): DataFrame = {
+    val a = anchorDate(spark, dir)
+    val cur = abandonedInPeriod(spark, dir, a.getYear, None, "last_year_orders")
+    val pre = abandonedInPeriod(spark, dir, a.getYear - 1, None, "prev_year_orders")
+    cur.join(pre, Seq("l_partkey"), "left_outer")
+      .select(
+        col("l_partkey"),
+        coalesce(col("prev_year_orders"), lit(0L)).as("prev_year_orders"),
+        col("last_year_orders"),
+        (col("last_year_orders") - coalesce(col("prev_year_orders"), lit(0L))).as("increase"))
+      .where(col("increase") > 0)
+      .orderBy(col("increase").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q5/Q6 — abandonment by nation (reference py:296-329: agg subquery +
+  // FULL OUTER join to the region dim, NULL-keyed bucket preserved).
+  // Scale: the fact-side agg shuffles once on the (tiny-cardinality)
+  // nation key; the FULL join against the 25-row nation dim is a
+  // broadcast; zero-abandonment nations survive via the outer side.
+  // ---------------------------------------------------------------------
+  def q05AbandonedByCustomerNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val agg = ord(spark, dir).where(abandoned)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_abandoned_orders"),
+        moneySum(col("o_totalprice")).as("total_abandoned_value"))
+    agg.join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"), "full_outer")
+      .select(
+        col("n_name"),
+        coalesce(col("total_abandoned_orders"), lit(0L)).as("total_abandoned_orders"),
+        coalesce(col("total_abandoned_value"), lit(0.0)).as("total_abandoned_value"))
+      .orderBy(col("total_abandoned_orders").desc, col("n_name").asc)
+  }
+
+  def q06AbandonedBySupplierNation(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(spark, dir, "supplier")
+    val agg = li(spark, dir)
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_abandoned_orders"),
+        moneySum(col("l_extendedprice")).as("total_abandoned_value"))
+    agg.join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"), "full_outer")
+      .select(
+        col("n_name"),
+        coalesce(col("total_abandoned_orders"), lit(0L)).as("total_abandoned_orders"),
+        coalesce(col("total_abandoned_value"), lit(0.0)).as("total_abandoned_value"))
+      .orderBy(col("total_abandoned_orders").desc, col("n_name").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q7 — equi-join on a computed key (reference J5, py:343: the zip-code
+  // CONCAT(LEFT...,RIGHT...) join). Here: rebuild the customer name from
+  // o_custkey and join on it. Catalyst hashes the computed key like any
+  // equi-key; the small side broadcasts.
+  // ---------------------------------------------------------------------
+  def q07ComputedKeyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val key = concat(lit("Customer#"), lpad(col("o_custkey").cast("string"), 9, "0"))
+    ord(spark, dir).where(abandoned)
+      .join(cust, key === col("c_name"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("abandoned_orders"),
+        moneySum(col("o_totalprice")).as("abandoned_value"))
+      .orderBy(col("abandoned_orders").desc, col("c_mktsegment").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q8/Q9 — launch cohorts (reference py:364-439: nested agg subqueries,
+  // YEAR(MIN(...)) launch derivation, HAVING on the derived launch year).
+  // ---------------------------------------------------------------------
+  private def launchPerPart(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy(col("l_partkey"))
+      .agg(min(col("o_orderdate")).as("launch_ts"))
+
+  private def abandonedPerPart(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("o_orderkey")).as("abandoned_orders"))
+
+  /** Q8 — parts grouped into launch-month cohorts with abandonment totals.
+    * The year_month label uses the reference's zero-pad idiom
+    * RIGHT(CONCAT('0', month), 2) (py:450). */
+  def q08LaunchCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val launch = launchPerPart(spark, dir)
+    val ab = abandonedPerPart(spark, dir)
+    launch.join(ab, Seq("l_partkey"), "left_outer")
+      .groupBy(concat(
+        year(col("launch_ts")).cast("string"), lit("-"),
+        expr("right(concat('0', cast(month(launch_ts) as string)), 2)")).as("launch_month"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(coalesce(col("abandoned_orders"), lit(0L))).as("total_abandoned_orders"))
+      .orderBy(col("launch_month").asc)
+  }
+
+  /** Q9 — per-part launch table filtered to first-year launches (HAVING on
+    * YEAR(MIN(...))), top-100 by abandonment. */
+  def q09LaunchYearTopParts(spark: SparkSession, dir: String): DataFrame = {
+    val firstYear = Tables.load(spark, dir, "orders")
+      .agg(year(min(col("o_orderdate"))).as("y")).first().getInt(0)
+    val launch = launchPerPart(spark, dir)
+    val ab = abandonedPerPart(spark, dir)
+    launch.join(ab, Seq("l_partkey"), "left_outer")
+      .select(
+        col("l_partkey"),
+        year(col("launch_ts")).as("launch_year"),
+        coalesce(col("abandoned_orders"), lit(0L)).as("abandoned_orders"))
+      .where(col("launch_year") === lit(firstYear))
+      .orderBy(col("abandoned_orders").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q10/Q11 — calendar gap-fill analytics (reference py:449-515): a
+  // sequence/explode date spine LEFT JOINed to aggregated facts, zero-
+  // filling empty periods. Two fact grains: order-level (header prices)
+  // and item-level (line prices) — the reference's two agg subqueries.
+  // Scale: the spine is tiny (months/days) and broadcast; facts aggregate
+  // before the join so the shuffle carries one row per period.
+  // ---------------------------------------------------------------------
+  def q10MonthlyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val bounds = o.agg(
+      date_format(min(col("o_orderdate")), "yyyy-MM-01").as("lo"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-01").as("hi")).first()
+    val spine = spark.range(1).select(explode(sequence(
+      dlit(LocalDate.parse(bounds.getString(0))),
+      dlit(LocalDate.parse(bounds.getString(1))),
+      expr("interval 1 month"))).as("month_start"))
+    val ordersAgg = o.where(abandoned)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("o_cnt"),
+        moneySum(col("o_totalprice")).as("o_val"))
+    val itemsAgg = li(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(
+        moneySum(col("l_quantity")).as("i_cnt"),
+        moneySum(col("l_extendedprice")).as("i_val"))
+    spine.join(ordersAgg, Seq("month_start"), "left_outer")
+      .join(itemsAgg, Seq("month_start"), "left_outer")
+      .select(
+        concat(year(col("month_start")).cast("string"), lit("-"),
+          expr("right(concat('0', cast(month(month_start) as string)), 2)")).as("year_month"),
+        coalesce(col("o_cnt"), lit(0L)).as("total_abandoned_orders"),
+        coalesce(col("o_val"), lit(0.0)).as("total_value_orders"),
+        coalesce(col("i_cnt"), lit(0.0)).as("total_abandoned_items"),
+        coalesce(col("i_val"), lit(0.0)).as("total_value_items"))
+      .orderBy(col("year_month").asc)
+  }
+
+  def q11DailyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val a = anchorDate(spark, dir)
+    val o = ord(spark, dir)
+    val spine = spark.range(1).select(explode(sequence(
+      dlit(a.minusDays(89)), dlit(a), expr("interval 1 day"))).as("date"))
+    val ordersAgg = o.where(abandoned)
+      .groupBy(col("o_orderdate").cast("date").as("date"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("o_cnt"),
+        moneySum(col("o_totalprice")).as("o_val"))
+    val itemsAgg = li(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .where(abandoned)
+      .groupBy(col("o_orderdate").cast("date").as("date"))
+      .agg(
+        moneySum(col("l_quantity")).as("i_cnt"),
+        moneySum(col("l_extendedprice")).as("i_val"))
+    spine.join(ordersAgg, Seq("date"), "left_outer")
+      .join(itemsAgg, Seq("date"), "left_outer")
+      .select(
+        col("date"),
+        coalesce(col("o_cnt"), lit(0L)).as("total_abandoned_orders"),
+        coalesce(col("o_val"), lit(0.0)).as("total_value_orders"),
+        coalesce(col("i_cnt"), lit(0.0)).as("total_abandoned_items"),
+        coalesce(col("i_val"), lit(0.0)).as("total_value_items"))
+      .orderBy(col("date").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q12 — the export join (reference py:531-546): 6-way mixed outer join
+  // fanning out from the fact pair to every dimension, 8-col GROUP BY,
+  // top-50. Scale: customer/nation/region/part/supplier are dimension
+  // tables — Catalyst broadcasts each (verified in the plan); only the
+  // lineitem⋈orders join shuffles.
+  // ---------------------------------------------------------------------
+  def q12ExportJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    val prt = Tables.load(spark, dir, "part")
+    val sup = Tables.load(spark, dir, "supplier")
+    li(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_outer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .join(reg, col("n_regionkey") === col("r_regionkey"), "left_outer")
+      .join(prt, col("l_partkey") === col("p_partkey"), "left_outer")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .where(abandoned)
+      .groupBy(
+        col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("o_orderpriority"),
+        col("c_name"), col("c_mktsegment"), col("n_name"), col("r_name"))
+      .agg(
+        count(col("l_linenumber")).as("n_items"), // COUNT(col): non-null after outer join (A2)
+        moneySum(col("l_extendedprice")).as("items_value"),
+        moneySum(col("l_quantity")).as("total_quantity"),
+        countDistinct(col("s_name")).as("n_suppliers"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q13 — window dedup (reference W1, py:201-210): row_number over a
+  // partition, keep rank 1. Latest shipped line per order. The testdata's
+  // (l_orderkey, l_linenumber) is NOT unique, so the full tiebreaker chain
+  // (shipdate, linenumber, partkey, price) pins a deterministic winner.
+  // ---------------------------------------------------------------------
+  def q13LatestLineitemPerOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_partkey").desc, col("l_extendedprice").desc)
+    li(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q14 — CTE + quoted-identifier pivot shape (reference §2.11 hidden
+  // dashboard cells). Exercises the SQL-text entry point (3.1): views are
+  // registered and the query is parsed from SQL, including a reserved
+  // word (`date`) as a column name.
+  // ---------------------------------------------------------------------
+  def q14CtePivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH q AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS `date`, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT `date`,
+        |       count(*) AS n_orders,
+        |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_value
+        |FROM q GROUP BY `date` ORDER BY `date`""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q15 — column profile (reference A11, dbutils.data.summarize): per-
+  // column stats over the orders fact in one pass (count / non-null /
+  // distinct / zeros / min / max / exact mean). One aggregate job, then a
+  // tiny union of literal-labeled rows — no per-column scans.
+  // ---------------------------------------------------------------------
+  def q15ProfileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = numCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        sum(when(col(c) === 0, 1L).otherwise(0L)).as(s"${c}__zeros"),
+        min(col(c)).cast(DoubleType).as(s"${c}__min"),
+        max(col(c)).cast(DoubleType).as(s"${c}__max"),
+        (sum(col(c).cast(DecimalType(28, 2))).cast(DoubleType) /
+          count(col(c)).cast(DoubleType)).as(s"${c}__mean"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val perCol = numCols.map { c =>
+      wide.select(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        col(s"${c}__nonnull").as("n_nonnull"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__zeros").as("n_zeros"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__mean").as("mean_value"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q16 — calendar dimension (reference py:74-76: sequence + explode, the
+  // only generator in the reference). Derived attributes use portable
+  // date parts (ISO weekday).
+  // ---------------------------------------------------------------------
+  def q16Calendar(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val bounds = o.agg(
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("lo"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("hi")).first()
+    spark.range(1).select(explode(sequence(
+        dlit(LocalDate.parse(bounds.getString(0))),
+        dlit(LocalDate.parse(bounds.getString(1))),
+        expr("interval 1 day"))).as("calendar_date"))
+      .select(
+        col("calendar_date"),
+        year(col("calendar_date")).as("y"),
+        month(col("calendar_date")).as("m"),
+        dayofmonth(col("calendar_date")).as("d"),
+        (expr("weekday(calendar_date)") + 1).as("dow_iso"))
+      .orderBy(col("calendar_date").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_top_abandoned_parts" -> q01TopAbandonedParts _
+    "q01_top_abandoned_parts" -> q01TopAbandonedParts _,
+    "q02_co_abandoned_pairs" -> q02CoAbandonedPairs _,
+    "q03_mom_increase" -> q03MomIncrease _,
+    "q04_yoy_increase" -> q04YoyIncrease _,
+    "q05_abandoned_by_customer_nation" -> q05AbandonedByCustomerNation _,
+    "q06_abandoned_by_supplier_nation" -> q06AbandonedBySupplierNation _,
+    "q07_computed_key_join" -> q07ComputedKeyJoin _,
+    "q08_launch_cohorts" -> q08LaunchCohorts _,
+    "q09_launch_year_top_parts" -> q09LaunchYearTopParts _,
+    "q10_monthly_gapfill" -> q10MonthlyGapfill _,
+    "q11_daily_gapfill" -> q11DailyGapfill _,
+    "q12_export_join" -> q12ExportJoin _,
+    "q13_latest_lineitem_per_order" -> q13LatestLineitemPerOrder _,
+    "q14_cte_pivot" -> q14CtePivot _,
+    "q15_profile_orders" -> q15ProfileOrders _,
+    "q16_calendar" -> q16Calendar _
   )
+
+  private val moneySumSql = (c: String) =>
+    s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
     "q01_top_abandoned_parts" ->
-      """SELECT l_partkey,
-        |       count(DISTINCT o_orderkey) AS abandoned_orders,
-        |       coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS abandoned_value
-        |FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      s"""SELECT l_partkey,
+         |       count(DISTINCT o_orderkey) AS abandoned_orders,
+         |       ${moneySumSql("l_extendedprice")} AS abandoned_value
+         |FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY l_partkey
+         |ORDER BY abandoned_orders DESC NULLS LAST, l_partkey ASC NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "q02_co_abandoned_pairs" ->
+      """SELECT least(c1.l_partkey, c2.l_partkey) AS part_a,
+        |       greatest(c1.l_partkey, c2.l_partkey) AS part_b,
+        |       count(DISTINCT o_orderkey) AS abandoned_orders
+        |FROM lineitem c1
+        |JOIN lineitem c2
+        |  ON c1.l_orderkey = c2.l_orderkey AND c1.l_partkey <> c2.l_partkey
+        |RIGHT JOIN orders ON c1.l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
-        |GROUP BY l_partkey
-        |ORDER BY abandoned_orders DESC NULLS LAST, l_partkey ASC NULLS FIRST
-        |LIMIT 100""".stripMargin
+        |GROUP BY 1, 2
+        |ORDER BY abandoned_orders DESC NULLS LAST, part_a ASC NULLS FIRST, part_b ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q03_mom_increase" ->
+      """WITH anchor AS (SELECT max(o_orderdate) - INTERVAL 1 MONTH AS a FROM orders),
+        |cur AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS last_month_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |    AND year(o_orderdate) = (SELECT year(a) FROM anchor)
+        |    AND month(o_orderdate) = (SELECT month(a) FROM anchor)
+        |  GROUP BY l_partkey),
+        |pre AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS prev_month_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |    AND year(o_orderdate) = (SELECT year(a - INTERVAL 1 MONTH) FROM anchor)
+        |    AND month(o_orderdate) = (SELECT month(a - INTERVAL 1 MONTH) FROM anchor)
+        |  GROUP BY l_partkey)
+        |SELECT cur.l_partkey,
+        |       coalesce(prev_month_orders, 0) AS prev_month_orders,
+        |       last_month_orders,
+        |       last_month_orders - coalesce(prev_month_orders, 0) AS increase
+        |FROM cur LEFT JOIN pre ON cur.l_partkey = pre.l_partkey
+        |WHERE last_month_orders - coalesce(prev_month_orders, 0) > 0
+        |ORDER BY increase DESC NULLS LAST, cur.l_partkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q04_yoy_increase" ->
+      """WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+        |cur AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS last_year_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |    AND year(o_orderdate) = (SELECT year(a) FROM anchor)
+        |  GROUP BY l_partkey),
+        |pre AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS prev_year_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |    AND year(o_orderdate) = (SELECT year(a) - 1 FROM anchor)
+        |  GROUP BY l_partkey)
+        |SELECT cur.l_partkey,
+        |       coalesce(prev_year_orders, 0) AS prev_year_orders,
+        |       last_year_orders,
+        |       last_year_orders - coalesce(prev_year_orders, 0) AS increase
+        |FROM cur LEFT JOIN pre ON cur.l_partkey = pre.l_partkey
+        |WHERE last_year_orders - coalesce(prev_year_orders, 0) > 0
+        |ORDER BY increase DESC NULLS LAST, cur.l_partkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q05_abandoned_by_customer_nation" ->
+      s"""WITH agg AS (
+         |  SELECT c_nationkey,
+         |         count(DISTINCT o_orderkey) AS total_abandoned_orders,
+         |         ${moneySumSql("o_totalprice")} AS total_abandoned_value
+         |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderstatus = 'O'
+         |  GROUP BY c_nationkey)
+         |SELECT n_name,
+         |       coalesce(total_abandoned_orders, 0) AS total_abandoned_orders,
+         |       coalesce(total_abandoned_value, 0.0) AS total_abandoned_value
+         |FROM agg FULL JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY total_abandoned_orders DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q06_abandoned_by_supplier_nation" ->
+      s"""WITH agg AS (
+         |  SELECT s_nationkey,
+         |         count(DISTINCT o_orderkey) AS total_abandoned_orders,
+         |         ${moneySumSql("l_extendedprice")} AS total_abandoned_value
+         |  FROM lineitem
+         |  LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |  RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'O'
+         |  GROUP BY s_nationkey)
+         |SELECT n_name,
+         |       coalesce(total_abandoned_orders, 0) AS total_abandoned_orders,
+         |       coalesce(total_abandoned_value, 0.0) AS total_abandoned_value
+         |FROM agg FULL JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY total_abandoned_orders DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q07_computed_key_join" ->
+      s"""SELECT c_mktsegment,
+         |       count(DISTINCT o_orderkey) AS abandoned_orders,
+         |       ${moneySumSql("o_totalprice")} AS abandoned_value
+         |FROM orders LEFT JOIN customer
+         |  ON concat('Customer#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) = c_name
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY c_mktsegment
+         |ORDER BY abandoned_orders DESC NULLS LAST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q08_launch_cohorts" ->
+      """WITH launch AS (
+        |  SELECT l_partkey, min(o_orderdate) AS launch_ts
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey),
+        |ab AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS abandoned_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |  GROUP BY l_partkey)
+        |SELECT concat(CAST(year(launch_ts) AS VARCHAR), '-',
+        |              right(concat('0', CAST(month(launch_ts) AS VARCHAR)), 2)) AS launch_month,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(coalesce(abandoned_orders, 0)) AS BIGINT) AS total_abandoned_orders
+        |FROM launch LEFT JOIN ab ON launch.l_partkey = ab.l_partkey
+        |GROUP BY 1
+        |ORDER BY launch_month ASC NULLS FIRST""".stripMargin,
+
+    "q09_launch_year_top_parts" ->
+      """WITH launch AS (
+        |  SELECT l_partkey, min(o_orderdate) AS launch_ts
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey),
+        |ab AS (
+        |  SELECT l_partkey, count(DISTINCT o_orderkey) AS abandoned_orders
+        |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'O'
+        |  GROUP BY l_partkey)
+        |SELECT launch.l_partkey,
+        |       CAST(year(launch_ts) AS INTEGER) AS launch_year,
+        |       coalesce(abandoned_orders, 0) AS abandoned_orders
+        |FROM launch LEFT JOIN ab ON launch.l_partkey = ab.l_partkey
+        |WHERE year(launch_ts) = (SELECT year(min(o_orderdate)) FROM orders)
+        |ORDER BY abandoned_orders DESC NULLS LAST, launch.l_partkey ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q10_monthly_gapfill" ->
+      s"""WITH spine AS (
+         |  SELECT CAST(unnest(generate_series(
+         |    date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+         |    date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+         |    INTERVAL 1 MONTH)) AS DATE) AS month_start),
+         |o_agg AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         |         count(DISTINCT o_orderkey) AS o_cnt,
+         |         ${moneySumSql("o_totalprice")} AS o_val
+         |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+         |i_agg AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         |         ${moneySumSql("l_quantity")} AS i_cnt,
+         |         ${moneySumSql("l_extendedprice")} AS i_val
+         |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'O' GROUP BY 1)
+         |SELECT concat(CAST(year(spine.month_start) AS VARCHAR), '-',
+         |              right(concat('0', CAST(month(spine.month_start) AS VARCHAR)), 2)) AS year_month,
+         |       coalesce(o_cnt, 0) AS total_abandoned_orders,
+         |       coalesce(o_val, 0.0) AS total_value_orders,
+         |       coalesce(i_cnt, 0.0) AS total_abandoned_items,
+         |       coalesce(i_val, 0.0) AS total_value_items
+         |FROM spine
+         |LEFT JOIN o_agg ON spine.month_start = o_agg.month_start
+         |LEFT JOIN i_agg ON spine.month_start = i_agg.month_start
+         |ORDER BY year_month ASC NULLS FIRST""".stripMargin,
+
+    "q11_daily_gapfill" ->
+      s"""WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS a FROM orders),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(
+         |    (SELECT a FROM anchor) - INTERVAL 89 DAY,
+         |    (SELECT CAST(a AS TIMESTAMP) FROM anchor),
+         |    INTERVAL 1 DAY)) AS DATE) AS "date"),
+         |o_agg AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS "date",
+         |         count(DISTINCT o_orderkey) AS o_cnt,
+         |         ${moneySumSql("o_totalprice")} AS o_val
+         |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+         |i_agg AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS "date",
+         |         ${moneySumSql("l_quantity")} AS i_cnt,
+         |         ${moneySumSql("l_extendedprice")} AS i_val
+         |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'O' GROUP BY 1)
+         |SELECT spine."date",
+         |       coalesce(o_cnt, 0) AS total_abandoned_orders,
+         |       coalesce(o_val, 0.0) AS total_value_orders,
+         |       coalesce(i_cnt, 0.0) AS total_abandoned_items,
+         |       coalesce(i_val, 0.0) AS total_value_items
+         |FROM spine
+         |LEFT JOIN o_agg ON spine."date" = o_agg."date"
+         |LEFT JOIN i_agg ON spine."date" = i_agg."date"
+         |ORDER BY spine."date" ASC NULLS FIRST""".stripMargin,
+
+    "q12_export_join" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |       o_totalprice, o_orderpriority, c_name, c_mktsegment, n_name, r_name,
+         |       count(l_linenumber) AS n_items,
+         |       ${moneySumSql("l_extendedprice")} AS items_value,
+         |       ${moneySumSql("l_quantity")} AS total_quantity,
+         |       count(DISTINCT s_name) AS n_suppliers
+         |FROM lineitem
+         |RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |LEFT JOIN customer ON o_custkey = c_custkey
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |LEFT JOIN part ON l_partkey = p_partkey
+         |LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+         |LIMIT 50""".stripMargin,
+
+    "q13_latest_lineitem_per_order" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC,
+        |             l_partkey DESC, l_extendedprice DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1
+        |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q14_cte_pivot" ->
+      """WITH q AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS "date", o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT "date",
+        |       count(*) AS n_orders,
+        |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_value
+        |FROM q GROUP BY "date" ORDER BY "date" ASC NULLS FIRST""".stripMargin,
+
+    "q15_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |       count(*) AS n_rows,
+           |       count($c) AS n_nonnull,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+           |       CAST(min($c) AS DOUBLE) AS min_value,
+           |       CAST(max($c) AS DOUBLE) AS max_value,
+           |       CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS FIRST")
+    },
+
+    "q16_calendar" ->
+      """SELECT CAST(ts AS DATE) AS calendar_date,
+        |       CAST(year(ts) AS INTEGER) AS y,
+        |       CAST(month(ts) AS INTEGER) AS m,
+        |       CAST(day(ts) AS INTEGER) AS d,
+        |       CAST(isodow(ts) AS INTEGER) AS dow_iso
+        |FROM (SELECT unnest(generate_series(
+        |        (SELECT min(o_orderdate) FROM orders),
+        |        (SELECT max(o_orderdate) FROM orders),
+        |        INTERVAL 1 DAY)) AS ts)
+        |ORDER BY calendar_date ASC NULLS FIRST""".stripMargin
   )
 }
