@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SharedHash._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline at 100 TB.
+  *
+  * Scale design, per operator:
+  *  - exact: one hash-groupBy shuffle keyed on md5(text) — the canonical
+  *    map-side-combinable dedup.
+  *  - n-gram Jaccard: inverted-index self-join on shingles. Quadratic in
+  *    per-shingle doc frequency — correct baseline, superseded at scale by
+  *    minhash below (kept because small-corpus exactness matters for eval).
+  *  - MinHash+LSH: the 100 TB path. One pass computes all 16 signature
+  *    mins per doc (single groupBy, no per-hash re-scan); band self-joins
+  *    touch only colliding buckets; exact Jaccard verification runs only
+  *    on candidates.
+  *  - SimHash: 32 bit-counters in one groupBy pass; pairs compared on a
+  *    64-bit integer (bit_count(xor)) — trivially bandable by signature
+  *    prefix at scale.
+  *  - embedding near-dup: brute-force cosine over all pairs — the exactness
+  *    baseline; the LSH-bucketed scale path is Similarity.s02.
+  *
+  * Every hash is cross-engine deterministic (see [[graft.functions.SharedHash]])
+  * so the DuckDB oracles reproduce results bit-for-bit.
+  */
+object Dedup {
+
+  /** doc_id + distinct word-3-gram shingles. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
+          |ELSE array() END""".stripMargin)).as("shingle"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w)-2),
+      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d01 — exact dedup: hash-groupBy on md5(text), keep the min doc_id.
+  // ---------------------------------------------------------------------
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("dup_count").desc, col("keep_doc_id").asc)
+
+  // ---------------------------------------------------------------------
+  // d02 — exact n-gram Jaccard near-dup: shingle inverted-index self-join.
+  // ---------------------------------------------------------------------
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val j = col("shared") / (col("n_a") + col("n_b") - col("shared"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .orderBy(j.desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        round(j, 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d03 — MinHash + LSH: 16-hash signature in ONE groupBy pass, 8 bands
+  // of 2 rows, bucket self-join for candidates, exact-Jaccard verify on
+  // candidates only. This is the operator that survives 100 TB: work is
+  // O(docs) for signatures + O(collisions) for verification, never
+  // O(pairs).
+  // ---------------------------------------------------------------------
+  val NumBands = 8 // r = 2 rows/band, k = 16 hashes
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(perm(0, col("h"))).as("mh0"),
+        (1 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i")): _*)
+    val cand = (0 until NumBands).map { jb =>
+      sig.as("x").join(sig.as("y"),
+          col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
+            col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }.reduce(_ unionAll _).distinct()
+    val est = (0 until NumHashes)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    val withEst = cand
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_raw"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = withEst.as("c")
+      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val j = coalesce(col("shared"), lit(0L)).cast("double") /
+      (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L)))
+    withEst
+      .join(shared, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .orderBy(j.desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(200)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_raw"), 6).as("est_similarity"), round(j, 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d04 — SimHash: 32-bit signature from token-hash bit votes (term
+  // frequency weighted: every occurrence votes). Near-dups = pairs with
+  // hamming distance ≤ 8.
+  // ---------------------------------------------------------------------
+  val SimBits = 32
+
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), (hash60(col("tok")) % 4294967296L).as("h"))
+    val votes = (0 until SimBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val simhash = (0 until SimBits)
+      .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    val sigs = toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .where(ham <= 8)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
+        ham.cast("int").as("hamming"))
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(200)
+  }
+
+  // ---------------------------------------------------------------------
+  // d05 — embedding-cosine near-dup: top-100 most-similar vector pairs.
+  // Dot products fold left-to-right in index order on both engines, so
+  // doubles are bit-identical and the ORDER BY on the raw cosine is
+  // deterministic.
+  // ---------------------------------------------------------------------
+  private[operators] val dotExpr: String =
+    """aggregate(zip_with(%s, %s, (x, y) -> cast(x AS double) * cast(y AS double)),
+      |cast(0.0 AS double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  private[operators] def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private[operators] def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
+
+  private[operators] val normedSql: String =
+    s"""v AS (SELECT vec_id, embedding AS e, label,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
+
+  def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .orderBy(cos.desc, col("a.vec_id").asc, col("b.vec_id").asc)
+      .limit(100)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(cos, 6).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> d01ExactDedup _,
+    "d02_ngram_jaccard" -> d02NgramJaccard _,
+    "d03_minhash_lsh" -> d03MinhashLsh _,
+    "d04_simhash" -> d04Simhash _,
+    "d05_embedding_neardup" -> d05EmbeddingNeardup _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1
+        |ORDER BY dup_count DESC NULLS LAST, keep_doc_id ASC NULLS FIRST""".stripMargin,
+
+    "d02_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+         |       round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |ORDER BY shared / (sa.n + sb.n - shared) DESC NULLS LAST,
+         |         doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "d03_minhash_lsh" -> {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
+      val bandJoins = (0 until NumBands).map { jb =>
+        s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM sig x JOIN sig y
+           |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}
+           |   AND x.doc_id < y.doc_id""".stripMargin
+      }.mkString("\nUNION\n")
+      val estSql = (0 until NumHashes)
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s")::DOUBLE / $NumHashes")
+      s"""WITH $shinglesSql,
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h, shingle FROM sh),
+         |sig AS (SELECT doc_id, $sigCols
+         |        FROM h GROUP BY doc_id),
+         |cand AS (
+         |$bandJoins),
+         |withest AS (
+         |  SELECT c.doc_a, c.doc_b, $estSql AS est_raw
+         |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM withest c
+         |  JOIN sh a ON c.doc_a = a.doc_id
+         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2)
+         |SELECT w.doc_a, w.doc_b, round(est_raw, 6) AS est_similarity,
+         |       round(coalesce(shared, 0)::DOUBLE / (sa.n + sb.n - coalesce(shared, 0)), 6) AS jaccard
+         |FROM withest w
+         |LEFT JOIN shared s ON w.doc_a = s.doc_a AND w.doc_b = s.doc_b
+         |JOIN sizes sa ON w.doc_a = sa.doc_id
+         |JOIN sizes sb ON w.doc_b = sb.doc_id
+         |ORDER BY coalesce(shared, 0)::DOUBLE / (sa.n + sb.n - coalesce(shared, 0)) DESC NULLS LAST,
+         |         w.doc_a ASC NULLS FIRST, w.doc_b ASC NULLS FIRST
+         |LIMIT 200""".stripMargin
+    },
+
+    "d04_simhash" -> {
+      val votes = (0 until SimBits)
+        .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n         ")
+      val simhash = (0 until SimBits)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${hash60Sql("tok")} % 4294967296 AS h
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, $votes
+         |  FROM toks GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $simhash AS simhash FROM votes)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       a.simhash AS simhash_a, b.simhash AS simhash_b,
+         |       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
+         |LIMIT 200""".stripMargin
+    },
+
+    "d05_embedding_neardup" ->
+      s"""WITH $normedSql
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       a.label AS label_a, b.label AS label_b,
+         |       round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |ORDER BY ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) DESC NULLS LAST,
+         |         a.vec_id ASC NULLS FIRST, b.vec_id ASC NULLS FIRST
+         |LIMIT 100""".stripMargin
+  )
+}
