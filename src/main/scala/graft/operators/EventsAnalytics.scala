@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Batch analytics over the `events` table: sessionization, JSON
+  * property extraction, time-window rollups. These are the batch twins
+  * of the Structured Streaming operators in [[graft.streaming]] — same
+  * semantics, bounded input.
+  *
+  * Scale: sessionization shuffles once on user_id (the window partition
+  * key); both aggregations are partial-aggregated before their single
+  * shuffle. Timestamps reduce to epoch seconds for gap math so the plan
+  * stays codegen-friendly.
+  */
+object EventsAnalytics {
+
+  val SessionGapSeconds = 1800L
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    coalesce(sum(c.cast(DecimalType(18, 2))).cast(DoubleType), lit(0.0))
+
+  // ---------------------------------------------------------------------
+  // e01 — gap-based sessionization: a new session starts after >30 min of
+  // user inactivity. lag → flag → running sum is the classic formulation;
+  // (ts, event_id) is a unique total order within each user partition.
+  // ---------------------------------------------------------------------
+  def e01Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    Tables.load(spark, dir, "events")
+      .withColumn("new_s", when(gap.isNull || gap > SessionGapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy(col("user_id").asc, col("session_idx").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // e02 — JSON property stats: extract props.k per event, roll up per
+  // event type. get_json_object is a codegen'd scalar path — no UDF.
+  // ---------------------------------------------------------------------
+  def e02PropsStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(k).as("min_k"),
+        max(k).as("max_k"),
+        sum(k.cast("long")).as("sum_k"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy(col("event_type").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // e03 — tumbling-hour rollup per event type: the batch equivalent of a
+  // streaming windowed aggregation (date_trunc = tumbling window assign).
+  // ---------------------------------------------------------------------
+  def e03HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy(col("hour_start").asc, col("event_type").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_sessionize" -> e01Sessionize _,
+    "e02_props_stats" -> e02PropsStats _,
+    "e03_hourly_agg" -> e03HourlyAgg _
+  )
+
+  private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |              OR date_diff('second', lag(ts) OVER w, ts) > $SessionGapSeconds
+         |            THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS BIGINT) AS session_idx
+         |  FROM x)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       date_diff('second', min(ts), max(ts)) AS duration_s,
+         |       $valueSumSql AS total_value
+         |FROM s GROUP BY 1, 2
+         |ORDER BY user_id ASC NULLS FIRST, session_idx ASC NULLS FIRST""".stripMargin,
+
+    "e02_props_stats" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       min(json_extract_string(props, '$$.k')::INTEGER) AS min_k,
+         |       max(json_extract_string(props, '$$.k')::INTEGER) AS max_k,
+         |       CAST(sum(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS sum_k,
+         |       $valueSumSql AS total_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "e03_hourly_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |       $valueSumSql AS total_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY hour_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+  )
+}

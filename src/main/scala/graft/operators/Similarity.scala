@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup.{dotExpr, dotSql, normed, normedSql}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * s01 is the exactness baseline: brute-force cosine top-k for a query
+  * set. At 100 TB the query side stays small (it's a probe set) and the
+  * corpus side is the big relation — the plan broadcasts the query set
+  * and streams the corpus, so cost is one corpus scan per batch of
+  * queries, no shuffle of the corpus itself.
+  *
+  * s02 is the scale path: sign-bit LSH (random-hyperplane LSH with
+  * axis-aligned planes — deterministic, so the DuckDB oracle can mirror
+  * it). Corpus and queries hash to buckets; the join is bucket-equi, so
+  * a 1000-executor run shuffles each corpus vector once to its bucket
+  * instead of comparing all pairs. Recall comes from the bucket width
+  * (8 bits → 256 buckets); production would probe multiple tables.
+  */
+object Similarity {
+
+  val TopK = 5
+  val QuerySet = 10 // vec_id < 10 are the probe vectors
+
+  def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val q = v.where(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
+    broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("label").as("neighbor_label"), round(cos, 6).as("cosine"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Sign-bit bucket of the first 8 dimensions. */
+  private val BucketBits = 8
+  private def bucketCol(e: String) = (0 until BucketBits)
+    .map(j => when(element_at(col(e), j + 1) > 0f, 1L << j).otherwise(0L))
+    .reduce(_ + _)
+  private def bucketSql(e: String) = (0 until BucketBits)
+    .map(j => s"CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString("(", " + ", ")")
+
+  def s02AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir).withColumn("bucket", bucketCol("embedding"))
+    val q = v.where(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
+    q.join(v, Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(cos, 6).as("cosine"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> s01AnnBruteforce _,
+    "s02_ann_lsh_buckets" -> s02AnnLshBuckets _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      s"""WITH $normedSql,
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < $QuerySet),
+         |scored AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS c
+         |  FROM q JOIN v ON q.query_id <> v.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, neighbor_label, round(c, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
+    "s02_ann_lsh_buckets" ->
+      s"""WITH $normedSql,
+         |vb AS (SELECT *, ${bucketSql("e")} AS bucket FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
+         |      FROM vb WHERE vec_id < $QuerySet),
+         |scored AS (
+         |  SELECT q.query_id, q.bucket, v.vec_id AS neighbor_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS c
+         |  FROM q JOIN vb v ON q.bucket = v.bucket AND q.query_id <> v.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, bucket, neighbor_id, rank, round(c, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SharedHash._
+
+/** Text-analysis operators over `documents`: language ID, quality
+  * scoring, token counting, fingerprinting.
+  *
+  * All corpus-level statistics (language centroids, stopword lists) are
+  * computed inside the query from the data itself — no external model
+  * files — so the DuckDB oracle can rebuild the identical state. At
+  * 100 TB each corpus statistic is one partial-aggregated shuffle over a
+  * projected column, and the per-doc scoring join broadcasts the tiny
+  * statistic table.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------------
+  // t01 — language ID by char-bigram centroid: learn top-20 bigrams per
+  // language on the 80% train split (doc_id % 5 != 0), classify the
+  // holdout by profile overlap. A real n-gram language-ID pipeline shape:
+  // profile build = one shuffle; classification = broadcast join.
+  // ---------------------------------------------------------------------
+  def t01LanguageId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bigrams = docs.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN length(text) >= 2
+          |THEN transform(sequence(1, length(text)-1), i -> substring(text, i, 2))
+          |ELSE array() END""".stripMargin)).as("bg"))
+    val profile = bigrams.where(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("p_lang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("bg").asc)))
+      .where(col("rk") <= 20)
+    val testBg = bigrams.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("bg")).distinct()
+    val scored = testBg.join(profile, Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang").asc)))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        col("p_lang").as("predicted_lang"), col("score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // t02 — quality scoring: length/word-shape/stopword-ratio heuristics.
+  // The stopword list is the corpus's own top-10 words (computed in-query).
+  // ---------------------------------------------------------------------
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+    val stop = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)))
+      .where(col("rk") <= 10).select(col("word"))
+    val stopHits = words.join(broadcast(stop), Seq("word"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_hits"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("word_chars"))
+    val meanLen = col("word_chars") / col("n_words")
+    val stopRatio = coalesce(col("stop_hits"), lit(0L)) / col("n_words")
+    val score = lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(lit(1.0), meanLen / 8.0)
+    base.join(stopHits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(score, 6).as("quality_score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // t03 — token counting: whitespace tokens, a BPE-ish regex token count
+  // (letter runs / digit runs / single punctuation), and the chars/4
+  // estimate. Pure per-row projection: at scale this is map-only work
+  // that whole-stage codegen fuses into the scan.
+  // ---------------------------------------------------------------------
+  private val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def t03TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).cast("long").as("regex_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+      .orderBy(col("doc_id").asc)
+
+  // ---------------------------------------------------------------------
+  // t04 — document fingerprinting: rolling word-4-gram window hashes
+  // (winnowing-style); fingerprint = min window hash. Robust to small
+  // edits anywhere outside the minimal window.
+  // ---------------------------------------------------------------------
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 4
+          |THEN transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))
+          |ELSE array() END""".stripMargin)).as("win"))
+    wins.select(col("doc_id"), h31(col("win")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"),
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("h")).as("n_distinct_windows"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_language_id" -> t01LanguageId _,
+    "t02_quality_score" -> t02QualityScore _,
+    "t03_token_counts" -> t03TokenCounts _,
+    "t04_fingerprint" -> t04Fingerprint _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_language_id" ->
+      """WITH bigrams AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(generate_series(1, length(text)-1),
+        |                i -> substring(text, i, 2))) AS bg
+        |  FROM documents),
+        |profile AS (
+        |  SELECT * FROM (
+        |    SELECT lang AS p_lang, bg, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang
+        |             ORDER BY count(*) DESC, bg ASC) AS rk
+        |    FROM bigrams WHERE doc_id % 5 <> 0 GROUP BY lang, bg)
+        |  WHERE rk <= 20),
+        |testbg AS (
+        |  SELECT DISTINCT doc_id, lang, bg FROM bigrams WHERE doc_id % 5 = 0),
+        |scored AS (
+        |  SELECT doc_id, lang, p_lang, count(*) AS score
+        |  FROM testbg JOIN profile USING (bg)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang AS actual_lang, p_lang AS predicted_lang, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, p_lang ASC) AS rk FROM scored)
+        |WHERE rk = 1
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+        |stop AS (
+        |  SELECT word FROM (
+        |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+        |    FROM words GROUP BY word)
+        |  WHERE rk <= 10),
+        |stophits AS (
+        |  SELECT doc_id, count(*) AS stop_hits FROM words JOIN stop USING (word) GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, lang,
+        |         len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_words,
+        |         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words,
+        |       round(word_chars / n_words, 6) AS mean_word_len,
+        |       round(coalesce(stop_hits, 0) / n_words, 6) AS stop_ratio,
+        |       round(0.4 * least(1.0, n_words / 100.0) +
+        |             0.3 * (1.0 - coalesce(stop_hits, 0) / n_words) +
+        |             0.3 * least(1.0, (word_chars / n_words) / 8.0), 6) AS quality_score
+        |FROM base LEFT JOIN stophits USING (doc_id)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t03_token_counts" ->
+      s"""SELECT doc_id, lang, source,
+         |       len(regexp_split_to_array(text, '\\s+'))::BIGINT AS ws_tokens,
+         |       len(regexp_extract_all(text, '$TokenRegex'))::BIGINT AS regex_tokens,
+         |       ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+         |FROM documents
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(w)-3),
+         |                i -> array_to_string(w[i:i+3], ' '))) AS win
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)),
+         |h AS (SELECT doc_id, ${h31Sql("win")} AS h FROM wins)
+         |SELECT doc_id, min(h) AS fingerprint, count(*) AS n_windows,
+         |       count(DISTINCT h) AS n_distinct_windows
+         |FROM h GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}
