@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Safe self-overwrite of a managed table (SURVEY.md §7.4 hazard 1).
+  *
+  * The reference filters `delta.carts` and overwrites it in one statement
+  * (`TyreStore Challenge.py:162-166`) — legal on Delta thanks to snapshot
+  * isolation, but on a parquet managed table Spark throws "Cannot
+  * overwrite a path that is also being read from". The engine equivalent
+  * materializes through a staging table and swaps, which is also the
+  * right shape for a petabyte table on a real cluster: the rewrite is a
+  * single distributed write job, and the swap is metadata-only.
+  */
+object Clean {
+
+  /** Rewrite `db.table` as `transform(db.table)`. */
+  def rewriteTable(spark: SparkSession, db: String, table: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val fq = s"`$db`.`$table`"
+    val staging = s"`$db`.`${table}__staging`"
+    transform(spark.table(fq))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $fq")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
+  }
+}

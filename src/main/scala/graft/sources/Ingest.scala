@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipFile
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion surface (reference SURVEY.md §2.1 S1-S5, S7-S9).
+  *
+  * The reference ingests pipe-delimited CSVs (header, no schema inference
+  * → all-string columns, `TyreStore Challenge.py:56-59`), zip-wrapped
+  * parquet (`py:25-30`), and registers everything as managed tables in a
+  * catalog database (`py:51-72`). This module is the Spark-first
+  * equivalent: declarative readers (Catalyst pushes filters/pruning into
+  * the scans), driver-side zip extraction (file unpack is not a
+  * distributed operator), and `saveAsTable` for catalog registration.
+  */
+object Ingest {
+
+  /** S1 — delimiter CSV scan, header row, NO schema inference: every
+    * column lands as nullable string, exactly like the reference. */
+  def csvAllString(spark: SparkSession, path: String, sep: String = "|"): DataFrame =
+    spark.read.option("header", "true").option("sep", sep).csv(path)
+
+  /** S1b — schema-inferring variant for engine users who want types. */
+  def csvInferred(spark: SparkSession, path: String, sep: String = "|"): DataFrame =
+    spark.read.option("header", "true").option("sep", sep)
+      .option("inferSchema", "true").csv(path)
+
+  /** S2 — parquet scan (embedded schema, vectorized reader). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3 — zip ingestion: extract a zip archive (driver-side, like the
+    * reference's `ZipFile.extractall`) and read the contained parquet.
+    * Returns the extraction dir so callers can clean up. */
+  def unzip(zipPath: String, destDir: String): Path = {
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    val zf = new ZipFile(zipPath)
+    try {
+      zf.entries().asScala.foreach { e =>
+        val out = dest.resolve(e.getName).normalize()
+        require(out.startsWith(dest), s"zip entry escapes dest: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(out)
+        else {
+          Files.createDirectories(out.getParent)
+          val in = zf.getInputStream(e)
+          try Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+      }
+    } finally zf.close()
+    dest
+  }
+
+  def zippedParquet(spark: SparkSession, zipPath: String, scratchDir: String): DataFrame =
+    parquet(spark, unzip(zipPath, scratchDir).toString)
+
+  /** S5 — idempotent database DDL. */
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** S4 — managed-table sink (parquet provider; the environment ships no
+    * Delta jars). Overwrite mode mirrors the reference's
+    * `write.format('delta').mode('overwrite').saveAsTable`. The catalog
+    * here is in-memory per session, so a warehouse directory can outlive
+    * its table entry — drop both before writing (orphan dirs otherwise
+    * fail CTAS with LOCATION_ALREADY_EXISTS). */
+  def saveAsTable(df: DataFrame, db: String, table: String): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** S8/S9 — scalar-param capture: evaluate a 1-row/1-col query, park the
+    * value in Spark conf for `${key}` SQL variable substitution (the
+    * reference's `spark.conf.set('carts.last_datetime', …)` pattern).
+    * Callers on the DataFrame path should prefer splicing the returned
+    * value as a literal — Catalyst then constant-folds it. */
+  def captureScalar(spark: SparkSession, df: DataFrame, confKey: String): String = {
+    val v = df.first().get(0).toString
+    spark.conf.set(confKey, v)
+    v
+  }
+
+  /** Calendar dimension (reference `py:74-76`): one row per day. */
+  def calendar(spark: SparkSession, fromDate: String, toDate: String): DataFrame =
+    spark.range(1).select(explode(sequence(
+      to_date(lit(fromDate)), to_date(lit(toDate)), expr("interval 1 day")
+    )).as("calendar_date"))
+}

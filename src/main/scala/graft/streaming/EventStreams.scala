@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Each transform takes a DataFrame and works on BOTH streaming and
+  * batch inputs — the Structured Streaming model — so EventsAnalytics'
+  * batch queries and these incremental versions share semantics and
+  * StreamingSpec can assert equivalence. At scale: state is partitioned
+  * by the group key across executors, watermarks bound state size, and
+  * late events beyond the watermark are dropped deterministically.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts with a watermark: the incremental version of
+    * EventsAnalytics.e03HourlyAgg. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window event rate per type (10-min slide over 1-hour window). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, duration_s: Long, total_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * session when >30 min of inactivity passes (event-time timeout). The
+    * streaming twin of EventsAnalytics.e01Sessionize. State per user is
+    * O(1); the watermark evicts idle users.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, (s.last - s.start) / 1000L, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= GapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last),
+                    s.n, (s.last - s.start) / 1000L, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + GapMs)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Deduplicated stream: drop duplicate event_ids within the watermark —
+    * the streaming form of exact dedup. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+}

