@@ -161,9 +161,10 @@ object Dedup {
   // doubles are bit-identical and the ORDER BY on the raw cosine is
   // deterministic.
   // ---------------------------------------------------------------------
-  private[operators] val dotExpr: String =
-    """aggregate(zip_with(%s, %s, (x, y) -> cast(x AS double) * cast(y AS double)),
-      |cast(0.0 AS double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+  /** Spark-side dot product: the custom codegen'd expression
+    * [[graft.functions.DotProductD]] (bit-identical to the left-to-right
+    * `aggregate(zip_with(...))` fold, ~20× faster — see DotProductSpec). */
+  private[operators] val dotExpr: String = "graft_dot(%s, %s)"
 
   private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
