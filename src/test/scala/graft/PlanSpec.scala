@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators._
+
+/** Physical-plan regressions: the scale properties (pushdown, pruning,
+  * broadcast choice, top-k, codegen) that make these plans survive a
+  * 100 TB / 1000-executor run. A refactor that silently loses one of
+  * these still passes correctness — these tests are what catch it. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: status filter is pushed into the orders parquet scan") {
+    val plan = formatted(CartAnalytics.q01TopAbandonedParts(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(o_orderstatus,O)"),
+      s"o_orderstatus='O' must reach the scan:\n$plan")
+  }
+
+  test("q01: column pruning — orders scan reads only the referenced columns") {
+    val plan = formatted(CartAnalytics.q01TopAbandonedParts(spark, sf))
+    val ordersScan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_orderkey")).getOrElse(fail("no orders scan found"))
+    assert(!ordersScan.contains("o_comment") && !ordersScan.contains("o_clerk"),
+      s"orders scan reads unused columns:\n$ordersScan")
+  }
+
+  test("q01: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
+    val plan = formatted(CartAnalytics.q01TopAbandonedParts(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k lost:\n$plan")
+  }
+
+  test("q01: right-outer join survives the IS-abandoned filter (EliminateOuterJoin must not fire)") {
+    val plan = formatted(CartAnalytics.q01TopAbandonedParts(spark, sf))
+    assert(plan.contains("RightOuter") || plan.contains("LeftOuter"),
+      s"outer join was converted away — line-less orders would vanish:\n$plan")
+  }
+
+  test("q12: all five dimension joins broadcast (only the fact join may shuffle)") {
+    val plan = formatted(CartAnalytics.q12ExportJoin(spark, sf))
+    val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$plan")
+  }
+
+  test("q05: nation dim join is broadcast, not shuffled") {
+    val plan = formatted(CartAnalytics.q05AbandonedByCustomerNation(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"nation join should broadcast:\n$plan")
+  }
+
+  test("d01: exact dedup is a single hash aggregate with partial (map-side) combine") {
+    val plan = formatted(Dedup.d01ExactDedup(spark, sf))
+    assert(plan.linesIterator.count(_.trim.startsWith("+- HashAggregate")) +
+      plan.linesIterator.count(_.trim.startsWith("HashAggregate")) >= 2,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("t03: token counting is map-only — no exchange in the plan before the sort") {
+    val plan = formatted(TextAnalysis.t03TokenCounts(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // one rangepartitioning exchange for the final ORDER BY is allowed
+    assert(exchanges <= 2, s"per-row projection must not shuffle:\n$plan")
+  }
+
+  test("s01: brute-force ANN broadcasts the probe set") {
+    val plan = formatted(Similarity.s01AnnBruteforce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$plan")
+  }
+}
