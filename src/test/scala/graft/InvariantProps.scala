@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck property suites (SURVEY.md §5.2): invariants that must hold
+  * for arbitrary inputs, not just the shipped testdata. */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private lazy val spark = Session.get("graft-props")
+  import spark.implicits._
+
+  private val linesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    pairs <- Gen.listOfN(n, for {
+      order <- Gen.chooseNum(1L, 8L)
+      part <- Gen.chooseNum(1L, 6L)
+    } yield (order, part))
+  } yield pairs
+
+  property("pair dedup: each unordered co-occurring pair appears exactly once, canonical") =
+    Prop.forAllNoShrink(linesGen) { pairs =>
+      val lines = pairs.toDF("l_orderkey", "l_partkey")
+      val c1 = lines.as("c1"); val c2 = lines.as("c2")
+      val out = c1.join(c2,
+          col("c1.l_orderkey") === col("c2.l_orderkey") &&
+            col("c1.l_partkey") =!= col("c2.l_partkey"))
+        .select(
+          least(col("c1.l_partkey"), col("c2.l_partkey")).as("a"),
+          greatest(col("c1.l_partkey"), col("c2.l_partkey")).as("b"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // model: expected set of unordered pairs per order
+      val expected = pairs.groupBy(_._1).values.flatMap { grp =>
+        val ps = grp.map(_._2).distinct
+        for (x <- ps; y <- ps if x < y) yield (x, y)
+      }.toSet
+      out.toSet == expected && out.forall { case (a, b) => a < b } &&
+        out.length == out.distinct.length
+    }
+
+  property("calendar gap-fill: spine covers every day inclusive, no dupes") =
+    Prop.forAllNoShrink(Gen.chooseNum(0, 400)) { span =>
+      val cal = graft.sources.Ingest.calendar(spark, "2021-06-01",
+        java.time.LocalDate.parse("2021-06-01").plusDays(span).toString)
+      cal.count() == span + 1 && cal.distinct().count() == span + 1
+    }
+
+  property("count-distinct equals groupBy-count for any grouping") =
+    Prop.forAllNoShrink(linesGen) { pairs =>
+      val df = pairs.toDF("k", "v")
+      val a = df.agg(countDistinct(col("k"))).first().getLong(0)
+      val b = df.select(col("k")).distinct().count()
+      a == b
+    }
+
+  property("decimal money sum is invariant under permutation and partitioning") =
+    Prop.forAllNoShrink(Gen.listOfN(60, Gen.chooseNum(-1e6, 1e6))) { xs =>
+      def total(vals: Seq[Double], parts: Int): Double =
+        vals.toDF("v").repartition(parts)
+          .agg(sum(col("v").cast("decimal(18,2)")).cast("double")).first().getDouble(0)
+      total(xs, 1) == total(scala.util.Random.shuffle(xs), 7)
+    }
+}
