@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping patterns a 100 TB deployment
+  * needs beyond what AQE does automatically.
+  *
+  * - [[saltedJoin]]: explicit skew mitigation for joins where one key
+  *   dominates (AQE's skew-join split only handles sort-merge joins at
+  *   shuffle boundaries; salting also covers broadcast-ineligible
+  *   aggregations and gives deterministic fan-out control).
+  * - [[twoPhaseTopKByKey]]: per-partition partial top-k before the
+  *   shuffle, so a global "top N per group" never materializes full
+  *   groups on one reducer.
+  * - [[Bucketing]]: co-located joins via bucketed managed tables — the
+  *   repeated fact⋈fact join (orders⋈lineitem here, carts⋈cartentries in
+  *   the reference) pays its shuffle once at write time, then every
+  *   downstream join is exchange-free.
+  */
+object Scale {
+
+  /** Join `big` (skewed on `key`) with `small` replicated `salt` ways.
+    * big side: key → (key, hash(row)%salt); small side: exploded to all
+    * salt values. Result is identical to the plain inner join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val spark = big.sparkSession
+    // round-robin salt within each partition: best balance, and any salt
+    // assignment yields the identical join result
+    val saltedBig = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
+    val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Exact top-k rows per group with bounded memory: partial top-k per
+    * input partition (sortWithinPartitions + per-group take via window on
+    * the map side is not expressible declaratively, so we use the
+    * two-aggregation form: rank within (group, partition) then global
+    * rank over the survivors). For k ≪ group size this shrinks the
+    * shuffle from |group| to ≤ k·partitions rows per group. */
+  def twoPhaseTopKByKey(df: DataFrame, key: Column, order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val partial = Window.partitionBy(key, spark_partition_id()).orderBy(order: _*)
+    val survivors = df
+      .withColumn("__pr", row_number().over(partial))
+      .where(col("__pr") <= k).drop("__pr")
+    val global = Window.partitionBy(key).orderBy(order: _*)
+    survivors.withColumn("__r", row_number().over(global))
+      .where(col("__r") <= k).drop("__r")
+  }
+
+  object Bucketing {
+    /** Write a DataFrame as a bucketed+sorted managed table. */
+    def writeBucketed(df: DataFrame, db: String, table: String,
+        bucketKey: String, nBuckets: Int): Unit = {
+      val spark = df.sparkSession
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+      // in-memory catalog: a warehouse dir can outlive its table entry
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$table")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(nBuckets, bucketKey).sortBy(bucketKey)
+        .format("parquet").saveAsTable(s"`$db`.`$table`")
+    }
+
+    /** Join two equally-bucketed tables on their bucket key: with
+      * matching bucket counts Spark plans a sort-merge join with NO
+      * exchange on either side. */
+    def cojoin(spark: SparkSession, db: String, left: String, right: String,
+        key: String, joinType: String = "inner"): DataFrame =
+      spark.table(s"`$db`.`$left`").join(spark.table(s"`$db`.`$right`"), Seq(key), joinType)
+  }
+}
