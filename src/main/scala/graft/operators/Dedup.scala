@@ -91,9 +91,13 @@ object Dedup {
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
+    // ONE aggregation pass produces the whole signature AND the set size —
+    // sh is scanned once for signatures instead of twice (sizes used to be
+    // a separate groupBy over a recomputed shingle explode).
     val sig = hashed.groupBy(col("doc_id"))
       .agg(min(perm(0, col("h"))).as("mh0"),
-        (1 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i")): _*)
+        (1 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i")) :+
+          count(lit(1)).as("n"): _*)
     val cand = (0 until NumBands).map { jb =>
       sig.as("x").join(sig.as("y"),
           col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
@@ -107,8 +111,8 @@ object Dedup {
     val withEst = cand
       .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_raw"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_raw"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
     val shared = withEst.as("c")
       .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
@@ -118,8 +122,6 @@ object Dedup {
       (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L)))
     withEst
       .join(shared, Seq("doc_a", "doc_b"), "left_outer")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .orderBy(j.desc, col("doc_a").asc, col("doc_b").asc)
       .limit(200)
       .select(col("doc_a"), col("doc_b"),
