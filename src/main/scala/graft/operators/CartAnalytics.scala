@@ -113,48 +113,59 @@ object CartAnalytics {
   // param (S8/S9) so both period filters are foldable constants that push
   // into the scan.
   // ---------------------------------------------------------------------
-  private def abandonedInPeriod(spark: SparkSession, dir: String,
-      y: Int, mOpt: Option[Int], alias: String): DataFrame = {
-    val base = li(spark, dir)
+  /** Both periods in ONE fact scan: the reference builds two aggregated
+    * subqueries and joins them (J7) — semantically that is a conditional
+    * aggregation, so the engine scans lineitem⋈orders once, filtered to
+    * the union of both periods (pushed down), and splits the periods with
+    * `countDistinct(when(...))`. Halves the scans AND replaces the
+    * subquery join's shuffle with nothing. cur-side membership (the
+    * reference's inner `cur` relation) becomes `last > 0`.
+    */
+  private def periodIncrease(spark: SparkSession, dir: String,
+      curPeriod: Column, prePeriod: Column,
+      curAlias: String, preAlias: String): DataFrame =
+    li(spark, dir)
       .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
-      .where(abandoned && year(col("o_orderdate")) === lit(y) &&
-        mOpt.map(m => month(col("o_orderdate")) === lit(m)).getOrElse(lit(true)))
-    base.groupBy(col("l_partkey"))
-      .agg(countDistinct(col("o_orderkey")).as(alias))
-  }
+      .where(abandoned && (curPeriod || prePeriod))
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(when(curPeriod, col("o_orderkey"))).as(curAlias),
+        // join-parity for the NULL part bucket: an equi-join on l_partkey
+        // never matches NULL, so the reference's prev for that bucket is
+        // the coalesced 0, not the real previous-period count
+        when(col("l_partkey").isNull, lit(0L))
+          .otherwise(countDistinct(when(prePeriod, col("o_orderkey")))).as(preAlias))
+      .where(col(curAlias) > 0)
+      .select(
+        col("l_partkey"),
+        col(preAlias),
+        col(curAlias),
+        (col(curAlias) - col(preAlias)).as("increase"))
+      .where(col("increase") > 0) // HAVING-on-alias (reference A8, py:242)
+      .orderBy(col("increase").desc, col("l_partkey").asc)
+      .limit(100)
 
   def q03MomIncrease(spark: SparkSession, dir: String): DataFrame = {
     // Compare the last two COMPLETE months: the anchor month only contains
     // data up to the max order date, so month-over-month vs a full month
     // would be systematically negative (and usually empty).
     val a = anchorDate(spark, dir).minusMonths(1)
-    val prev = a.minusMonths(1)
-    val cur = abandonedInPeriod(spark, dir, a.getYear, Some(a.getMonthValue), "last_month_orders")
-    val pre = abandonedInPeriod(spark, dir, prev.getYear, Some(prev.getMonthValue), "prev_month_orders")
-    cur.join(pre, Seq("l_partkey"), "left_outer")
-      .select(
-        col("l_partkey"),
-        coalesce(col("prev_month_orders"), lit(0L)).as("prev_month_orders"),
-        col("last_month_orders"),
-        (col("last_month_orders") - coalesce(col("prev_month_orders"), lit(0L))).as("increase"))
-      .where(col("increase") > 0) // HAVING-on-alias (reference A8, py:242)
-      .orderBy(col("increase").desc, col("l_partkey").asc)
-      .limit(100)
+    val p = a.minusMonths(1)
+    def in(d: LocalDate) =
+      year(col("o_orderdate")) === lit(d.getYear) &&
+        month(col("o_orderdate")) === lit(d.getMonthValue)
+    periodIncrease(spark, dir, in(a), in(p), "last_month_orders", "prev_month_orders")
+      .select(col("l_partkey"), col("prev_month_orders"),
+        col("last_month_orders"), col("increase"))
   }
 
   def q04YoyIncrease(spark: SparkSession, dir: String): DataFrame = {
     val a = anchorDate(spark, dir)
-    val cur = abandonedInPeriod(spark, dir, a.getYear, None, "last_year_orders")
-    val pre = abandonedInPeriod(spark, dir, a.getYear - 1, None, "prev_year_orders")
-    cur.join(pre, Seq("l_partkey"), "left_outer")
-      .select(
-        col("l_partkey"),
-        coalesce(col("prev_year_orders"), lit(0L)).as("prev_year_orders"),
-        col("last_year_orders"),
-        (col("last_year_orders") - coalesce(col("prev_year_orders"), lit(0L))).as("increase"))
-      .where(col("increase") > 0)
-      .orderBy(col("increase").desc, col("l_partkey").asc)
-      .limit(100)
+    def in(y: Int) = year(col("o_orderdate")) === lit(y)
+    periodIncrease(spark, dir, in(a.getYear), in(a.getYear - 1),
+      "last_year_orders", "prev_year_orders")
+      .select(col("l_partkey"), col("prev_year_orders"),
+        col("last_year_orders"), col("increase"))
   }
 
   // ---------------------------------------------------------------------
