@@ -83,25 +83,39 @@ object CartAnalytics {
   // with a CASE-built canonical key + row_number; least/greatest +
   // groupBy is the algebraic equivalent with one less shuffle (the
   // row_number partition-sort disappears; the pair groupBy dedups).
-  // Scale: self-join shuffles both sides on l_orderkey (co-partitioned);
-  // pair blowup is quadratic per order — bounded by per-order line counts,
-  // and AQE skew-join splits any hot order key.
+  // Scale: the abandoned filter is applied to lines BEFORE pairing (the
+  // reference's plan pairs every order and filters after the self-join —
+  // quadratic work on rows that are then discarded). The right-outer's
+  // null-extension bucket (abandoned orders with <2 distinct parts) is
+  // reconstructed from per-order part counts, which reuses the same
+  // l_orderkey partitioning as the pair join (no extra shuffle).
   // ---------------------------------------------------------------------
   def q02CoAbandonedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val lines = li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val c1 = lines.as("c1")
-    val c2 = lines.as("c2")
-    c1.join(c2,
+    val abOrders = ord(spark, dir).where(abandoned).select(col("o_orderkey"))
+    val abLines = li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(abOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val paired = abLines.as("c1")
+      .join(abLines.as("c2"),
         col("c1.l_orderkey") === col("c2.l_orderkey") &&
           col("c1.l_partkey") =!= col("c2.l_partkey"))
-      .join(ord(spark, dir), col("c1.l_orderkey") === col("o_orderkey"), "right_outer")
-      .where(abandoned)
       .select(
         least(col("c1.l_partkey"), col("c2.l_partkey")).as("part_a"),
         greatest(col("c1.l_partkey"), col("c2.l_partkey")).as("part_b"),
-        col("o_orderkey"))
+        col("c1.l_orderkey").as("ok"))
       .groupBy(col("part_a"), col("part_b"))
+      .agg(countDistinct(col("ok")).as("abandoned_orders"))
+    // abandoned orders contributing no pair: none or a single distinct part
+    val perOrder = abLines.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("np"))
+    val unpaired = abOrders
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .where(col("np").isNull || col("np") < 2)
       .agg(countDistinct(col("o_orderkey")).as("abandoned_orders"))
+      .select(lit(null).cast("long").as("part_a"),
+        lit(null).cast("long").as("part_b"), col("abandoned_orders"))
+    paired.unionAll(unpaired)
+      .where(col("abandoned_orders") > 0)
       .orderBy(col("abandoned_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(100)
   }
