@@ -436,8 +436,10 @@ object CartAnalytics {
   // ---------------------------------------------------------------------
   // Q15 — column profile (reference A11, dbutils.data.summarize): per-
   // column stats over the orders fact in one pass (count / non-null /
-  // distinct / zeros / min / max / exact mean). One aggregate job, then a
-  // tiny union of literal-labeled rows — no per-column scans.
+  // distinct / zeros / min / max / exact mean / exact median). One
+  // aggregate job, then a tiny union of literal-labeled rows — no
+  // per-column scans. Exact `percentile` matches DuckDB quantile_cont
+  // (both linear-interpolated over the sorted column).
   // ---------------------------------------------------------------------
   def q15ProfileOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = ord(spark, dir)
@@ -450,7 +452,8 @@ object CartAnalytics {
         min(col(c)).cast(DoubleType).as(s"${c}__min"),
         max(col(c)).cast(DoubleType).as(s"${c}__max"),
         (sum(col(c).cast(DecimalType(28, 2))).cast(DoubleType) /
-          count(col(c)).cast(DoubleType)).as(s"${c}__mean"))
+          count(col(c)).cast(DoubleType)).as(s"${c}__mean"),
+        expr(s"percentile($c, 0.5)").as(s"${c}__median"))
     } :+ count(lit(1)).as("n_rows")
     val wide = o.agg(aggs.head, aggs.tail: _*)
     val perCol = numCols.map { c =>
@@ -462,7 +465,29 @@ object CartAnalytics {
         col(s"${c}__zeros").as("n_zeros"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
-        col(s"${c}__mean").as("mean_value"))
+        col(s"${c}__mean").as("mean_value"),
+        col(s"${c}__median").as("median_value"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q17 — string-column profile (the top/freq half of summarize): per
+  // string column, distinct count and the modal value with its frequency.
+  // One groupBy per column over a pruned scan; modal pick via max_by with
+  // a deterministic (count, value) tiebreak.
+  // ---------------------------------------------------------------------
+  def q17ProfileOrdersStrings(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val perCol = strCols.map { c =>
+      val counts = o.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      counts.agg(
+          count(lit(1)).as("n_distinct"),
+          expr("max_by(v, struct(cnt, v))").as("top_value"),
+          max(struct(col("cnt"), col("v"))).getField("cnt").as("top_freq"))
+        .select(lit(c).as("column_name"), col("n_distinct"),
+          col("top_value"), col("top_freq"))
     }
     perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
   }
@@ -506,6 +531,7 @@ object CartAnalytics {
     "q13_latest_lineitem_per_order" -> q13LatestLineitemPerOrder _,
     "q14_cte_pivot" -> q14CtePivot _,
     "q15_profile_orders" -> q15ProfileOrders _,
+    "q17_profile_orders_strings" -> q17ProfileOrdersStrings _,
     "q16_calendar" -> q16Calendar _
   )
 
@@ -765,8 +791,20 @@ object CartAnalytics {
            |       CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
            |       CAST(min($c) AS DOUBLE) AS min_value,
            |       CAST(max($c) AS DOUBLE) AS max_value,
-           |       CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value
+           |       CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value,
+           |       CAST(quantile_cont($c, 0.5) AS DOUBLE) AS median_value
            |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS FIRST")
+    },
+
+    "q17_profile_orders_strings" -> {
+      val cols = Seq("o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, n_distinct, top_value, top_freq FROM (
+           |  SELECT (SELECT count(*) FROM (SELECT $c FROM orders GROUP BY 1)) AS n_distinct,
+           |         $c AS top_value, count(*) AS top_freq
+           |  FROM orders GROUP BY $c
+           |  ORDER BY count(*) DESC, $c DESC LIMIT 1)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS FIRST")
     },
 
