@@ -66,9 +66,46 @@ object Similarity {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s03 — IVF (inverted-file) ANN: partition the corpus into K cells
+  // around fixed centroid vectors (deterministically the first K vectors,
+  // standing in for trained k-means centroids), then search only the
+  // query's nearest cell. At 100 TB this is the classic two-level index:
+  // the centroid table broadcasts (K rows), cell assignment is one map
+  // pass, and each probe touches 1/K of the corpus via a cell-equi join.
+  // ---------------------------------------------------------------------
+  val IvfCells = 8
+
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val cents = v.where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val centCos = expr(dotExpr.format("embedding", "ce")) / (col("nrm") * col("cn"))
+    // cell = argmax-cosine centroid, deterministic tiebreak on cent_id
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents))
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+        col("cent_id").as("cell"))
+    val q = assigned.where(col("vec_id") < QuerySet)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
+    q.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(cos, 6).as("cosine"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
-    "s02_ann_lsh_buckets" -> s02AnnLshBuckets _
+    "s02_ann_lsh_buckets" -> s02AnnLshBuckets _,
+    "s03_ann_ivf" -> s03AnnIvf _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -101,6 +138,31 @@ object Similarity {
          |            ORDER BY c DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, bucket, neighbor_id, rank, round(c, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
+    "s03_ann_ivf" ->
+      s"""WITH $normedSql,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < $IvfCells),
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, label, cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN cents c)
+         |  WHERE cr = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+         |      FROM assigned WHERE vec_id < $QuerySet),
+         |scored AS (
+         |  SELECT q.query_id, q.cell, a.vec_id AS neighbor_id,
+         |         ${dotSql("q.qe", "a.e")} / (q.qn * a.nrm) AS c
+         |  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, cell, neighbor_id, rank, round(c, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK
          |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
   )

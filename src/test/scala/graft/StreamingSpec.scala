@@ -65,6 +65,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).sorted === Seq(1L, 2L))
   }
 
+  test("file-source readStream: windowed counts over the events table match batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Tables.load(spark, sf, "events")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventStreams.windowedCounts(stream).writeStream
+      .format("memory").queryName("file_win_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_win_out")
+      .select($"window_start", $"event_type", $"n_events").collect().toSet
+    val batch = EventStreams.windowedCounts(events)
+      .select($"window_start", $"event_type", $"n_events").collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("batch sessionization equals streaming semantics on a bounded set") {
     // same gap rule computed by the batch operator over the events table
     val batch = graft.operators.EventsAnalytics.e01Sessionize(spark, sf)
