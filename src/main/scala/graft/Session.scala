@@ -4,22 +4,37 @@ import org.apache.spark.sql.SparkSession
 
 /** The one place engine SparkSession conf lives (SURVEY.md §7.2 step 1).
   *
-  * Defaults are scale-oriented: AQE on (runtime shuffle coalescing + skew
-  * join splitting), shuffle partitions sized to the local core count (not
-  * the 200 default — on a real cluster this would be a multiple of total
-  * executor cores), UTC session time, nanos-parquet compatibility for the
-  * `events` table.
+  * Defaults are scale-oriented; every knob is env-overridable so the same
+  * binary runs local[32] tests and a 1000-executor cluster:
+  *
+  *  - AQE on: runtime shuffle coalescing, skew-join splitting, plan
+  *    re-optimization from real stats.
+  *  - `shuffle.partitions` = local core count here; on a cluster set
+  *    SPARK_GRAFT_SHUFFLE_PARTITIONS to 2-3× total executor cores (the
+  *    adaptive coalescer merges down from there, so erring high is safe).
+  *  - `files.maxPartitionBytes` sizes scan tasks so a partition fits
+  *    executor memory with headroom; at 100 TB the default 128m yields
+  *    ~800k tasks — acceptable, raise to 256m if task overhead dominates.
+  *  - UTC session time pins date-part determinism.
+  *  - `nanosAsLong` handles parquet TIMESTAMP(NANOS) inputs (events).
+  *  - GraftExtensions registers engine-native functions (graft_dot).
   */
 object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+  def maxPartitionBytes: String =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")

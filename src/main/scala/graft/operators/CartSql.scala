@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The reference queries as Spark-SQL TEXT (the notebook's entry path,
+  * SURVEY.md §3.1) — same shapes the reference uses: RIGHT JOIN with the
+  * IS-abandoned filter, FULL JOIN dim rollup, GROUP BY on a select alias,
+  * HAVING on an alias, CTE + backtick identifiers. SqlParitySpec asserts
+  * each text produces exactly the DataFrame builder's rows, so both entry
+  * points stay semantically locked together.
+  *
+  * (Reference: `TyreStore Challenge.py:180-188, 296-308, 449-474,
+  * 531-543`; GROUP BY/HAVING-on-alias per `py:242,450,468`.)
+  */
+object CartSql {
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** q01 as SQL (py:180-188 shape). */
+  def q01Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT l_partkey,
+      |       count(DISTINCT o_orderkey) AS abandoned_orders,
+      |       coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+      |         AS abandoned_value
+      |FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY l_partkey
+      |ORDER BY abandoned_orders DESC, l_partkey ASC
+      |LIMIT 100""".stripMargin)
+
+  /** q05 as SQL: agg subquery + FULL JOIN + zero-fill (py:296-308 shape). */
+  def q05Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT n_name,
+      |       coalesce(total_abandoned_orders, 0) AS total_abandoned_orders,
+      |       coalesce(total_abandoned_value, 0.0) AS total_abandoned_value
+      |FROM (
+      |  SELECT c_nationkey,
+      |         count(DISTINCT o_orderkey) AS total_abandoned_orders,
+      |         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+      |           AS total_abandoned_value
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY c_nationkey) agg
+      |FULL JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY total_abandoned_orders DESC, n_name ASC""".stripMargin)
+
+  /** q08 as SQL: GROUP BY select-alias + zero-pad idiom (py:449-472 shape). */
+  def q08Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT concat(CAST(year(launch_ts) AS STRING), '-',
+      |              right(concat('0', CAST(month(launch_ts) AS STRING)), 2)) AS launch_month,
+      |       count(*) AS n_parts,
+      |       sum(coalesce(abandoned_orders, 0)) AS total_abandoned_orders
+      |FROM (
+      |  SELECT l_partkey, min(o_orderdate) AS launch_ts
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_partkey) launch
+      |LEFT JOIN (
+      |  SELECT l_partkey, count(DISTINCT o_orderkey) AS abandoned_orders
+      |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY l_partkey) ab
+      |USING (l_partkey)
+      |GROUP BY launch_month
+      |ORDER BY launch_month ASC""".stripMargin)
+
+  /** q04 as SQL: HAVING on an alias (py:242/274 shape). */
+  def q04Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """WITH anchor AS (SELECT year(max(o_orderdate)) AS y FROM orders),
+      |cur AS (
+      |  SELECT l_partkey, count(DISTINCT o_orderkey) AS last_year_orders
+      |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O' AND year(o_orderdate) = (SELECT y FROM anchor)
+      |  GROUP BY l_partkey),
+      |pre AS (
+      |  SELECT l_partkey, count(DISTINCT o_orderkey) AS prev_year_orders
+      |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O' AND year(o_orderdate) = (SELECT y - 1 FROM anchor)
+      |  GROUP BY l_partkey)
+      |SELECT cur.l_partkey,
+      |       coalesce(prev_year_orders, 0) AS prev_year_orders,
+      |       last_year_orders,
+      |       last_year_orders - coalesce(prev_year_orders, 0) AS increase
+      |FROM cur LEFT JOIN pre ON cur.l_partkey = pre.l_partkey
+      |GROUP BY cur.l_partkey, prev_year_orders, last_year_orders
+      |HAVING increase > 0
+      |ORDER BY increase DESC, cur.l_partkey ASC
+      |LIMIT 100""".stripMargin)
+}
