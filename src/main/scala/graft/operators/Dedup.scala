@@ -191,8 +191,64 @@ object Dedup {
         round(cos, 6).as("cosine"))
   }
 
+  // ---------------------------------------------------------------------
+  // d06 — near-dup clusters: connected components over the jaccard≥0.6
+  // pair graph, cluster id = min doc_id in the component, one keeper per
+  // cluster. The last stage of a real dedup pipeline (pairs → clusters →
+  // keep-one). Components via iterative min-label propagation: O(graph
+  // diameter) joins, each partitioned on doc_id — near-dup components are
+  // shallow (duplicates of duplicates), so this converges in a few rounds
+  // at any scale; the driver loop only reads a converged-yet count.
+  // ---------------------------------------------------------------------
+  val ClusterThreshold = 0.6
+
+  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    while (!converged) {
+      val next = labels
+        .join(edges, col("doc_id") === col("doc_a"), "left_outer")
+        .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")),
+          col("doc_b") === col("nbr"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(least(min(col("label")), min(col("nbr_label"))).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    val out = labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .join(labels, col("label") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .where(col("cluster_size") > 1) // singletons are not duplicates
+      .orderBy(col("cluster_id").asc, col("doc_id").asc)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup _,
+    "d06_neardup_clusters" -> d06NeardupClusters _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh" -> d03MinhashLsh _,
     "d04_simhash" -> d04Simhash _,
@@ -200,6 +256,31 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d06_neardup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE shared / (sa.n + sb.n - shared) >= $ClusterThreshold),
+         |bi AS (SELECT doc_a, doc_b FROM edges
+         |       UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
+         |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
+         |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
+         |       doc = labels.cluster_id AS is_keeper
+         |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
+         |WHERE cluster_size > 1
+         |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin,
+
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1
