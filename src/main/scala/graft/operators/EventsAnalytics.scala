@@ -76,10 +76,33 @@ object EventsAnalytics {
         moneySum(col("value")).as("total_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
+  // ---------------------------------------------------------------------
+  // e04 — ordered funnel (view → click → purchase): per user, the stages
+  // completed IN ORDER (each stage's first occurrence must follow the
+  // previous stage's first occurrence). One groupBy computes all three
+  // first-occurrence timestamps; funnel depth is a pure projection.
+  // ---------------------------------------------------------------------
+  def e04Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val firstOf = (t: String) => min(when(col("event_type") === t, col("ts")))
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+    val depth = when(col("t_view").isNull, 0)
+      .when(col("t_click").isNull || col("t_click") < col("t_view"), 1)
+      .when(col("t_purchase").isNull || col("t_purchase") < col("t_click"), 2)
+      .otherwise(3)
+    perUser.select(col("user_id"), depth.as("funnel_depth"))
+      .groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_depth").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> e01Sessionize _,
     "e02_props_stats" -> e02PropsStats _,
-    "e03_hourly_agg" -> e03HourlyAgg _
+    "e03_hourly_agg" -> e03HourlyAgg _,
+    "e04_funnel" -> e04Funnel _
   )
 
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
@@ -117,6 +140,24 @@ object EventsAnalytics {
          |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
          |       $valueSumSql AS total_value
          |FROM events GROUP BY 1, 2
-         |ORDER BY hour_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+         |ORDER BY hour_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "e04_funnel" ->
+      """WITH peruser AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |depth AS (
+        |  SELECT user_id,
+        |         CASE WHEN t_view IS NULL THEN 0
+        |              WHEN t_click IS NULL OR t_click < t_view THEN 1
+        |              WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+        |              ELSE 3 END AS funnel_depth
+        |  FROM peruser)
+        |SELECT funnel_depth, count(*) AS n_users
+        |FROM depth GROUP BY funnel_depth
+        |ORDER BY funnel_depth ASC NULLS FIRST""".stripMargin
   )
 }
