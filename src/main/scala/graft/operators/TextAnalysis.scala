@@ -115,11 +115,49 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t05 — deterministic hash sampling: a 10% document sample keyed on the
+  // content hash (not rand()), so the sample is reproducible across runs,
+  // engines, and repartitioning — the only kind of sample a multi-stage
+  // 100 TB pipeline can safely re-derive instead of materializing.
+  // ---------------------------------------------------------------------
+  val SamplePercent = 10
+
+  def t05HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .where(h31(col("text")) % 100 < SamplePercent)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  // ---------------------------------------------------------------------
+  // t06 — vocabulary building: corpus word frequencies with ranks and
+  // cumulative coverage share (the tokenizer-training precursor). One
+  // explode + one groupBy (partial-aggregated); the rank/cumsum windows
+  // run over the tiny aggregated vocab, not the corpus.
+  // ---------------------------------------------------------------------
+  def t06Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val byFreq = Window.orderBy(col("freq").desc, col("word").asc)
+    val total = Window.partitionBy()
+    counts
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)) /
+          sum(col("freq")).over(total), 6))
+      .where(col("rank") <= 100)
+      .select(col("rank"), col("word"), col("freq"), col("cum_share"))
+      .orderBy(col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_language_id" -> t01LanguageId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_counts" -> t03TokenCounts _,
-    "t04_fingerprint" -> t04Fingerprint _
+    "t04_fingerprint" -> t04Fingerprint _,
+    "t05_hash_sample" -> t05HashSample _,
+    "t06_vocab" -> t06Vocab _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -190,6 +228,28 @@ object TextAnalysis {
          |SELECT doc_id, min(h) AS fingerprint, count(*) AS n_windows,
          |       count(DISTINCT h) AS n_distinct_windows
          |FROM h GROUP BY doc_id
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t05_hash_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE ${h31Sql("text")} % 100 < $SamplePercent
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t06_vocab" ->
+      """WITH counts AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        |  GROUP BY word),
+        |ranked AS (
+        |  SELECT word, freq,
+        |         row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
+        |         round(sum(freq) OVER (ORDER BY freq DESC, word ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               / (SELECT sum(freq) FROM counts), 6) AS cum_share
+        |  FROM counts)
+        |SELECT rank, word, freq, cum_share
+        |FROM ranked WHERE rank <= 100
+        |ORDER BY rank ASC NULLS FIRST""".stripMargin
   )
 }
