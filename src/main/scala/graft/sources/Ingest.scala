@@ -81,6 +81,25 @@ object Ingest {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Partitioned managed-table sink — the 100 TB layout: one directory
+    * per partition value, so date/category predicates prune whole
+    * partitions at planning time (and DPP prunes them at runtime from
+    * join-side filters). The reference's tables are unpartitioned; this
+    * is the deployment-scale variant of S4. */
+  def saveAsTablePartitioned(df: DataFrame, db: String, table: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format("parquet").saveAsTable(s"`$db`.`$table`")
+  }
+
   /** S8/S9 — scalar-param capture: evaluate a 1-row/1-col query, park the
     * value in Spark conf for `${key}` SQL variable substitution (the
     * reference's `spark.conf.set('carts.last_datetime', …)` pattern).

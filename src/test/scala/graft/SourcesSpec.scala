@@ -73,6 +73,22 @@ class SourcesSpec extends SparkSpec {
     assert(lines.size === 3)
   }
 
+  test("partitioned table: date predicate prunes partitions at plan time") {
+    import org.apache.spark.sql.functions.{col, year}
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Ingest.saveAsTablePartitioned(orders, "graftdb", "orders_part", Seq("o_year"))
+    val q = spark.table("`graftdb`.`orders_part`").where(col("o_year") === 1995)
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).getOrElse(fail("no scan"))
+    assert(scan.contains("PartitionFilters: [") && scan.contains("o_year"),
+      s"partition filter must prune at the scan:\n$scan")
+    assert(q.count() > 0)
+    // pruned scan reads strictly fewer files than the full table
+    val allFiles = spark.table("`graftdb`.`orders_part`").inputFiles.length
+    assert(q.inputFiles.length < allFiles)
+  }
+
   test("calendar builder spans inclusive bounds") {
     val cal = Ingest.calendar(spark, "2022-01-01", "2022-01-31")
     assert(cal.count() === 31)
