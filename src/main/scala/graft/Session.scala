@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *  - GraftExtensions registers engine-native functions (graft_dot).
   */
 object Session {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
   def shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
   def maxPartitionBytes: String =
