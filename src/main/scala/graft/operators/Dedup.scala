@@ -30,7 +30,14 @@ import graft.functions.SharedHash._
   */
 object Dedup {
 
-  /** doc_id + distinct word-3-gram shingles. */
+  /** doc_id + distinct word-3-gram shingles.
+    *
+    * Persisted: the shingle set feeds multiple consumers inside each
+    * dedup query (sizes/pairs/signatures/verification) and across the
+    * d02/d03/d06 family — Spark's CacheManager matches the canonicalized
+    * plan, so every consumer shares one materialization instead of
+    * re-scanning and re-exploding the corpus. MEMORY_AND_DISK: at 100 TB
+    * this spills per-executor rather than failing. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
@@ -39,6 +46,7 @@ object Dedup {
           |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
           |ELSE array() END""".stripMargin)).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shinglesSql: String =
     """sh AS (
@@ -94,10 +102,13 @@ object Dedup {
     // ONE aggregation pass produces the whole signature AND the set size —
     // sh is scanned once for signatures instead of twice (sizes used to be
     // a separate groupBy over a recomputed shingle explode).
+    // persisted: consumed by 8 band self-joins (16 plan references) plus
+    // the two est-side lookups — one row per doc, so the cache is tiny
     val sig = hashed.groupBy(col("doc_id"))
       .agg(min(perm(0, col("h"))).as("mh0"),
         (1 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i")) :+
           count(lit(1)).as("n"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = (0 until NumBands).map { jb =>
       sig.as("x").join(sig.as("y"),
           col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
