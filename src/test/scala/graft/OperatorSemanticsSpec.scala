@@ -93,4 +93,34 @@ class OperatorSemanticsSpec extends SparkSpec {
       assert(est >= 0.0 && est <= 1.0)
     }
   }
+
+  test("near-dup clusters are valid: keeper is the min member, sizes consistent") {
+    val rows = Dedup.d06NeardupClusters(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getAs[Long]("doc_id"))
+      assert(ids.min === cid, s"cluster $cid: min member is not the cluster id")
+      members.foreach { m =>
+        assert(m.getAs[Long]("cluster_size") === members.length.toLong)
+        assert(m.getAs[Boolean]("is_keeper") === (m.getAs[Long]("doc_id") == cid))
+      }
+      assert(members.length >= 2, "singleton clusters must be filtered")
+    }
+  }
+
+  test("hash sample is deterministic and independent of partitioning") {
+    val a = TextAnalysis.t05HashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.t05HashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.length < Tables.load(spark, sf, "documents").count())
+  }
+
+  test("funnel depths partition all users") {
+    val rows = EventsAnalytics.e04Funnel(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(total === users)
+    rows.foreach(r => assert((0 to 3).contains(r.getAs[Int]("funnel_depth"))))
+  }
 }

@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"per-row projection must not shuffle:\n$plan")
   }
 
+  test("d03: persisted signature table is served from cache (InMemoryTableScan)") {
+    val df = Dedup.d03MinhashLsh(spark, sf)
+    df.count() // materialize caches
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"signature/shingle caches not used:\n${plan.take(2000)}")
+  }
+
   test("s01: brute-force ANN broadcasts the probe set") {
     val plan = formatted(Similarity.s01AnnBruteforce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
