@@ -71,11 +71,16 @@ object TextAnalysis {
     val score = lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
       lit(0.3) * (lit(1.0) - stopRatio) +
       lit(0.3) * least(lit(1.0), meanLen / 8.0)
+    // raw doubles, NOT rounded: both engines evaluate the identical IEEE
+    // expression tree left-to-right, so unrounded values are bit-equal —
+    // while round(x, 6) DISAGREES on exact half-way cases (Spark rounds
+    // the shortest decimal repr HALF_UP, DuckDB rounds the true double;
+    // doc 767 at sf0.1 lands on 0.5076875 exactly).
     base.join(stopHits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"), col("n_words"),
-        round(meanLen, 6).as("mean_word_len"),
-        round(stopRatio, 6).as("stop_ratio"),
-        round(score, 6).as("quality_score"))
+        meanLen.as("mean_word_len"),
+        stopRatio.as("stop_ratio"),
+        score.as("quality_score"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -143,9 +148,9 @@ object TextAnalysis {
     val total = Window.partitionBy()
     counts
       .withColumn("rank", row_number().over(byFreq))
-      .withColumn("cum_share",
-        round(sum(col("freq")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)) /
-          sum(col("freq")).over(total), 6))
+      .withColumn("cum_share", // raw double: bit-identical cross-engine (see t02 note)
+        sum(col("freq")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)) /
+          sum(col("freq")).over(total))
       .where(col("rank") <= 100)
       .select(col("rank"), col("word"), col("freq"), col("cum_share"))
       .orderBy(col("rank").asc)
@@ -202,11 +207,12 @@ object TextAnalysis {
         |         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars
         |  FROM documents)
         |SELECT doc_id, lang, n_words,
-        |       round(word_chars / n_words, 6) AS mean_word_len,
-        |       round(coalesce(stop_hits, 0) / n_words, 6) AS stop_ratio,
-        |       round(0.4 * least(1.0, n_words / 100.0) +
-        |             0.3 * (1.0 - coalesce(stop_hits, 0) / n_words) +
-        |             0.3 * least(1.0, (word_chars / n_words) / 8.0), 6) AS quality_score
+        |       word_chars / n_words AS mean_word_len,
+        |       coalesce(stop_hits, 0) / n_words AS stop_ratio,
+        |       0.4::DOUBLE * least(1.0::DOUBLE, n_words / 100.0::DOUBLE) +
+        |       0.3::DOUBLE * (1.0::DOUBLE - coalesce(stop_hits, 0) / n_words) +
+        |       0.3::DOUBLE * least(1.0::DOUBLE, (word_chars / n_words) / 8.0::DOUBLE)
+        |         AS quality_score
         |FROM base LEFT JOIN stophits USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
@@ -244,9 +250,9 @@ object TextAnalysis {
         |ranked AS (
         |  SELECT word, freq,
         |         row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
-        |         round(sum(freq) OVER (ORDER BY freq DESC, word ASC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |               / (SELECT sum(freq) FROM counts), 6) AS cum_share
+        |         (sum(freq) OVER (ORDER BY freq DESC, word ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |               / ((SELECT sum(freq) FROM counts))::BIGINT AS cum_share
         |  FROM counts)
         |SELECT rank, word, freq, cum_share
         |FROM ranked WHERE rank <= 100
