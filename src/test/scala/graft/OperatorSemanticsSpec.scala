@@ -115,6 +115,17 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < Tables.load(spark, sf, "documents").count())
   }
 
+  test("reference golden semantics: zero-fill rows survive the outer joins") {
+    // q05's FULL JOIN must keep nations with zero abandoned orders
+    // (reference dbc cmds 16/19/47: None-keyed + zero rows are the signal)
+    val q05 = CartAnalytics.q05AbandonedByCustomerNation(spark, sf).collect()
+    assert(q05.length >= 25, "every nation appears, with or without orders")
+    // q10's calendar spine zero-fills months with no abandoned orders
+    val q10 = CartAnalytics.q10MonthlyGapfill(spark, sf).collect()
+    assert(q10.forall(r => r.getAs[Long]("total_abandoned_orders") >= 0L))
+    assert(q10.map(_.getString(0)).distinct.length === q10.length)
+  }
+
   test("funnel depths partition all users") {
     val rows = EventsAnalytics.e04Funnel(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_users")).sum

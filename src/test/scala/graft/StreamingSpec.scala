@@ -43,6 +43,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sliding windows assign each event to every overlapping window") {
+    val events = (0 until 30).map(i => Event(i.toLong, ts(i * 2), 1, "click", 1.0))
+    val out = EventStreams.slidingRate(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2)))
+    // 1-hour window sliding by 10 min → each event lands in 6 windows
+    assert(out.map(_._2).sum === 30L * 6)
+  }
+
   test("stateful sessionization closes a session after the 30-min gap") {
     // user 1: events at t0, t0+10m  — then silence; a later event at
     // t0+120m advances the watermark past the timeout and closes session 1.
