@@ -138,10 +138,39 @@ object Multimodal {
     "m02_frame_sample" -> m02FrameSample _
   )
 
-  /** m01/m02 stay oracle-checkable because the fake blob is the UTF-8
-    * text: mean_byte/distinct_bytes reduce to SQL over the text's bytes
-    * — not expressible tersely in DuckDB, so these two use the rows-only
-    * check. (Deliberate: the value under test is the typed-Dataset
-    * plumbing, covered by MultimodalSpec.) */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Full oracles despite the mapPartitions path: the fake blob is the
+    * UTF-8 bytes of (ASCII) text, so byte statistics and chunk counts
+    * reduce to SQL over character codes — DuckDB recomputes what the
+    * typed-Dataset pipeline produced, end to end. */
+  val oracleSql: Map[String, String] = Map(
+    "m01_media_features" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, ascii(substring(text, i, 1)) AS b
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i))
+        |SELECT doc_id AS asset_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       octet_length(encode(d.text)) AS n_bytes,
+        |       round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_byte,
+        |       CAST(count(DISTINCT b) AS INTEGER) AS distinct_bytes
+        |FROM documents d JOIN bytes USING (doc_id)
+        |GROUP BY doc_id, d.text
+        |ORDER BY asset_id ASC NULLS FIRST""".stripMargin,
+
+    "m02_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |         CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_chunks
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, len, n_chunks,
+        |         (n_chunks - 1) // 4 + 1 AS n_frames
+        |  FROM v WHERE len > 0)
+        |SELECT doc_id AS asset_id, n_frames,
+        |       CAST(16 * (n_frames - 1) +
+        |            CASE WHEN 4 * (n_frames - 1) = n_chunks - 1
+        |                 THEN len - 16 * (n_chunks - 1) ELSE 16 END AS BIGINT)
+        |         AS sampled_bytes
+        |FROM f
+        |ORDER BY asset_id ASC NULLS FIRST""".stripMargin
+  )
 }
