@@ -247,26 +247,26 @@ object CartAnalytics {
   // Q8/Q9 — launch cohorts (reference py:364-439: nested agg subqueries,
   // YEAR(MIN(...)) launch derivation, HAVING on the derived launch year).
   // ---------------------------------------------------------------------
-  private def launchPerPart(spark: SparkSession, dir: String): DataFrame =
+  /** Launch date AND abandonment count per part in ONE join + ONE
+    * aggregation. The reference builds two aggregated subqueries over the
+    * same fact join (launch via LEFT, abandonment via RIGHT + filter) and
+    * joins them; per part both reduce to conditional aggregates over the
+    * plain inner match set, so one pass computes both. Parts with no
+    * abandoned orders get 0 via the conditional count — identical to the
+    * reference's LEFT JOIN + COALESCE. */
+  private def launchAndAbandoned(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
       .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "left_outer")
       .groupBy(col("l_partkey"))
-      .agg(min(col("o_orderdate")).as("launch_ts"))
-
-  private def abandonedPerPart(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir)
-      .join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
-      .where(abandoned)
-      .groupBy(col("l_partkey"))
-      .agg(countDistinct(col("o_orderkey")).as("abandoned_orders"))
+      .agg(
+        min(col("o_orderdate")).as("launch_ts"),
+        countDistinct(when(abandoned, col("o_orderkey"))).as("abandoned_orders"))
 
   /** Q8 — parts grouped into launch-month cohorts with abandonment totals.
     * The year_month label uses the reference's zero-pad idiom
     * RIGHT(CONCAT('0', month), 2) (py:450). */
   def q08LaunchCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val launch = launchPerPart(spark, dir)
-    val ab = abandonedPerPart(spark, dir)
-    launch.join(ab, Seq("l_partkey"), "left_outer")
+    launchAndAbandoned(spark, dir)
       .groupBy(concat(
         year(col("launch_ts")).cast("string"), lit("-"),
         expr("right(concat('0', cast(month(launch_ts) as string)), 2)")).as("launch_month"))
@@ -281,9 +281,7 @@ object CartAnalytics {
   def q09LaunchYearTopParts(spark: SparkSession, dir: String): DataFrame = {
     val firstYear = Tables.load(spark, dir, "orders")
       .agg(year(min(col("o_orderdate"))).as("y")).first().getInt(0)
-    val launch = launchPerPart(spark, dir)
-    val ab = abandonedPerPart(spark, dir)
-    launch.join(ab, Seq("l_partkey"), "left_outer")
+    launchAndAbandoned(spark, dir)
       .select(
         col("l_partkey"),
         year(col("launch_ts")).as("launch_year"),
