@@ -27,13 +27,13 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   def t01LanguageId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // persisted: consumed by both the profile build and the holdout
-    // scoring — one explode instead of two over the corpus
+    // NOT persisted: measured slower — the explode is codegen-cheap to
+    // recompute for the two consumers, while materializing 3.5M rows
+    // costs serialization + storage (2.3s → 4.6s with persist at sf0.1)
     val bigrams = docs.select(col("doc_id"), col("lang"), explode(expr(
         """CASE WHEN length(text) >= 2
           |THEN transform(sequence(1, length(text)-1), i -> substring(text, i, 2))
           |ELSE array() END""".stripMargin)).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = bigrams.where(col("doc_id") % 5 =!= 0)
       .groupBy(col("lang").as("p_lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
