@@ -513,7 +513,25 @@ object CartAnalytics {
       .orderBy(col("calendar_date").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // Q18 — ROLLUP subtotals (beyond the reference: §2.4 notes the engine
+  // gets grouping sets free from Spark). Priority × status counts with
+  // per-priority subtotals and a grand total; grouping_id disambiguates
+  // subtotal rows from genuine NULL groups.
+  // ---------------------------------------------------------------------
+  def q18Rollup(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id(col("o_orderpriority"), col("o_orderstatus")).as("gid"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_value"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid").asc, col("o_orderpriority").asc, col("o_orderstatus").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_rollup" -> q18Rollup _,
     "q01_top_abandoned_parts" -> q01TopAbandonedParts _,
     "q02_co_abandoned_pairs" -> q02CoAbandonedPairs _,
     "q03_mom_increase" -> q03MomIncrease _,
@@ -537,6 +555,16 @@ object CartAnalytics {
     s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q18_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+         |       count(*) AS n_orders,
+         |       ${moneySumSql("o_totalprice")} AS total_value
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         |ORDER BY gid ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+         |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
     "q01_top_abandoned_parts" ->
       s"""SELECT l_partkey,
          |       count(DISTINCT o_orderkey) AS abandoned_orders,
