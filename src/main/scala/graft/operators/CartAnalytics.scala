@@ -530,8 +530,45 @@ object CartAnalytics {
         col("n_orders"), col("total_value"))
       .orderBy(col("gid").asc, col("o_orderpriority").asc, col("o_orderstatus").asc)
 
+  // ---------------------------------------------------------------------
+  // Q19 — set operations (§2.7: absent in the reference, exposed by the
+  // engine): customers split by relationship to abandonment — INTERSECT
+  // (both abandoned and completed), EXCEPT (abandoned only). Spark plans
+  // both as aggregates/joins, not row-by-row comparisons.
+  // ---------------------------------------------------------------------
+  def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = ord(spark, dir)
+    val ab = o.where(abandoned).select(col("o_custkey"))
+    val done = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = ab.intersect(done).withColumn("segment", lit("abandoned_and_completed"))
+    val only = ab.except(done).withColumn("segment", lit("abandoned_only"))
+    both.unionAll(only)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q20 — pivot (the dashboards' matrix shape, §2.11): order counts as a
+  // month × status matrix. Fixed pivot values keep the schema static —
+  // the only form that scales (dynamic pivot needs a driver-side distinct
+  // first).
+  // ---------------------------------------------------------------------
+  def q20PivotMatrix(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("date").as("month_start"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("month_start"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("month_start").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_rollup" -> q18Rollup _,
+    "q19_setops" -> q19SetOps _,
+    "q20_pivot_matrix" -> q20PivotMatrix _,
     "q01_top_abandoned_parts" -> q01TopAbandonedParts _,
     "q02_co_abandoned_pairs" -> q02CoAbandonedPairs _,
     "q03_mom_increase" -> q03MomIncrease _,
@@ -564,6 +601,27 @@ object CartAnalytics {
          |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          |ORDER BY gid ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
          |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q19_setops" ->
+      """WITH ab AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |done AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |seg AS (
+        |  SELECT 'abandoned_and_completed' AS segment, o_custkey
+        |  FROM (SELECT DISTINCT o_custkey FROM ab INTERSECT SELECT DISTINCT o_custkey FROM done)
+        |  UNION ALL
+        |  SELECT 'abandoned_only' AS segment, o_custkey
+        |  FROM (SELECT DISTINCT o_custkey FROM ab EXCEPT SELECT DISTINCT o_custkey FROM done))
+        |SELECT segment, count(*) AS n_customers
+        |FROM seg GROUP BY segment
+        |ORDER BY segment ASC NULLS FIRST""".stripMargin,
+
+    "q20_pivot_matrix" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1
+        |ORDER BY month_start ASC NULLS FIRST""".stripMargin,
 
     "q01_top_abandoned_parts" ->
       s"""SELECT l_partkey,
