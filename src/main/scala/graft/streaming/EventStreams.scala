@@ -96,4 +96,18 @@ object EventStreams {
     * the streaming form of exact dedup. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** readStream → transform → writeStream, end to end: parquet file sink
+    * with a checkpoint — Spark's exactly-once contract (offsets + sink
+    * commit log in the checkpoint; restarted queries resume, never
+    * duplicate a batch). Returns the started query; callers own stop().
+    */
+  def toParquetSink(transformed: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    transformed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
 }

@@ -90,6 +90,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("readStream -> transform -> parquet writeStream with checkpoint (exactly-once sink)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val events = Tables.load(spark, sf, "events")
+    events.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val q = EventStreams.toParquetSink(
+      EventStreams.dedupStream(stream), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() === events.dropDuplicates("event_id").count())
+    // restart over the same checkpoint: no new data -> no duplicate batch
+    val q2 = EventStreams.toParquetSink(
+      EventStreams.dedupStream(spark.readStream.schema(events.schema).parquet(in)), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() === written.count())
+  }
+
   test("batch sessionization equals streaming semantics on a bounded set") {
     // same gap rule computed by the batch operator over the events table
     val batch = graft.operators.EventsAnalytics.e01Sessionize(spark, sf)
