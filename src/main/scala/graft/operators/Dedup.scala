@@ -228,7 +228,10 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    // propagate only over docs that touch an edge — every other doc is a
+    // fixed singleton, and the output keeps multi-doc clusters only, so
+    // the loop runs on the (tiny) near-dup subgraph, not the corpus
+    val docs = edges.select(col("doc_a").as("doc_id")).distinct()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
     var converged = false
     while (!converged) {
