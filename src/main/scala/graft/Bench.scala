@@ -15,16 +15,22 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
     // min of 2 timed runs per query: host-load noise on shared hardware
-    // is ±40%; the minimum is the steady-state cost of the plan
+    // is ±40%; the minimum is the steady-state cost of the plan. Failed
+    // runs must not contribute a (fast) failure time — only successful
+    // runs count, and a query with no successful run reports -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      spark.catalog.clearCache() // drop per-query persists between timings
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

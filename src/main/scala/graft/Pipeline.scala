@@ -47,9 +47,12 @@ object Pipeline {
     // 4. analytics over catalog tables: the export join (reference Q12)
     val report = exportReport(spark, db)
 
-    // 5. single-file pipe-delimited report
-    Export.asDelimitedFile(report, reportPath)
-    Result(db, anchor, reportPath, report.count())
+    // 5. single-file pipe-delimited report; row count comes from the
+    // written file (header excluded) — re-running report.count() would
+    // execute the whole 6-way join a second time
+    val written = Export.asDelimitedFile(report, reportPath)
+    val rows = java.nio.file.Files.lines(written).count() - 1
+    Result(db, anchor, reportPath, rows)
   }
 
   /** Reference `py:531-543`: multi-dim outer-join rollup, top-50. */

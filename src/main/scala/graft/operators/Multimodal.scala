@@ -95,8 +95,11 @@ object Multimodal {
   def resize(ds: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import ds.sparkSession.implicits._
     ds.map { a =>
-      val scale = (w.toLong * h) / math.max(a.meta.width.toLong * a.meta.height, 1L)
-      val n = math.max(1, math.min(a.media.length, (a.media.length * scale).toInt))
+      // multiply before dividing: integer division of the ratio would
+      // truncate every downscale to scale 0 (→ 1-byte blobs)
+      val origArea = math.max(a.meta.width.toLong * a.meta.height, 1L)
+      val scaled = a.media.length.toLong * w * h / origArea
+      val n = math.max(1, math.min(a.media.length.toLong, scaled)).toInt
       a.copy(media = a.media.take(n), meta = a.meta.copy(width = w, height = h, nBytes = n.toLong))
     }
   }
@@ -150,9 +153,10 @@ object Multimodal {
         |SELECT doc_id AS asset_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |       octet_length(encode(d.text)) AS n_bytes,
-        |       round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_byte,
+        |       CASE WHEN count(b) = 0 THEN 0.0
+        |            ELSE round(CAST(sum(b) AS DOUBLE) / count(b), 4) END AS mean_byte,
         |       CAST(count(DISTINCT b) AS INTEGER) AS distinct_bytes
-        |FROM documents d JOIN bytes USING (doc_id)
+        |FROM documents d LEFT JOIN bytes USING (doc_id)
         |GROUP BY doc_id, d.text
         |ORDER BY asset_id ASC NULLS FIRST""".stripMargin,
 

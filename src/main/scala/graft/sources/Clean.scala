@@ -14,14 +14,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Clean {
 
-  /** Rewrite `db.table` as `transform(db.table)`. */
+  /** Rewrite `db.table` as `transform(db.table)`.
+    *
+    * Swap order keeps the data recoverable at every step: the live table
+    * is renamed aside (not dropped) before staging takes its name, so a
+    * crash mid-swap leaves either the original (under `__old`) or both —
+    * never zero copies. The `__old` drop is last and best-effort.
+    */
   def rewriteTable(spark: SparkSession, db: String, table: String)(
       transform: DataFrame => DataFrame): Unit = {
     val fq = s"`$db`.`$table`"
     val staging = s"`$db`.`${table}__staging`"
+    val old = s"`$db`.`${table}__old`"
     transform(spark.table(fq))
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    spark.sql(s"DROP TABLE $fq")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $fq RENAME TO $old")
+    try spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
+    catch {
+      case e: Throwable =>
+        // restore the original so readers never see a missing table
+        spark.sql(s"ALTER TABLE $old RENAME TO $fq")
+        throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 }

@@ -25,7 +25,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // DECIMAL accumulation like the batch twin's moneySum: the total
+        // is partition/trigger-order independent, so stream == batch
+        coalesce(sum(col("value").cast("decimal(18,2)")).cast("double"), lit(0.0))
+          .as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -43,12 +47,19 @@ object EventStreams {
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, duration_s: Long, total_value: Double)
 
-  val GapMs: Long = 30 * 60 * 1000L
+  val GapSeconds: Long = 30 * 60L
+
+  /** Floor a millisecond epoch to whole seconds — the batch twin compares
+    * `ts.cast(long)` values (second precision), so the streaming gap rule
+    * must truncate identically or sub-second data sessions diverge. */
+  private def floorSec(ms: Long): Long = Math.floorDiv(ms, 1000L)
 
   /** Custom stateful sessionization via flatMapGroupsWithState: emits a
     * session when >30 min of inactivity passes (event-time timeout). The
-    * streaming twin of EventsAnalytics.e01Sessionize. State per user is
-    * O(1); the watermark evicts idle users.
+    * streaming twin of EventsAnalytics.e01Sessionize — gap and duration
+    * are computed on second-truncated timestamps exactly like the batch
+    * `cast(ts as long)` arithmetic. State per user is O(1); the watermark
+    * evicts idle users.
     */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -58,11 +69,13 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(s: SessionState): Session =
+            Session(user, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, floorSec(s.last) - floorSec(s.start), s.total)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last),
-              s.n, (s.last - s.start) / 1000L, s.total))
+            Iterator.single(emit(s))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
@@ -70,12 +83,11 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= GapMs =>
+                case Some(s) if floorSec(t) - floorSec(s.last) <= GapSeconds =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>
-                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last),
-                    s.n, (s.last - s.start) / 1000L, s.total)
+                  closed += emit(s)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
@@ -84,7 +96,9 @@ object EventStreams {
             cur match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.last + GapMs)
+                // timeout fires once event time passes the last instant
+                // that could still extend the session (whole-second rule)
+                state.setTimeoutTimestamp((floorSec(s.last) + GapSeconds + 1) * 1000L)
               case None => ()
             }
             closed.result().iterator
