@@ -42,6 +42,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize scales byte budget proportionally to the area ratio") {
+    val orig = assets(spark, sf).collect().map(a => a.asset_id -> a.media.length).toMap
+    // 64x64 → 32x32 = quarter area → ~quarter of the bytes (not 1 byte:
+    // the integer-division regression truncated every downscale ratio to 0)
+    resize(assets(spark, sf), 32, 32).collect().foreach { x =>
+      val expected = math.max(1, orig(x.asset_id) / 4)
+      assert(x.media.length === expected,
+        s"asset ${x.asset_id}: ${x.media.length} != $expected of ${orig(x.asset_id)}")
+    }
+  }
+
   test("frame sampling keeps every stride-th chunk of video assets only") {
     val frames = sampleFrames(assets(spark, sf), stride = 4).collect()
     assert(frames.nonEmpty)

@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains((1L, 2L, 3.0)), s"expected user-1 session closed, got $closed")
   }
 
+  test("sub-second timestamps: streaming gap rule matches batch second-truncation") {
+    // batch rule: floor both instants to seconds, split when diff > 1800.
+    // .900 → 30:00.400: truncated gap exactly 1800 → SAME session, even
+    // though the exact-ms gap (1799.5s < 1800s) and a naive ms rule agree
+    // here; .100 → 30:00.600 is the divergent case: exact gap 1800.5s
+    // would split, truncated gap 1800 keeps one session.
+    def tms(ms: Long) = new Timestamp(1700000000000L + ms)
+    val events = Seq(
+      Event(1, tms(100), 9, "click", 1.0),
+      Event(2, tms(30 * 60 * 1000 + 600), 9, "click", 2.0),
+      Event(3, tms(10 * 60 * 60 * 1000), 8, "view", 5.0)) // watermark driver
+    val rows = runStream(events)(df => EventStreams.sessionize(df.as[Event]).toDF())
+    val user9 = rows.filter(_.getLong(0) == 9L)
+    assert(user9.map(_.getLong(3)) === Seq(2L),
+      s"expected ONE 2-event session for user 9 (batch truncation rule), got $user9")
+    assert(user9.head.getLong(4) === 1800L, "duration on truncated seconds")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val events = Seq(
       Event(1, ts(0), 1, "click", 1.0),
