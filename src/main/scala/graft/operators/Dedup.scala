@@ -260,9 +260,39 @@ object Dedup {
     out
   }
 
+  // ---------------------------------------------------------------------
+  // d07 — contamination detection: training docs whose 3-gram shingles
+  // overlap an evaluation set (doc_id % 10 == 0 stands in for the
+  // benchmark corpus). The classic train/test-leak check: inverted-index
+  // join from eval shingles into the training corpus, scored by overlap
+  // fraction of the eval doc. At 100 TB the eval side is small —
+  // broadcast — and the training side streams through one shuffle.
+  // ---------------------------------------------------------------------
+  val ContaminationThreshold = 0.3
+
+  def d07Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val eval_ = sh.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    val train = sh.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val overlap = eval_.join(train, Seq("shingle"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val frac = col("shared").cast("double") / col("n_eval")
+    overlap.join(evalSizes, Seq("eval_id"))
+      .where(frac >= ContaminationThreshold)
+      .select(col("eval_id"), col("train_id"), col("shared"), col("n_eval"))
+      .orderBy((col("shared").cast("double") / col("n_eval")).desc,
+        col("eval_id").asc, col("train_id").asc)
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
+    "d07_contamination" -> d07Contamination _,
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh" -> d03MinhashLsh _,
     "d04_simhash" -> d04Simhash _,
@@ -270,6 +300,22 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d07_contamination" ->
+      s"""WITH $shinglesSql,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |evsizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |overlap AS (
+         |  SELECT eval_id, train_id, count(*) AS shared
+         |  FROM ev JOIN tr USING (shingle)
+         |  GROUP BY 1, 2)
+         |SELECT eval_id, train_id, shared, n_eval
+         |FROM overlap JOIN evsizes USING (eval_id)
+         |WHERE shared::DOUBLE / n_eval >= $ContaminationThreshold
+         |ORDER BY shared::DOUBLE / n_eval DESC NULLS LAST,
+         |         eval_id ASC NULLS FIRST, train_id ASC NULLS FIRST
+         |LIMIT 200""".stripMargin,
+
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -165,8 +165,29 @@ object TextAnalysis {
     "t03_token_counts" -> t03TokenCounts _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_hash_sample" -> t05HashSample _,
-    "t06_vocab" -> t06Vocab _
+    "t06_vocab" -> t06Vocab _,
+    "t07_stratified_sample" -> t07StratifiedSample _
   )
+
+  // ---------------------------------------------------------------------
+  // t07 — stratified downsampling (domain mixing): equal docs per
+  // language, chosen deterministically by content-hash rank within each
+  // stratum — the "balance the mixture" step of corpus assembly. The
+  // stratum quota is the smallest language's count (computed in-query);
+  // ranking is a per-stratum window over a hash, so the selection is
+  // reproducible and partition-independent like t05.
+  // ---------------------------------------------------------------------
+  def t07StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).first().getLong(0)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(h31(col("text")).asc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "t01_language_id" ->
@@ -259,6 +280,18 @@ object TextAnalysis {
         |  FROM counts)
         |SELECT rank, word, freq, cum_share
         |FROM ranked WHERE rank <= 100
-        |ORDER BY rank ASC NULLS FIRST""".stripMargin
+        |ORDER BY rank ASC NULLS FIRST""".stripMargin,
+
+    "t07_stratified_sample" ->
+      s"""WITH quota AS (
+         |  SELECT min(n) AS q FROM (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+         |ranked AS (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${h31Sql("text")} ASC, doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, source
+         |FROM ranked WHERE rk <= (SELECT q FROM quota)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }
