@@ -102,10 +102,44 @@ object Similarity {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s04 — label-centroid outliers: per-label mean vector, then each
+  // vector's squared distance to its own centroid; top-20 farthest are
+  // the mislabeled/outlier candidates (embedding-quality audit). Floating
+  // point is kept deterministic WITHOUT decimals: every sum that crosses
+  // rows folds a collect_list sorted by a unique key, so the addition
+  // order is fixed regardless of partitioning — the distributed-double
+  // determinism pattern this engine uses wherever decimal doesn't fit.
+  // ---------------------------------------------------------------------
+  val OutlierTopK = 20
+
+  def s04CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val ex = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("dim0", "v")))
+    val cent = ex.groupBy(col("label"), col("dim0"))
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+          |          s -> cast(s.v AS double)),
+          |cast(0.0 AS double), (acc, x) -> acc + x) / count(1)""".stripMargin.replace("\n", " "))
+        .as("c"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)").as("cent"))
+    val d2 = expr(
+      """aggregate(zip_with(embedding, cent,
+        |          (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),
+        |cast(0.0 AS double), (acc, q) -> acc + q)""".stripMargin.replace("\n", " "))
+    emb.join(centArr, Seq("label"))
+      .select(col("vec_id"), col("label"), d2.as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(OutlierTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh_buckets" -> s02AnnLshBuckets _,
-    "s03_ann_ivf" -> s03AnnIvf _
+    "s03_ann_ivf" -> s03AnnIvf _,
+    "s04_centroid_outliers" -> s04CentroidOutliers _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,6 +198,26 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, cell, neighbor_id, rank, round(c, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK
-         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
+    "s04_centroid_outliers" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, i AS dim0, embedding[i]::DOUBLE AS v
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+         |cent AS (
+         |  SELECT label, dim0,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+         |  FROM ex GROUP BY label, dim0),
+         |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
+         |dist AS (
+         |  SELECT e.vec_id, e.label,
+         |         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+         |           i -> (e.embedding[i]::DOUBLE - ca.cent[i]) * (e.embedding[i]::DOUBLE - ca.cent[i])),
+         |           (a, b) -> a + b) AS dist2
+         |  FROM embeddings e JOIN centarr ca USING (label))
+         |SELECT vec_id, label, dist2
+         |FROM dist
+         |ORDER BY dist2 DESC NULLS LAST, vec_id ASC NULLS FIRST
+         |LIMIT $OutlierTopK""".stripMargin
   )
 }
