@@ -68,6 +68,27 @@ object CartSql {
       |GROUP BY launch_month
       |ORDER BY launch_month ASC""".stripMargin)
 
+  /** q12 as SQL: the 6-way mixed-outer export join (py:531-543 shape). */
+  def q12Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |       o_totalprice, o_orderpriority, c_name, c_mktsegment, n_name, r_name,
+      |       count(l_linenumber) AS n_items,
+      |       coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS items_value,
+      |       coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_quantity,
+      |       count(DISTINCT s_name) AS n_suppliers
+      |FROM lineitem
+      |RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |LEFT JOIN part ON l_partkey = p_partkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_totalprice, o_orderpriority,
+      |         c_name, c_mktsegment, n_name, r_name
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 50""".stripMargin)
+
   /** q04 as SQL: HAVING on an alias (py:242/274 shape). */
   def q04Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
     """WITH anchor AS (SELECT year(max(o_orderdate)) AS y FROM orders),

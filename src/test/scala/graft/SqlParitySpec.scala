@@ -32,4 +32,8 @@ class SqlParitySpec extends SparkSpec {
   test("q08 SQL text (GROUP BY alias) == DataFrame builder") {
     sameRows(CartAnalytics.q08LaunchCohorts(spark, sf), CartSql.q08Sql(spark, sf))
   }
+
+  test("q12 SQL text (6-way mixed outer export join) == DataFrame builder") {
+    sameRows(CartAnalytics.q12ExportJoin(spark, sf), CartSql.q12Sql(spark, sf))
+  }
 }
