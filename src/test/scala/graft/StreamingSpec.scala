@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === written.count())
   }
 
+  test("custom sessionization agrees with Spark's built-in session_window away from boundaries") {
+    // whole-minute gaps of 29 or 31 min: both the >1800s rule (e01 /
+    // sessionize) and session_window's <30min-merge rule agree; only the
+    // exact-1800s boundary differs by design (e01 merges, window splits).
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(29), 1, "a", 1.0),   // same session
+      Event(3, ts(60), 1, "a", 1.0),                                  // 31min gap: new
+      Event(4, ts(75), 1, "a", 1.0),
+      Event(5, ts(0), 2, "a", 1.0))
+    val builtIn = events.toDF()
+      .groupBy(org.apache.spark.sql.functions.session_window($"ts", "30 minutes"), $"user_id")
+      .count()
+      .select($"user_id", $"count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val custom = runStream(events)(df => EventStreams.sessionize(df.as[Event]).toDF())
+    // streaming emits only closed sessions; close everything via a late
+    // watermark driver and compare the per-session event counts
+    val events2 = events :+ Event(99, ts(3000), 3, "w", 0.0)
+    val closed = runStream(events2)(df => EventStreams.sessionize(df.as[Event]).toDF())
+      .filter(_.getLong(0) != 3L)
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(closed === builtIn, s"custom=$closed builtin=$builtIn")
+  }
+
   test("batch sessionization equals streaming semantics on a bounded set") {
     // same gap rule computed by the batch operator over the events table
     val batch = graft.operators.EventsAnalytics.e01Sessionize(spark, sf)
