@@ -50,8 +50,11 @@ object Pipeline {
     // 5. single-file pipe-delimited report; row count comes from the
     // written file (header excluded) — re-running report.count() would
     // execute the whole 6-way join a second time
+    // (physical-line count: correct here because no exported column can
+    // contain a newline; a general CSV would need a quote-aware count)
     val written = Export.asDelimitedFile(report, reportPath)
-    val rows = java.nio.file.Files.lines(written).count() - 1
+    val lineStream = java.nio.file.Files.lines(written)
+    val rows = try lineStream.count() - 1 finally lineStream.close()
     Result(db, anchor, reportPath, rows)
   }
 

@@ -29,7 +29,7 @@ object Session {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")

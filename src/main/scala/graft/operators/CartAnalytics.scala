@@ -260,7 +260,12 @@ object CartAnalytics {
       .groupBy(col("l_partkey"))
       .agg(
         min(col("o_orderdate")).as("launch_ts"),
-        countDistinct(when(abandoned, col("o_orderkey"))).as("abandoned_orders"))
+        // join-parity for a NULL part bucket (same rule as periodIncrease):
+        // the oracle's launch⋈ab equi-join never matches NULL, so its
+        // coalesced count is 0 — not the real conditional count
+        when(col("l_partkey").isNull, lit(0L))
+          .otherwise(countDistinct(when(abandoned, col("o_orderkey"))))
+          .as("abandoned_orders"))
 
   /** Q8 — parts grouped into launch-month cohorts with abandonment totals.
     * The year_month label uses the reference's zero-pad idiom
@@ -744,8 +749,9 @@ object CartAnalytics {
         |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
         |  WHERE o_orderstatus = 'O'
         |  GROUP BY l_partkey)
-        |SELECT concat(CAST(year(launch_ts) AS VARCHAR), '-',
-        |              right(concat('0', CAST(month(launch_ts) AS VARCHAR)), 2)) AS launch_month,
+        |SELECT CASE WHEN launch_ts IS NULL THEN NULL
+        |            ELSE concat(CAST(year(launch_ts) AS VARCHAR), '-',
+        |                 right(concat('0', CAST(month(launch_ts) AS VARCHAR)), 2)) END AS launch_month,
         |       CAST(count(*) AS BIGINT) AS n_parts,
         |       CAST(sum(coalesce(abandoned_orders, 0)) AS BIGINT) AS total_abandoned_orders
         |FROM launch LEFT JOIN ab ON launch.l_partkey = ab.l_partkey

@@ -26,9 +26,12 @@ object Clean {
     val fq = s"`$db`.`$table`"
     val staging = s"`$db`.`${table}__staging`"
     val old = s"`$db`.`${table}__old`"
+    // re-runnability: clear any staging/old leftovers (catalog entry AND
+    // warehouse dir) from a previous crashed run before writing
+    Ingest.dropTableAndLocation(spark, db, s"${table}__staging")
+    Ingest.dropTableAndLocation(spark, db, s"${table}__old")
     transform(spark.table(fq))
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"ALTER TABLE $fq RENAME TO $old")
     try spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
     catch {

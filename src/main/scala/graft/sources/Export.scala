@@ -24,9 +24,12 @@ object Export {
     df.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("sep", sep)
       .csv(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      finally listing.close()
     val dst = Paths.get(target)
     if (dst.getParent != null) Files.createDirectories(dst.getParent)
     Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)

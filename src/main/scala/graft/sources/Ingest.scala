@@ -70,14 +70,21 @@ object Ingest {
     * here is in-memory per session, so a warehouse directory can outlive
     * its table entry — drop both before writing (orphan dirs otherwise
     * fail CTAS with LOCATION_ALREADY_EXISTS). */
-  def saveAsTable(df: DataFrame, db: String, table: String): Unit = {
-    val spark = df.sparkSession
-    ensureDatabase(spark, db)
+  /** Drop a table AND its warehouse directory — the in-memory catalog
+    * can lose the table entry (new session) while the directory persists,
+    * and a later CTAS then fails with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndLocation(spark: SparkSession, db: String, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$db.db/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def saveAsTable(df: DataFrame, db: String, table: String): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    dropTableAndLocation(spark, db, table)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"`$db`.`$table`")
   }
 

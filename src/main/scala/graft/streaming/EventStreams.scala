@@ -83,12 +83,23 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if floorSec(t) - floorSec(s.last) <= GapSeconds =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + e.value))
+                case Some(s) if t >= s.start =>
+                  if (floorSec(t) - floorSec(s.last) <= GapSeconds)
+                    cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                      total = s.total + e.value))
+                  else {
+                    closed += emit(s)
+                    cur = Some(SessionState(t, t, 1L, e.value))
+                  }
                 case Some(s) =>
-                  closed += emit(s)
-                  cur = Some(SessionState(t, t, 1L, e.value))
+                  // cross-batch late event BEFORE the open session: merge
+                  // (lowering the start) if it is within the gap, else it
+                  // is its own already-closed session — it cannot join any
+                  // future event, which all arrive at or after s.start
+                  if (floorSec(s.start) - floorSec(t) <= GapSeconds)
+                    cur = Some(s.copy(start = t, n = s.n + 1, total = s.total + e.value))
+                  else
+                    closed += Session(user, new Timestamp(t), new Timestamp(t), 1L, 0L, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
               }
@@ -107,9 +118,15 @@ object EventStreams {
   }
 
   /** Deduplicated stream: drop duplicate event_ids within the watermark —
-    * the streaming form of exact dedup. */
-  def dedupStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    * the streaming form of exact dedup. dropDuplicatesWithinWatermark is
+    * the state-bounded operator: entries are evicted once the watermark
+    * passes them (plain dropDuplicates on a non-event-time key would keep
+    * one state entry per id FOREVER and eventually exhaust the store). */
+  def dedupStream(events: DataFrame): DataFrame = {
+    val withWm = events.withWatermark("ts", "1 hour")
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark("event_id")
+    else withWm.dropDuplicates("event_id") // batch twin: no state to bound
+  }
 
   /** readStream → transform → writeStream, end to end: parquet file sink
     * with a checkpoint — Spark's exactly-once contract (offsets + sink

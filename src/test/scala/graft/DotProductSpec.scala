@@ -34,6 +34,15 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.first().isNullAt(0))
   }
 
+  test("graft_dot returns NULL on length mismatch (corrupt vectors surface, not truncate)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).first().isNullAt(0))
+    // and through the non-codegen eval path too
+    val interpreted = spark.range(1).select(
+      expr("graft_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(1.0 as float)))"))
+    assert(interpreted.first().isNullAt(0))
+  }
+
   test("graft_dot participates in whole-stage codegen (no CodegenFallback)") {
     val df = spark.range(4).select(
         expr("transform(sequence(1, 8), i -> cast(i * (id + 1) AS float))").as("a"),

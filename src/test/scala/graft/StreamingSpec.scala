@@ -82,6 +82,28 @@ class StreamingSpec extends SparkSpec {
     assert(user9.head.getLong(4) === 1800L, "duration on truncated seconds")
   }
 
+  test("cross-batch late event within the gap lowers the open session's start") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("late_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(60), 1, "a", 1.0)) // batch 1: session opens at t+60m
+      q.processAllAvailable()
+      // batch 2: late event 10 min BEFORE the session start (within gap),
+      // then a watermark driver far in the future to close everything
+      mem.addData(Event(2, ts(50), 1, "a", 2.0), Event(3, ts(600), 2, "w", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(2000), 3, "w", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val user1 = spark.table("late_out").collect().filter(_.getLong(0) == 1L)
+    assert(user1.length === 1)
+    assert(user1.head.getLong(3) === 2L, "late event merged")
+    assert(user1.head.getTimestamp(1) === ts(50), "session start lowered to the late event")
+    assert(user1.head.getLong(4) === 600L, "duration spans the lowered start")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val events = Seq(
       Event(1, ts(0), 1, "click", 1.0),
