@@ -98,11 +98,30 @@ object EventsAnalytics {
       .orderBy(col("funnel_depth").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e05 — cohort retention: users grouped by first-activity week, counted
+  // in each later week they return. Two aggregations over one scan
+  // (first-activity via window-min carried on the activity rows), then
+  // the classic cohort × week-offset matrix in long form.
+  // ---------------------------------------------------------------------
+  def e05Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("WEEK", col("ts")).cast("date").as("week"))
+      .distinct()
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week").asc, col("weeks_since").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> e01Sessionize _,
     "e02_props_stats" -> e02PropsStats _,
     "e03_hourly_agg" -> e03HourlyAgg _,
-    "e04_funnel" -> e04Funnel _
+    "e04_funnel" -> e04Funnel _,
+    "e05_retention" -> e05Retention _
   )
 
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
@@ -158,6 +177,17 @@ object EventsAnalytics {
         |  FROM peruser)
         |SELECT funnel_depth, count(*) AS n_users
         |FROM depth GROUP BY funnel_depth
-        |ORDER BY funnel_depth ASC NULLS FIRST""".stripMargin
+        |ORDER BY funnel_depth ASC NULLS FIRST""".stripMargin,
+
+    "e05_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS weeks_since,
+        |       count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week ASC NULLS FIRST, weeks_since ASC NULLS FIRST""".stripMargin
   )
 }
