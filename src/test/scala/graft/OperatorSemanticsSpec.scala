@@ -126,6 +126,16 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(q10.map(_.getString(0)).distinct.length === q10.length)
   }
 
+  test("retention: week-0 count equals cohort size and offsets are non-negative") {
+    val rows = EventsAnalytics.e05Retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("weeks_since") >= 0))
+    val week0 = rows.filter(_.getAs[Int]("weeks_since") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables.load(spark, sf, "events").select("user_id").distinct().count()
+    assert(week0 === users, "every user appears in their own cohort's week 0")
+  }
+
   test("funnel depths partition all users") {
     val rows = EventsAnalytics.e04Funnel(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_users")).sum

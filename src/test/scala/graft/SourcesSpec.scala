@@ -56,6 +56,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.select("pk").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("Clean: re-runnable after a crash that left staging/old leftovers") {
+    import org.apache.spark.sql.functions.col
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0)).toDF("pk", "price"), "graftdb", "carts_rerun_spec")
+    // simulate a crashed prior run: stale staging table AND orphan dirs
+    Ingest.saveAsTable(
+      Seq((9L, 9.9)).toDF("pk", "price"), "graftdb", "carts_rerun_spec__staging")
+    Clean.rewriteTable(spark, "graftdb", "carts_rerun_spec")(_.where(col("price") > 0))
+    val back = spark.table("`graftdb`.`carts_rerun_spec`")
+    assert(back.select("pk").as[Long].collect().toSet === Set(1L))
+    assert(!spark.catalog.tableExists("graftdb.carts_rerun_spec__old"))
+  }
+
   test("S8/S9: scalar capture + ${var} SQL substitution") {
     val v = Ingest.captureScalar(spark,
       Seq(3L, 9L, 5L).toDF("x").agg(org.apache.spark.sql.functions.max($"x")),
