@@ -570,10 +570,31 @@ object CartAnalytics {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("month_start").asc)
 
+  // ---------------------------------------------------------------------
+  // Q21 — semi/anti joins (§2.3: not used by the reference, exposed by
+  // the engine): customer segments by order relationship, computed with
+  // left_semi / left_anti — existence checks with NO fan-out and no
+  // post-join dedup, the shape Catalyst turns EXISTS/NOT EXISTS into.
+  // ---------------------------------------------------------------------
+  def q21SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val abandoned_ = ord(spark, dir).where(abandoned).select(col("o_custkey"))
+    val withAb = cust.join(abandoned_, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("segment", lit("has_abandoned"))
+    val noOrders = cust.join(ord(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).withColumn("segment", lit("no_orders"))
+    withAb.unionAll(noOrders)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_rollup" -> q18Rollup _,
     "q19_setops" -> q19SetOps _,
     "q20_pivot_matrix" -> q20PivotMatrix _,
+    "q21_semi_anti" -> q21SemiAnti _,
     "q01_top_abandoned_parts" -> q01TopAbandonedParts _,
     "q02_co_abandoned_pairs" -> q02CoAbandonedPairs _,
     "q03_mom_increase" -> q03MomIncrease _,
@@ -627,6 +648,18 @@ object CartAnalytics {
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY 1
         |ORDER BY month_start ASC NULLS FIRST""".stripMargin,
+
+    "q21_semi_anti" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, 'has_abandoned' AS segment FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT c_custkey, 'no_orders' AS segment FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |SELECT segment, count(*) AS n_customers
+        |FROM seg GROUP BY segment
+        |ORDER BY segment ASC NULLS FIRST""".stripMargin,
 
     "q01_top_abandoned_parts" ->
       s"""SELECT l_partkey,
