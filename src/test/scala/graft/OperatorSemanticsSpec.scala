@@ -126,6 +126,15 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(q10.map(_.getString(0)).distinct.length === q10.length)
   }
 
+  test("stratified sample: equal count per language, subset of the corpus") {
+    val rows = TextAnalysis.t07StratifiedSample(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.values.toSet.size === 1, s"unequal strata: $perLang")
+    val all = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).forall(all.contains))
+  }
+
   test("retention: week-0 count equals cohort size and offsets are non-negative") {
     val rows = EventsAnalytics.e05Retention(spark, sf).collect()
     assert(rows.nonEmpty)
