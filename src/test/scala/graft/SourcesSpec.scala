@@ -22,6 +22,22 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("PK", "p_code"))
   }
 
+  test("S1b: schema-inferring CSV variant types numeric columns") {
+    val dir = tmpDir
+    Files.writeString(Paths.get(dir, "t.csv"), "id|price\n1|10.5\n2|20.25\n")
+    val df = Ingest.csvInferred(spark, s"$dir/t.csv")
+    assert(df.schema("id").dataType !== StringType)
+    assert(df.schema("price").dataType !== StringType)
+    assert(df.count() === 2)
+  }
+
+  test("S6b: export honors a custom separator") {
+    val target = s"$tmpDir/report.csv"
+    Export.asDelimitedFile(Seq((1L, "x")).toDF("id", "v"), target, sep = ",")
+    val lines = Files.readAllLines(Paths.get(target))
+    assert(lines.get(0) === "id,v" && lines.get(1) === "1,x")
+  }
+
   test("S3: zip-wrapped parquet roundtrip") {
     val dir = tmpDir
     val pq = s"$dir/src"
