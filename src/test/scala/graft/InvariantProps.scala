@@ -47,12 +47,24 @@ object InvariantProps extends Properties("graft.invariants") {
       cal.count() == span + 1 && cal.distinct().count() == span + 1
     }
 
-  property("count-distinct equals groupBy-count for any grouping") =
-    Prop.forAllNoShrink(linesGen) { pairs =>
-      val df = pairs.toDF("k", "v")
-      val a = df.agg(countDistinct(col("k"))).first().getLong(0)
-      val b = df.select(col("k")).distinct().count()
-      a == b
+  property("conditional-aggregation rewrite equals the two-subquery join (q03/q04 law)") =
+    Prop.forAllNoShrink(linesGen, linesGen) { (cur, pre) =>
+      // rows: (partkey, orderkey) in period 1 (cur) / period 2 (pre)
+      val df = (cur.map { case (o, k) => (k, o, 1) } ++
+        pre.map { case (o, k) => (k, o, 2) }).toDF("k", "o", "p")
+      val fused = df.groupBy(col("k")).agg(
+          countDistinct(when(col("p") === 1, col("o"))).as("c"),
+          countDistinct(when(col("p") === 2, col("o"))).as("q"))
+        .where(col("c") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val curAgg = df.where(col("p") === 1).groupBy(col("k"))
+        .agg(countDistinct(col("o")).as("c"))
+      val preAgg = df.where(col("p") === 2).groupBy(col("k"))
+        .agg(countDistinct(col("o")).as("q"))
+      val joined = curAgg.join(preAgg, Seq("k"), "left_outer")
+        .select(col("k"), col("c"), coalesce(col("q"), lit(0L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      fused == joined
     }
 
   property("decimal money sum is invariant under permutation and partitioning") =

@@ -22,8 +22,12 @@ class MultimodalSpec extends SparkSpec {
     val f = extractFeatures(assets(spark, sf)).collect()
     f.foreach { x =>
       assert(x.embedding.length === FakeDecoder.dim)
-      assert(math.abs(x.embedding.sum - 1.0f) < 1e-3, "histogram must normalize")
-      assert(x.distinct_bytes > 0 && x.distinct_bytes <= 256)
+      if (x.n_bytes == 0) { // empty media is a supported input
+        assert(x.embedding.forall(_ === 0f) && x.distinct_bytes === 0 && x.mean_byte === 0.0)
+      } else {
+        assert(math.abs(x.embedding.sum - 1.0f) < 1e-3, "histogram must normalize")
+        assert(x.distinct_bytes > 0 && x.distinct_bytes <= 256)
+      }
     }
   }
 

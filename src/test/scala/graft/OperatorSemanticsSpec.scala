@@ -26,7 +26,23 @@ class OperatorSemanticsSpec extends SparkSpec {
   test("q01 counts orders with zero lines under the null part bucket") {
     val df = CartAnalytics.q01TopAbandonedParts(spark, sf)
     assert(df.columns.toSeq === Seq("l_partkey", "abandoned_orders", "abandoned_value"))
-    assert(df.count() > 0)
+    // the null-partkey bucket must exist and equal the number of
+    // abandoned orders with no lineitems (computed independently)
+    val lineless = Tables.load(spark, sf, "orders").where($"o_orderstatus" === "O")
+      .join(Tables.load(spark, sf, "lineitem").select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .count()
+    assert(lineless > 0, "testdata should contain line-less abandoned orders")
+    val rows = df.collect()
+    rows.find(_.isNullAt(0)) match {
+      case Some(bucket) => assert(bucket.getLong(1) === lineless)
+      case None =>
+        // top-100 may legitimately cut the bucket — but then every kept
+        // row must outrank it; a lost outer join would fail this too
+        // (inner-join q01 would keep <100 rows on this small sf)
+        assert(rows.length === 100 && rows.last.getLong(1) >= lineless,
+          s"null bucket absent yet not outranked: last=${rows.last}")
+    }
   }
 
   test("co-abandoned pairs are canonical: part_a < part_b, no duplicates") {
@@ -67,35 +83,46 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(fps.distinct.size === NumHashes)
   }
 
-  test("exact dedup groups identical texts") {
-    val docs = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
-      .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("documents_tmp")
-    val out = docs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
-      .orderBy($"n".desc).collect()
-    assert(out.head.getLong(2) === 2L && out.head.getLong(1) === 1L)
+  test("exact dedup output partitions the corpus: unique hashes, counts sum to total") {
+    val rows = Dedup.d01ExactDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hashes = rows.map(_.getString(0))
+    assert(hashes.distinct.length === hashes.length, "one row per distinct text")
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.load(spark, sf, "documents").count())
+    rows.foreach(r => assert(r.getLong(2) >= 1L))
   }
 
-  test("simhash of identical docs is identical; near-identical docs are close") {
+  test("simhash emits canonically-ordered pairs within the hamming threshold") {
     val rows = Dedup.d04Simhash(spark, sf).collect()
-    // all emitted pairs respect the hamming threshold and canonical order
+    assert(rows.nonEmpty, "sf0.001's planted near-dups must collide")
     rows.foreach { r =>
       assert(r.getAs[Int]("hamming") <= 8)
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
   }
 
-  test("lsh candidates are a subset of the brute-force high-jaccard pairs (no false order)") {
+  test("lsh finds every very-high-jaccard pair from the exact join (recall at j>=0.95)") {
     val lsh = Dedup.d03MinhashLsh(spark, sf).collect()
+    assert(lsh.nonEmpty, "sf0.001's planted near-dups must produce candidates")
     lsh.foreach { r =>
       val est = r.getAs[Double]("est_similarity")
       assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
+    // recall: pairs the exact inverted-index join scores at jaccard>=0.95
+    // collide in at least one of the 8 bands with near-certainty
+    val exactHigh = Dedup.d02NgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.95)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactHigh.nonEmpty && exactHigh.subsetOf(lshPairs),
+      s"missed: ${exactHigh -- lshPairs}")
   }
 
   test("near-dup clusters are valid: keeper is the min member, sizes consistent") {
     val rows = Dedup.d06NeardupClusters(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001's planted near-dups must cluster")
     val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
     byCluster.foreach { case (cid, members) =>
       val ids = members.map(_.getAs[Long]("doc_id"))
@@ -108,7 +135,9 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
-  test("hash sample is deterministic and independent of partitioning") {
+  test("hash sample is deterministic across runs (content-keyed, not partition-keyed)") {
+    // partition independence is covered end-to-end by the local[5] gate;
+    // here: repeat runs agree and the predicate is a pure content hash
     val a = TextAnalysis.t05HashSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = TextAnalysis.t05HashSample(spark, sf).collect().map(_.getLong(0)).toSeq
     assert(a === b)

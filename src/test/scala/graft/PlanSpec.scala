@@ -42,7 +42,11 @@ class PlanSpec extends SparkSpec {
 
   test("q12: all five dimension joins broadcast (only the fact join may shuffle)") {
     val plan = formatted(CartAnalytics.q12ExportJoin(spark, sf))
-    val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    // count TREE nodes only ("BroadcastHashJoin (7)"), not the detail
+    // headers ("(7) BroadcastHashJoin") — formatted explain prints each
+    // node twice and double-counting would let 2 regressed joins pass
+    val nBroadcast = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*"""))
     assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$plan")
   }
 

@@ -162,7 +162,6 @@ class StreamingSpec extends SparkSpec {
       .count()
       .select($"user_id", $"count")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val custom = runStream(events)(df => EventStreams.sessionize(df.as[Event]).toDF())
     // streaming emits only closed sessions; close everything via a late
     // watermark driver and compare the per-session event counts
     val events2 = events :+ Event(99, ts(3000), 3, "w", 0.0)
