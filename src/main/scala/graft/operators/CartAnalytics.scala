@@ -439,15 +439,20 @@ object CartAnalytics {
   // ---------------------------------------------------------------------
   // Q15 — column profile (reference A11, dbutils.data.summarize): per-
   // column stats over the orders fact in one pass (count / non-null /
-  // distinct / zeros / min / max / exact mean / exact median). One
-  // aggregate job, then a tiny union of literal-labeled rows — no
+  // distinct / zeros / min / max / exact mean / stddev / exact median).
+  // One aggregate job, then a tiny union of literal-labeled rows — no
   // per-column scans. Exact `percentile` matches DuckDB quantile_cont
-  // (both linear-interpolated over the sorted column).
+  // (both linear-interpolated over the sorted column). Population stddev
+  // uses the sum-of-squares algebra with DECIMAL accumulators (exact,
+  // partition-order-independent) and the SAME final double expression
+  // sqrt(sum2/n − mean²) spelled out in the oracle, so both engines build
+  // the identical IEEE tree.
   // ---------------------------------------------------------------------
   def q15ProfileOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = ord(spark, dir)
     val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val aggs = numCols.flatMap { c =>
+      val d = col(c).cast(DecimalType(19, 2))
       Seq(
         count(col(c)).as(s"${c}__nonnull"),
         countDistinct(col(c)).as(s"${c}__distinct"),
@@ -456,10 +461,12 @@ object CartAnalytics {
         max(col(c)).cast(DoubleType).as(s"${c}__max"),
         (sum(col(c).cast(DecimalType(28, 2))).cast(DoubleType) /
           count(col(c)).cast(DoubleType)).as(s"${c}__mean"),
+        sum(d * d).as(s"${c}__sum2"),
         expr(s"percentile($c, 0.5)").as(s"${c}__median"))
     } :+ count(lit(1)).as("n_rows")
     val wide = o.agg(aggs.head, aggs.tail: _*)
     val perCol = numCols.map { c =>
+      val mean = col(s"${c}__mean")
       wide.select(
         lit(c).as("column_name"),
         col("n_rows"),
@@ -468,7 +475,9 @@ object CartAnalytics {
         col(s"${c}__zeros").as("n_zeros"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
-        col(s"${c}__mean").as("mean_value"),
+        mean.as("mean_value"),
+        sqrt(col(s"${c}__sum2").cast(DoubleType) /
+          col(s"${c}__nonnull").cast(DoubleType) - mean * mean).as("stddev_value"),
         col(s"${c}__median").as("median_value"))
     }
     perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
@@ -907,16 +916,25 @@ object CartAnalytics {
     "q15_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
       cols.map { c =>
-        s"""SELECT '$c' AS column_name,
-           |       count(*) AS n_rows,
-           |       count($c) AS n_nonnull,
-           |       count(DISTINCT $c) AS n_distinct,
-           |       CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
-           |       CAST(min($c) AS DOUBLE) AS min_value,
-           |       CAST(max($c) AS DOUBLE) AS max_value,
-           |       CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value,
-           |       CAST(quantile_cont($c, 0.5) AS DOUBLE) AS median_value
-           |FROM orders""".stripMargin
+        s"""SELECT '$c' AS column_name, n_rows, n_nonnull, n_distinct, n_zeros,
+           |       min_value, max_value, mean_value,
+           |       sqrt(sum2d / nnd - mean_value * mean_value) AS stddev_value,
+           |       median_value
+           |FROM (
+           |  SELECT count(*) AS n_rows,
+           |         count($c) AS n_nonnull,
+           |         count(DISTINCT $c) AS n_distinct,
+           |         CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+           |         CAST(min($c) AS DOUBLE) AS min_value,
+           |         CAST(max($c) AS DOUBLE) AS max_value,
+           |         CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value,
+           |         -- via VARCHAR: DuckDB's direct wide-DECIMAL→DOUBLE cast is not
+           |         -- correctly rounded above 2^53 (hugeint path); the string
+           |         -- roundtrip is, matching Spark's BigDecimal.doubleValue exactly
+           |         CAST(CAST(sum(CAST($c AS DECIMAL(19,2)) * CAST($c AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS sum2d,
+           |         CAST(count($c) AS DOUBLE) AS nnd,
+           |         CAST(quantile_cont($c, 0.5) AS DOUBLE) AS median_value
+           |  FROM orders)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name ASC NULLS FIRST")
     },
 

@@ -19,11 +19,14 @@ import graft.functions.SharedHash._
   *    mins per doc (single groupBy, no per-hash re-scan); band self-joins
   *    touch only colliding buckets; exact Jaccard verification runs only
   *    on candidates.
-  *  - SimHash: 32 bit-counters in one groupBy pass; pairs compared on a
-  *    64-bit integer (bit_count(xor)) — trivially bandable by signature
-  *    prefix at scale.
+  *  - SimHash: 60 bit-counters in one groupBy pass; candidate pairs come
+  *    from nine band equi-joins (pigeonhole: ≤8 differing bits across 9
+  *    bands leaves at least one band identical), hamming verified on
+  *    candidates only — never an all-pairs comparison.
   *  - embedding near-dup: brute-force cosine over all pairs — the exactness
-  *    baseline; the LSH-bucketed scale path is Similarity.s02.
+  *    baseline, guarded by an explicit row-count cap so the quadratic plan
+  *    can never run unintentionally at scale; the LSH-bucketed scale path
+  *    is Similarity.s02.
   *
   * Every hash is cross-engine deterministic (see [[graft.functions.SharedHash]])
   * so the DuckDB oracles reproduce results bit-for-bit.
@@ -140,28 +143,52 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // d04 — SimHash: 32-bit signature from token-hash bit votes (term
+  // d04 — SimHash: 60-bit signature from token-hash bit votes (term
   // frequency weighted: every occurrence votes). Near-dups = pairs with
-  // hamming distance ≤ 8.
+  // hamming distance ≤ 8. Candidate generation is BANDED, not all-pairs:
+  // the signature splits into 9 segments (six 7-bit + three 6-bit = 60),
+  // and by pigeonhole any pair within hamming 8 matches exactly on at
+  // least one segment — so 9 segment equi-joins (shuffle on the segment
+  // value, touching only colliding buckets) recover every qualifying
+  // pair, and the exact hamming check runs on candidates only. Work is
+  // O(docs) for signatures + O(band collisions) for verification, the
+  // same shape as d03 — no CartesianProduct anywhere (plan-pinned by
+  // PlanSpec).
   // ---------------------------------------------------------------------
-  val SimBits = 32
+  val SimBits = 60
+  val HammingMax = 8
+  /** (bit offset, width) of the 9 signature segments covering all 60 bits. */
+  val SimBands: Seq[(Int, Int)] =
+    Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6), (48, 6), (54, 6))
 
   def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .select(col("doc_id"), (hash60(col("tok")) % 4294967296L).as("h"))
+      .select(col("doc_id"), hash60(col("tok")).as("h"))
     val votes = (0 until SimBits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
     val simhash = (0 until SimBits)
       .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
+    // persisted: nine band self-joins + two verify lookups read this
+    // one-row-per-doc table
     val sigs = toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = SimBands.map { case (off, w) =>
+      def band(side: String) =
+        shiftright(col(s"$side.simhash"), off).bitwiseAND(lit((1L << w) - 1))
+      sigs.as("a").join(sigs.as("b"),
+          band("a") === band("b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.reduce(_ unionAll _).distinct()
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .where(ham <= 8)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .where(ham <= HammingMax)
+      .select(col("doc_a"), col("doc_b"),
         col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
         ham.cast("int").as("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
@@ -191,8 +218,23 @@ object Dedup {
     s"""v AS (SELECT vec_id, embedding AS e, label,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
+  /** Hard cap on the all-pairs exactness baselines. d05 is O(n²) BY
+    * CONTRACT (it is the ground truth the bucketed paths are measured
+    * against), so it refuses corpora where the quadratic plan stops being
+    * an intentional choice — at scale, use the bucketed s02 (LSH) / s03
+    * (IVF) paths instead. Overridable for eval runs that accept the cost. */
+  val BaselineMaxVectors: Long =
+    sys.env.getOrElse("GRAFT_BASELINE_MAX_VECTORS", "100000").toLong
+
+  private[graft] def requireBaselineSize(n: Long, cap: Long, op: String, alt: String): Unit =
+    require(n <= cap,
+      s"$op is an all-pairs exactness baseline (O(n²)): input has $n rows > cap $cap; " +
+        s"use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS for a deliberate eval run")
+
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
+    requireBaselineSize(v.count(), BaselineMaxVectors, "d05_embedding_neardup",
+      "Similarity.s02 (LSH buckets) / s03 (IVF)")
     val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .orderBy(cos.desc, col("a.vec_id").asc, col("b.vec_id").asc)
@@ -407,18 +449,27 @@ object Dedup {
       val simhash = (0 until SimBits)
         .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
         .mkString("(", " + ", ")")
+      val bandJoins = SimBands.map { case (off, w) =>
+        val mask = (1L << w) - 1
+        s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sigs a JOIN sigs b
+           |    ON ((a.simhash >> $off) & $mask) = ((b.simhash >> $off) & $mask)
+           |   AND a.doc_id < b.doc_id""".stripMargin
+      }.mkString("\nUNION\n")
       s"""WITH toks AS (
-         |  SELECT doc_id, ${hash60Sql("tok")} % 4294967296 AS h
+         |  SELECT doc_id, ${hash60Sql("tok")} AS h
          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)),
          |votes AS (
          |  SELECT doc_id, $votes
          |  FROM toks GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, $simhash AS simhash FROM votes)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |sigs AS (SELECT doc_id, $simhash AS simhash FROM votes),
+         |cand AS (
+         |$bandJoins)
+         |SELECT doc_a, doc_b,
          |       a.simhash AS simhash_a, b.simhash AS simhash_b,
          |       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |FROM cand JOIN sigs a ON doc_a = a.doc_id JOIN sigs b ON doc_b = b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
          |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
          |LIMIT 200""".stripMargin
     },

@@ -3,9 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.operators.Dedup.{dotExpr, dotSql, normed, normedSql}
+import graft.plans.Scale
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -32,10 +34,11 @@ object Similarity {
     val q = v.where(col("vec_id") < QuerySet)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
-    broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    // two-phase rank: per-partition partial top-k before the per-query
+    // window, so no reducer ever holds one query's full scored corpus
+    val scored = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+    Scale.twoPhaseTopKRanked(scored, col("query_id"),
+        Seq(cos.desc, col("vec_id").asc), TopK, "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("label").as("neighbor_label"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
@@ -56,11 +59,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
-    q.join(v, Seq("bucket"))
+    val scored = q.join(v, Seq("bucket"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    Scale.twoPhaseTopKRanked(scored, col("query_id"),
+        Seq(cos.desc, col("vec_id").asc), TopK, "rank")
       .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
         col("rank"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
@@ -92,11 +94,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id").asc)
-    q.join(assigned, Seq("cell"))
+    val scored = q.join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    Scale.twoPhaseTopKRanked(scored, col("query_id"),
+        Seq(cos.desc, col("vec_id").asc), TopK, "rank")
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
         col("rank"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
@@ -105,11 +106,18 @@ object Similarity {
   // ---------------------------------------------------------------------
   // s04 — label-centroid outliers: per-label mean vector, then each
   // vector's squared distance to its own centroid; top-20 farthest are
-  // the mislabeled/outlier candidates (embedding-quality audit). Floating
-  // point is kept deterministic WITHOUT decimals: every sum that crosses
-  // rows folds a collect_list sorted by a unique key, so the addition
-  // order is fixed regardless of partitioning — the distributed-double
-  // determinism pattern this engine uses wherever decimal doesn't fit.
+  // the mislabeled/outlier candidates (embedding-quality audit). The
+  // per-(label,dim) component sum accumulates components quantized to an
+  // integer 1e-9 grid — floor(v·1e9) is the identical IEEE multiply+floor
+  // on both engines, and the integer sum (DECIMAL(38,0) accumulator, no
+  // 64-bit overflow at any corpus size) is exact and order-independent,
+  // so partial/final aggregation layout cannot change the result. ONE
+  // double cast at the end. Bounded memory: a plain partial-aggregated
+  // sum, never a per-group collected array (the previous
+  // collect_list+sorted-fold form held every vector of a label in one
+  // task — unbounded at corpus scale). The 1e-9 centroid quantization is
+  // the documented contract (embeddings are float32 — ~7 significant
+  // digits — so the grid is below input precision anyway).
   // ---------------------------------------------------------------------
   val OutlierTopK = 20
 
@@ -118,11 +126,8 @@ object Similarity {
     val ex = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("dim0", "v")))
     val cent = ex.groupBy(col("label"), col("dim0"))
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
-          |          s -> cast(s.v AS double)),
-          |cast(0.0 AS double), (acc, x) -> acc + x) / count(1)""".stripMargin.replace("\n", " "))
-        .as("c"))
+      .agg((sum(floor(col("v").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"))
     val centArr = cent.groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)").as("cent"))
     val d2 = expr(
@@ -206,7 +211,7 @@ object Similarity {
          |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
          |cent AS (
          |  SELECT label, dim0,
-         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+         |         sum(floor(v * 1e9)::BIGINT)::DOUBLE / count(*) / 1e9 AS c
          |  FROM ex GROUP BY label, dim0),
          |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
          |dist AS (

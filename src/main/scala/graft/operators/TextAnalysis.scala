@@ -60,10 +60,12 @@ object TextAnalysis {
   def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+    // top-10 via orderBy+limit (TakeOrderedAndProject): a global
+    // row_number window would funnel every distinct word through ONE
+    // reducer — the k survivors are found with per-partition partial
+    // top-k instead, so no task ever holds the whole vocabulary
     val stop = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)))
-      .where(col("rk") <= 10).select(col("word"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(10).select(col("word"))
     val stopHits = words.join(broadcast(stop), Seq("word"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_hits"))
     val base = docs.select(col("doc_id"), col("lang"),
@@ -138,24 +140,35 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
 
   // ---------------------------------------------------------------------
-  // t06 — vocabulary building: corpus word frequencies with ranks and
-  // cumulative coverage share (the tokenizer-training precursor). One
-  // explode + one groupBy (partial-aggregated); the rank/cumsum windows
-  // run over the tiny aggregated vocab, not the corpus.
+  // t06 — vocabulary building: top-100 corpus word frequencies with ranks
+  // and cumulative coverage share (the tokenizer-training precursor). One
+  // explode + one groupBy (partial-aggregated, persisted: three tiny
+  // consumers — top-k, total — of one corpus scan). The top-100 come from
+  // orderBy+limit (partial top-k per partition, no global window); rank
+  // and running sum are then rebuilt over JUST the 100 survivors with a
+  // ≤100×100 broadcast theta-join — no single task ever holds the full
+  // vocabulary, unlike a global row_number/partitionBy() window (which at
+  // web scale is a one-reducer OOM).
   // ---------------------------------------------------------------------
   def t06Vocab(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val byFreq = Window.orderBy(col("freq").desc, col("word").asc)
-    val total = Window.partitionBy()
-    counts
-      .withColumn("rank", row_number().over(byFreq))
-      .withColumn("cum_share", // raw double: bit-identical cross-engine (see t02 note)
-        sum(col("freq")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)) /
-          sum(col("freq")).over(total))
-      .where(col("rank") <= 100)
-      .select(col("rank"), col("word"), col("freq"), col("cum_share"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.orderBy(col("freq").desc, col("word").asc).limit(100)
+    val total = counts.agg(sum(col("freq")).as("tot"))
+    // rank of a = |{b : b ≤ a in (freq desc, word asc) order}|; the same
+    // set's freq sum is the running total — long sums, order-independent
+    top.as("a")
+      .join(broadcast(top.as("b")),
+        col("b.freq") > col("a.freq") ||
+          (col("b.freq") === col("a.freq") && col("b.word") <= col("a.word")))
+      .groupBy(col("a.word").as("word"), col("a.freq").as("freq"))
+      .agg(count(lit(1)).as("rank"), sum(col("b.freq")).as("cum"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("freq"),
+        // raw double: bit-identical cross-engine (see t02 note)
+        (col("cum") / col("tot")).as("cum_share"))
       .orderBy(col("rank").asc)
   }
 
@@ -220,9 +233,8 @@ object TextAnalysis {
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
         |stop AS (
         |  SELECT word FROM (
-        |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
-        |    FROM words GROUP BY word)
-        |  WHERE rk <= 10),
+        |    SELECT word, count(*) AS cnt FROM words GROUP BY word
+        |    ORDER BY cnt DESC, word ASC LIMIT 10)),
         |stophits AS (
         |  SELECT doc_id, count(*) AS stop_hits FROM words JOIN stop USING (word) GROUP BY 1),
         |base AS (
@@ -271,15 +283,15 @@ object TextAnalysis {
         |  SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
         |  GROUP BY word),
+        |top AS (SELECT word, freq FROM counts ORDER BY freq DESC, word ASC LIMIT 100),
+        |tot AS (SELECT sum(freq)::BIGINT AS tot FROM counts),
         |ranked AS (
-        |  SELECT word, freq,
-        |         row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
-        |         (sum(freq) OVER (ORDER BY freq DESC, word ASC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-        |               / ((SELECT sum(freq) FROM counts))::BIGINT AS cum_share
-        |  FROM counts)
-        |SELECT rank, word, freq, cum_share
-        |FROM ranked WHERE rank <= 100
+        |  SELECT a.word, a.freq, count(*) AS rank, sum(b.freq)::BIGINT AS cum
+        |  FROM top a JOIN top b
+        |    ON b.freq > a.freq OR (b.freq = a.freq AND b.word <= a.word)
+        |  GROUP BY a.word, a.freq)
+        |SELECT rank, word, freq, cum / tot AS cum_share
+        |FROM ranked, tot
         |ORDER BY rank ASC NULLS FIRST""".stripMargin,
 
     "t07_stratified_sample" ->

@@ -39,15 +39,24 @@ object Scale {
     * two-aggregation form: rank within (group, partition) then global
     * rank over the survivors). For k ≪ group size this shrinks the
     * shuffle from |group| to ≤ k·partitions rows per group. */
-  def twoPhaseTopKByKey(df: DataFrame, key: Column, order: Seq[Column], k: Int): DataFrame = {
+  def twoPhaseTopKByKey(df: DataFrame, key: Column, order: Seq[Column], k: Int): DataFrame =
+    twoPhaseTopKRanked(df, key, order, k, "__r").drop("__r")
+
+  /** [[twoPhaseTopKByKey]] keeping the final 1-based rank as `rankCol`.
+    * The rank is assigned by the second (per-key) window, which only ever
+    * sees ≤ k·inputPartitions survivors per key — so "top k per query with
+    * rank" never funnels a full candidate list through one reducer.
+    * Requires a total order (unique tiebreaker) for a deterministic rank. */
+  def twoPhaseTopKRanked(df: DataFrame, key: Column, order: Seq[Column], k: Int,
+      rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val partial = Window.partitionBy(key, spark_partition_id()).orderBy(order: _*)
     val survivors = df
       .withColumn("__pr", row_number().over(partial))
       .where(col("__pr") <= k).drop("__pr")
     val global = Window.partitionBy(key).orderBy(order: _*)
-    survivors.withColumn("__r", row_number().over(global))
-      .where(col("__r") <= k).drop("__r")
+    survivors.withColumn(rankCol, row_number().over(global))
+      .where(col(rankCol) <= k)
   }
 
   object Bucketing {

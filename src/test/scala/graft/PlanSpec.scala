@@ -83,4 +83,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$plan")
   }
+
+  test("no query plans a zero-partition window (single-reducer scale hazard)") {
+    // a Window with an empty partitionSpec moves its ENTIRE input through
+    // one task — the exact anti-pattern the bench log flags as
+    // `WindowExec: No Partition Defined`. None of the engine's plans may
+    // contain one.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned window:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("d04: banded candidate generation — no cartesian / nested-loop pair join") {
+    val plan = formatted(Dedup.d04Simhash(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pair stage regressed to an all-pairs join:\n$plan")
+  }
+
+  test("s01/s02/s03: per-query top-k runs the two-phase partial rank") {
+    Seq(
+      "s01" -> Similarity.s01AnnBruteforce(spark, sf),
+      "s02" -> Similarity.s02AnnLshBuckets(spark, sf),
+      "s03" -> Similarity.s03AnnIvf(spark, sf)).foreach { case (name, df) =>
+      val plan = formatted(df).toLowerCase
+      assert(plan.contains("spark_partition_id"),
+        s"$name lost the partial (per-partition) rank stage")
+    }
+  }
+
+  test("s04: centroid sums are bounded decimal aggregates, not per-group collected arrays") {
+    val plan = formatted(Similarity.s04CentroidOutliers(spark, sf))
+    assert(!plan.contains("collect_list(struct(vec_id"),
+      s"per-(label,dim) vector collection is back — unbounded group memory:\n$plan")
+  }
 }

@@ -33,6 +33,31 @@ class ScaleSpec extends SparkSpec {
     assert(phased.exceptAll(naive).isEmpty && naive.exceptAll(phased).isEmpty)
   }
 
+  test("two-phase RANKED top-k equals the single-window ranked top-k") {
+    val df = spark.range(5000).select(
+      ($"id" % 13).as("g"), ($"id" * 2654435761L % 1000003L).as("score"), $"id")
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      df.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+    }
+    val phased = Scale.twoPhaseTopKRanked(df.repartition(16), $"g",
+      Seq($"score".desc, $"id".asc), 5, "rank")
+      .select($"g", $"score", $"id", $"rank")
+    assert(phased.count() === naive.count())
+    assert(phased.exceptAll(naive).isEmpty && naive.exceptAll(phased).isEmpty,
+      "ranks must agree row-for-row with the naive single window")
+  }
+
+  test("quadratic-baseline guard: d05 refuses an over-cap corpus") {
+    import graft.operators.Dedup
+    intercept[IllegalArgumentException] {
+      Dedup.requireBaselineSize(Dedup.BaselineMaxVectors + 1,
+        Dedup.BaselineMaxVectors, "d05_embedding_neardup", "Similarity.s02")
+    }
+    Dedup.requireBaselineSize(10, Dedup.BaselineMaxVectors, "d05", "s02") // under cap: fine
+  }
+
   test("bucketed co-join plans without exchanges") {
     val orders = Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_totalprice")
     val lines = Tables.load(spark, sf, "lineitem").select($"l_orderkey".as("o_orderkey"), $"l_extendedprice")

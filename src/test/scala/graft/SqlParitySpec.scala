@@ -36,4 +36,47 @@ class SqlParitySpec extends SparkSpec {
   test("q12 SQL text (6-way mixed outer export join) == DataFrame builder") {
     sameRows(CartAnalytics.q12ExportJoin(spark, sf), CartSql.q12Sql(spark, sf))
   }
+
+  test("reference comma-join precedence: literal `FROM c1, c2 RIGHT JOIN …` text " +
+      "parses left-deep and equals the explicit CROSS JOIN rewrite (SURVEY §7.4-2)") {
+    // The reference's q02 (`TyreStore Challenge.py:205-207`) mixes a comma
+    // join with RIGHT JOIN whose ON references the FIRST comma operand.
+    // Spark 4.1.2 resolves this as the left-deep
+    // ((c1 × c2) RIGHT JOIN orders) — this test pins both that the literal
+    // text RUNS and that it means exactly the documented rewrite.
+    Tables.registerAll(spark, sf)
+    val literal = spark.sql(
+      """SELECT c1.l_partkey AS part_a, c2.l_partkey AS part_b,
+        |       count(DISTINCT o.o_orderkey) AS n
+        |FROM lineitem AS c1, lineitem AS c2
+        |RIGHT JOIN orders AS o ON c1.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'O'
+        |  AND c1.l_orderkey = c2.l_orderkey
+        |  AND c1.l_partkey <> c2.l_partkey
+        |GROUP BY c1.l_partkey, c2.l_partkey""".stripMargin)
+    val rewrite = spark.sql(
+      """SELECT c1.l_partkey AS part_a, c2.l_partkey AS part_b,
+        |       count(DISTINCT o.o_orderkey) AS n
+        |FROM lineitem AS c1 CROSS JOIN lineitem AS c2
+        |RIGHT JOIN orders AS o ON c1.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'O'
+        |  AND c1.l_orderkey = c2.l_orderkey
+        |  AND c1.l_partkey <> c2.l_partkey
+        |GROUP BY c1.l_partkey, c2.l_partkey""".stripMargin)
+    val (a, b) = (literal.collect().toSet, rewrite.collect().toSet)
+    assert(a.nonEmpty && a === b,
+      s"comma-join text diverges from the explicit rewrite: ${a.size} vs ${b.size} rows")
+  }
+
+  test("reference 3-arg DATEADD text parses natively on Spark 4.1.2 (SURVEY §7.3)") {
+    // `YEAR(DATEADD(MONTH,-1,'${carts.last_datetime}'))` — the reference's
+    // exact shape (py:230): unit keyword + string literal timestamp.
+    val r = spark.sql(
+      """SELECT year(DATEADD(MONTH, -1, '2020-01-15')) AS y,
+        |       month(DATEADD(MONTH, -1, '2020-01-15')) AS m,
+        |       CAST(DATEADD(MONTH, -2, '2020-01-15 10:30:00') AS DATE) AS d""".stripMargin)
+      .first()
+    assert(r.getInt(0) === 2019 && r.getInt(1) === 12)
+    assert(r.getDate(2).toString === "2019-11-15")
+  }
 }
