@@ -176,21 +176,21 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = SimBands.map { case (off, w) =>
+    // the hamming check runs INLINE in each band join (both signatures are
+    // already on the joined row), so only qualifying pairs reach the
+    // cross-band distinct — candidates never materialize, and no
+    // verification join back to sigs is needed
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    SimBands.map { case (off, w) =>
       def band(side: String) =
         shiftright(col(s"$side.simhash"), off).bitwiseAND(lit((1L << w) - 1))
       sigs.as("a").join(sigs.as("b"),
           band("a") === band("b") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .where(ham <= HammingMax)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
+          ham.cast("int").as("hamming"))
     }.reduce(_ unionAll _).distinct()
-    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    cand
-      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
-      .where(ham <= HammingMax)
-      .select(col("doc_a"), col("doc_b"),
-        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
-        ham.cast("int").as("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(200)
   }
@@ -451,10 +451,13 @@ object Dedup {
         .mkString("(", " + ", ")")
       val bandJoins = SimBands.map { case (off, w) =>
         val mask = (1L << w) - 1
-        s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.simhash AS simhash_a, b.simhash AS simhash_b,
+           |         bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
            |  FROM sigs a JOIN sigs b
            |    ON ((a.simhash >> $off) & $mask) = ((b.simhash >> $off) & $mask)
-           |   AND a.doc_id < b.doc_id""".stripMargin
+           |   AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
       }.mkString("\nUNION\n")
       s"""WITH toks AS (
          |  SELECT doc_id, ${hash60Sql("tok")} AS h
@@ -465,11 +468,8 @@ object Dedup {
          |sigs AS (SELECT doc_id, $simhash AS simhash FROM votes),
          |cand AS (
          |$bandJoins)
-         |SELECT doc_a, doc_b,
-         |       a.simhash AS simhash_a, b.simhash AS simhash_b,
-         |       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-         |FROM cand JOIN sigs a ON doc_a = a.doc_id JOIN sigs b ON doc_b = b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+         |SELECT doc_a, doc_b, simhash_a, simhash_b, hamming
+         |FROM cand
          |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
          |LIMIT 200""".stripMargin
     },
