@@ -27,11 +27,17 @@ object SharedHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** A second, independent 60-bit word from the SAME md5 (hex chars
+    * 16-30) — doubles usable hash bits at zero extra hashing cost. */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
   /** Hash reduced into the [0, P31) permutation domain. */
   def h31(c: Column): Column = hash60(c) % P31
 
   /** DuckDB SQL for the same value. */
   def hash60Sql(e: String): String = s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  def hash60bSql(e: String): String = s"('0x' || substring(md5($e), 16, 15))::BIGINT"
   def h31Sql(e: String): String = s"(${hash60Sql(e)} % ${P31})"
 
   /** Minhash permutation family: perm_i(h) = (a_i·h + b_i) mod P31.

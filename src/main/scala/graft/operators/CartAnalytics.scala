@@ -476,8 +476,11 @@ object CartAnalytics {
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
         mean.as("mean_value"),
-        sqrt(col(s"${c}__sum2").cast(DoubleType) /
-          col(s"${c}__nonnull").cast(DoubleType) - mean * mean).as("stddev_value"),
+        // clamp at 0: a constant column's sum2/n and mean² can differ by
+        // one ulp with mean² larger — Spark's sqrt(-ε) is NaN but DuckDB
+        // ERRORS, so both sides clamp identically
+        sqrt(greatest(lit(0.0), col(s"${c}__sum2").cast(DoubleType) /
+          col(s"${c}__nonnull").cast(DoubleType) - mean * mean)).as("stddev_value"),
         col(s"${c}__median").as("median_value"))
     }
     perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
@@ -918,7 +921,7 @@ object CartAnalytics {
       cols.map { c =>
         s"""SELECT '$c' AS column_name, n_rows, n_nonnull, n_distinct, n_zeros,
            |       min_value, max_value, mean_value,
-           |       sqrt(sum2d / nnd - mean_value * mean_value) AS stddev_value,
+           |       sqrt(greatest(0.0::DOUBLE, sum2d / nnd - mean_value * mean_value)) AS stddev_value,
            |       median_value
            |FROM (
            |  SELECT count(*) AS n_rows,
@@ -927,7 +930,7 @@ object CartAnalytics {
            |         CAST(sum(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
            |         CAST(min($c) AS DOUBLE) AS min_value,
            |         CAST(max($c) AS DOUBLE) AS max_value,
-           |         CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value,
+           |         CAST(CAST(sum(CAST($c AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_value,
            |         -- via VARCHAR: DuckDB's direct wide-DECIMAL→DOUBLE cast is not
            |         -- correctly rounded above 2^53 (hugeint path); the string
            |         -- roundtrip is, matching Spark's BigDecimal.doubleValue exactly

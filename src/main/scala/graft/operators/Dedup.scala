@@ -19,10 +19,12 @@ import graft.functions.SharedHash._
   *    mins per doc (single groupBy, no per-hash re-scan); band self-joins
   *    touch only colliding buckets; exact Jaccard verification runs only
   *    on candidates.
-  *  - SimHash: 60 bit-counters in one groupBy pass; candidate pairs come
-  *    from nine band equi-joins (pigeonhole: ≤8 differing bits across 9
-  *    bands leaves at least one band identical), hamming verified on
-  *    candidates only — never an all-pairs comparison.
+  *  - SimHash: 120 bit-counters (two md5-derived 60-bit words) in one
+  *    groupBy pass; candidate pairs come from nine disjoint 12-13-bit
+  *    band equi-joins (pigeonhole: ≤8 differing bits across 9 bands
+  *    leaves at least one band identical; ≥4096 buckets per band),
+  *    hamming verified inline on collisions only — never an all-pairs
+  *    comparison.
   *  - embedding near-dup: brute-force cosine over all pairs — the exactness
   *    baseline, guarded by an explicit row-count cap so the quadratic plan
   *    can never run unintentionally at scale; the LSH-bucketed scale path
@@ -143,52 +145,60 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // d04 — SimHash: 60-bit signature from token-hash bit votes (term
+  // d04 — SimHash: 120-bit signature (two 60-bit words from one md5 per
+  // token — zero extra hashing) built from token-hash bit votes (term
   // frequency weighted: every occurrence votes). Near-dups = pairs with
-  // hamming distance ≤ 8. Candidate generation is BANDED, not all-pairs:
-  // the signature splits into 9 segments (six 7-bit + three 6-bit = 60),
-  // and by pigeonhole any pair within hamming 8 matches exactly on at
-  // least one segment — so 9 segment equi-joins (shuffle on the segment
-  // value, touching only colliding buckets) recover every qualifying
-  // pair, and the exact hamming check runs on candidates only. Work is
-  // O(docs) for signatures + O(band collisions) for verification, the
-  // same shape as d03 — no CartesianProduct anywhere (plan-pinned by
-  // PlanSpec).
+  // hamming distance ≤ 8 over the 120 bits. Candidate generation is
+  // BANDED, not all-pairs: nine DISJOINT 12-13-bit segments; by
+  // pigeonhole any pair within hamming 8 matches exactly on ≥1 segment,
+  // so 9 segment equi-joins (≥4096 bucket values each) recover every
+  // qualifying pair with the exact hamming check running inline on
+  // collisions only. Work is O(docs) for signatures + O(band collisions)
+  // — no CartesianProduct anywhere (plan-pinned by PlanSpec).
+  //
+  // Scale note: guaranteed-recall banding needs ≥ HammingMax+1 disjoint
+  // segments, so per-band selectivity is 2^(bits/9); keeping collision
+  // work near-linear as the corpus grows means widening the signature
+  // (band width ≈ log2(n) — a third word from a salted md5 follows the
+  // same pattern), or relaxing to d03-style probabilistic-recall bands.
   // ---------------------------------------------------------------------
-  val SimBits = 60
+  val SimBits = 60 // per signature word
   val HammingMax = 8
-  /** (bit offset, width) of the 9 signature segments covering all 60 bits. */
-  val SimBands: Seq[(Int, Int)] =
-    Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6), (48, 6), (54, 6))
+  /** (word 1|2, bit offset, width): nine disjoint segments. */
+  val SimBands: Seq[(Int, Int, Int)] = Seq(
+    (1, 0, 13), (1, 13, 13), (1, 26, 13), (1, 39, 13),
+    (2, 0, 12), (2, 12, 12), (2, 24, 12), (2, 36, 12), (2, 48, 12))
 
   def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .select(col("doc_id"), hash60(col("tok")).as("h"))
-    val votes = (0 until SimBits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val simhash = (0 until SimBits)
-      .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+      .select(col("doc_id"), hash60(col("tok")).as("h1"), hash60b(col("tok")).as("h2"))
+    def voteCols(h: String, p: String) = (0 until SimBits).map(b =>
+      sum(shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"$p$b"))
+    def word(p: String) = (0 until SimBits)
+      .map(b => when(col(s"$p$b") > 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
-    // persisted: nine band self-joins + two verify lookups read this
-    // one-row-per-doc table
+    val votes = voteCols("h1", "s") ++ voteCols("h2", "t")
+    // persisted: nine band self-joins read this one-row-per-doc table
     val sigs = toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"), word("s").as("sh1"), word("t").as("sh2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hamming check runs INLINE in each band join (both signatures are
     // already on the joined row), so only qualifying pairs reach the
     // cross-band distinct — candidates never materialize, and no
     // verification join back to sigs is needed
-    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    SimBands.map { case (off, w) =>
+    val ham = bit_count(col("a.sh1").bitwiseXOR(col("b.sh1"))) +
+      bit_count(col("a.sh2").bitwiseXOR(col("b.sh2")))
+    SimBands.map { case (wd, off, w) =>
       def band(side: String) =
-        shiftright(col(s"$side.simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        shiftright(col(s"$side.sh$wd"), off).bitwiseAND(lit((1L << w) - 1))
       sigs.as("a").join(sigs.as("b"),
           band("a") === band("b") && col("a.doc_id") < col("b.doc_id"))
         .where(ham <= HammingMax)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"),
+          col("a.sh1").as("simhash_a1"), col("a.sh2").as("simhash_a2"),
+          col("b.sh1").as("simhash_b1"), col("b.sh2").as("simhash_b2"),
           ham.cast("int").as("hamming"))
     }.reduce(_ unionAll _).distinct()
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
@@ -231,10 +241,18 @@ object Dedup {
       s"$op is an all-pairs exactness baseline (O(n²)): input has $n rows > cap $cap; " +
         s"use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS for a deliberate eval run")
 
+  /** One guard count per corpus dir, not per invocation: the bench's
+    * warm-up + min-of-2 pattern builds the same query three times. */
+  private val corpusRows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
-    requireBaselineSize(v.count(), BaselineMaxVectors, "d05_embedding_neardup",
+    // count the bare table (column-pruned count-star over parquet
+    // metadata), not the dot-product projection
+    val n = corpusRows.getOrElseUpdate(dir,
+      Tables.load(spark, dir, "embeddings").count())
+    requireBaselineSize(n, BaselineMaxVectors, "d05_embedding_neardup",
       "Similarity.s02 (LSH buckets) / s03 (IVF)")
+    val v = normed(spark, dir)
     val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .orderBy(cos.desc, col("a.vec_id").asc, col("b.vec_id").asc)
@@ -444,31 +462,34 @@ object Dedup {
     },
 
     "d04_simhash" -> {
-      val votes = (0 until SimBits)
-        .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n         ")
-      val simhash = (0 until SimBits)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      def votesSql(h: String, p: String) = (0 until SimBits)
+        .map(b => s"sum((($h >> $b) & 1) * 2 - 1) AS $p$b").mkString(",\n         ")
+      def wordSql(p: String) = (0 until SimBits)
+        .map(b => s"CASE WHEN $p$b > 0 THEN ${1L << b} ELSE 0 END")
         .mkString("(", " + ", ")")
-      val bandJoins = SimBands.map { case (off, w) =>
+      val hamSql = "bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2))"
+      val bandJoins = SimBands.map { case (wd, off, w) =>
         val mask = (1L << w) - 1
         s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         a.simhash AS simhash_a, b.simhash AS simhash_b,
-           |         bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+           |         a.sh1 AS simhash_a1, a.sh2 AS simhash_a2,
+           |         b.sh1 AS simhash_b1, b.sh2 AS simhash_b2,
+           |         ($hamSql)::INTEGER AS hamming
            |  FROM sigs a JOIN sigs b
-           |    ON ((a.simhash >> $off) & $mask) = ((b.simhash >> $off) & $mask)
+           |    ON ((a.sh$wd >> $off) & $mask) = ((b.sh$wd >> $off) & $mask)
            |   AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
+           |  WHERE $hamSql <= $HammingMax""".stripMargin
       }.mkString("\nUNION\n")
       s"""WITH toks AS (
-         |  SELECT doc_id, ${hash60Sql("tok")} AS h
+         |  SELECT doc_id, ${hash60Sql("tok")} AS h1, ${hash60bSql("tok")} AS h2
          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)),
          |votes AS (
-         |  SELECT doc_id, $votes
+         |  SELECT doc_id, ${votesSql("h1", "s")},
+         |         ${votesSql("h2", "t")}
          |  FROM toks GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, $simhash AS simhash FROM votes),
+         |sigs AS (SELECT doc_id, ${wordSql("s")} AS sh1, ${wordSql("t")} AS sh2 FROM votes),
          |cand AS (
          |$bandJoins)
-         |SELECT doc_a, doc_b, simhash_a, simhash_b, hamming
+         |SELECT doc_a, doc_b, simhash_a1, simhash_a2, simhash_b1, simhash_b2, hamming
          |FROM cand
          |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
          |LIMIT 200""".stripMargin

@@ -210,8 +210,12 @@ object Similarity {
          |  SELECT vec_id, label, i AS dim0, embedding[i]::DOUBLE AS v
          |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
          |cent AS (
+         |  -- VARCHAR roundtrip: DuckDB sums BIGINT into HUGEINT, and its
+         |  -- direct wide-integer→DOUBLE cast is not correctly rounded above
+         |  -- 2^53; the string path is, matching Spark's BigDecimal cast
          |  SELECT label, dim0,
-         |         sum(floor(v * 1e9)::BIGINT)::DOUBLE / count(*) / 1e9 AS c
+         |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
+         |           / count(*) / 1e9 AS c
          |  FROM ex GROUP BY label, dim0),
          |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
          |dist AS (

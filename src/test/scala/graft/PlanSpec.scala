@@ -88,12 +88,26 @@ class PlanSpec extends SparkSpec {
     // a Window with an empty partitionSpec moves its ENTIRE input through
     // one task — the exact anti-pattern the bench log flags as
     // `WindowExec: No Partition Defined`. None of the engine's plans may
-    // contain one.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // contain one — INCLUDING inside persisted subtrees, which appear as
+    // InMemoryRelation leaves and would otherwise hide their interior.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def badPhysical(p: SparkPlan): Seq[String] = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case a: AdaptiveSparkPlanExec => badPhysical(a.executedPlan)
+      case s: InMemoryTableScanExec => badPhysical(s.relation.cachedPlan)
+    }.flatten
+    def badLogical(p: LogicalPlan): Seq[String] = p.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case r: InMemoryRelation => badPhysical(r.cachedPlan)
+    }.flatten
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
+      val bad = badLogical(fn(spark, sf).queryExecution.optimizedPlan)
       assert(bad.isEmpty,
         s"$name plans an unpartitioned window:\n${bad.mkString("\n")}")
     }
