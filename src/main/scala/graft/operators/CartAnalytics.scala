@@ -446,45 +446,11 @@ object CartAnalytics {
   // uses the sum-of-squares algebra with DECIMAL accumulators (exact,
   // partition-order-independent) and the SAME final double expression
   // sqrt(sum2/n − mean²) spelled out in the oracle, so both engines build
-  // the identical IEEE tree.
+  // the identical IEEE tree. Implementation: [[Profile.summarize]] (the
+  // reusable library surface); this query pins it to the oracle.
   // ---------------------------------------------------------------------
-  def q15ProfileOrders(spark: SparkSession, dir: String): DataFrame = {
-    val o = ord(spark, dir)
-    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
-    val aggs = numCols.flatMap { c =>
-      val d = col(c).cast(DecimalType(19, 2))
-      Seq(
-        count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        sum(when(col(c) === 0, 1L).otherwise(0L)).as(s"${c}__zeros"),
-        min(col(c)).cast(DoubleType).as(s"${c}__min"),
-        max(col(c)).cast(DoubleType).as(s"${c}__max"),
-        (sum(col(c).cast(DecimalType(28, 2))).cast(DoubleType) /
-          count(col(c)).cast(DoubleType)).as(s"${c}__mean"),
-        sum(d * d).as(s"${c}__sum2"),
-        expr(s"percentile($c, 0.5)").as(s"${c}__median"))
-    } :+ count(lit(1)).as("n_rows")
-    val wide = o.agg(aggs.head, aggs.tail: _*)
-    val perCol = numCols.map { c =>
-      val mean = col(s"${c}__mean")
-      wide.select(
-        lit(c).as("column_name"),
-        col("n_rows"),
-        col(s"${c}__nonnull").as("n_nonnull"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__zeros").as("n_zeros"),
-        col(s"${c}__min").as("min_value"),
-        col(s"${c}__max").as("max_value"),
-        mean.as("mean_value"),
-        // clamp at 0: a constant column's sum2/n and mean² can differ by
-        // one ulp with mean² larger — Spark's sqrt(-ε) is NaN but DuckDB
-        // ERRORS, so both sides clamp identically
-        sqrt(greatest(lit(0.0), col(s"${c}__sum2").cast(DoubleType) /
-          col(s"${c}__nonnull").cast(DoubleType) - mean * mean)).as("stddev_value"),
-        col(s"${c}__median").as("median_value"))
-    }
-    perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
-  }
+  def q15ProfileOrders(spark: SparkSession, dir: String): DataFrame =
+    Profile.summarize(ord(spark, dir), Seq("o_orderkey", "o_custkey", "o_totalprice"))
 
   // ---------------------------------------------------------------------
   // Q17 — string-column profile (the top/freq half of summarize): per
@@ -492,20 +458,8 @@ object CartAnalytics {
   // One groupBy per column over a pruned scan; modal pick via max_by with
   // a deterministic (count, value) tiebreak.
   // ---------------------------------------------------------------------
-  def q17ProfileOrdersStrings(spark: SparkSession, dir: String): DataFrame = {
-    val o = ord(spark, dir)
-    val strCols = Seq("o_orderstatus", "o_orderpriority")
-    val perCol = strCols.map { c =>
-      val counts = o.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      counts.agg(
-          count(lit(1)).as("n_distinct"),
-          expr("max_by(v, struct(cnt, v))").as("top_value"),
-          max(struct(col("cnt"), col("v"))).getField("cnt").as("top_freq"))
-        .select(lit(c).as("column_name"), col("n_distinct"),
-          col("top_value"), col("top_freq"))
-    }
-    perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
-  }
+  def q17ProfileOrdersStrings(spark: SparkSession, dir: String): DataFrame =
+    Profile.summarizeStrings(ord(spark, dir), Seq("o_orderstatus", "o_orderpriority"))
 
   // ---------------------------------------------------------------------
   // Q16 — calendar dimension (reference py:74-76: sequence + explode, the

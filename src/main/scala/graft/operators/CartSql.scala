@@ -89,6 +89,37 @@ object CartSql {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 50""".stripMargin)
 
+  /** q02's pair stage as the reference's LITERAL SQL shape (py:197-213):
+    * comma join + RIGHT JOIN whose ON references the first comma operand
+    * (parses left-deep on Spark 4.1.2 — SqlParitySpec pins it against the
+    * explicit rewrite), CASE-built canonical pair key + row_number rank=1
+    * dedup of (a,b)/(b,a). Two deliberate deviations from the reference
+    * text, both correctness fixes: a '_' separator inside the CASE concat
+    * (the reference's bare concat collides e.g. (1,23) with (12,3)) and a
+    * unique ORDER BY tiebreak (the reference's bare `ORDER BY count DESC
+    * LIMIT 100` is nondeterministic across ties). */
+  def q02PairsRefShapeSql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT product1 AS part_a, product2 AS part_b,
+      |       total_abandoned_carts AS abandoned_orders
+      |FROM (
+      |    SELECT c1.l_partkey AS product1, c2.l_partkey AS product2,
+      |           COUNT(DISTINCT o.o_orderkey) AS total_abandoned_carts,
+      |           row_number() OVER (PARTITION BY CASE
+      |                 WHEN c1.l_partkey < c2.l_partkey
+      |                 THEN CONCAT(CAST(c1.l_partkey AS varchar(50)), '_', CAST(c2.l_partkey AS varchar(50)))
+      |                 ELSE CONCAT(CAST(c2.l_partkey AS varchar(50)), '_', CAST(c1.l_partkey AS varchar(50)))
+      |                 END ORDER BY c1.l_partkey, c2.l_partkey) AS rank
+      |    FROM lineitem AS c1, lineitem AS c2
+      |    RIGHT JOIN orders AS o ON c1.l_orderkey = o.o_orderkey
+      |    WHERE o.o_orderstatus = 'O'
+      |      AND c1.l_orderkey = c2.l_orderkey
+      |      AND c1.l_partkey <> c2.l_partkey
+      |    GROUP BY c1.l_partkey, c2.l_partkey
+      |)
+      |WHERE rank = 1
+      |ORDER BY total_abandoned_carts DESC, part_a ASC, part_b ASC
+      |LIMIT 100""".stripMargin)
+
   /** q04 as SQL: HAVING on an alias (py:242/274 shape). */
   def q04Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
     """WITH anchor AS (SELECT year(max(o_orderdate)) AS y FROM orders),

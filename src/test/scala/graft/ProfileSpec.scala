@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** The reusable summarize surface (reference `dbutils.data.summarize`,
+  * SURVEY §2.4 A11) on a hand-computable frame: nulls, zeros, a constant
+  * column (the stddev zero-clamp path), and known mean/stddev/median. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("summarize: count/nonnull/distinct/zeros/min/max/mean/stddev/median on a known frame") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, 4.0), (3L, 6.0), (0L, null), (4L, 8.0))
+      .toDF("k", "v")
+    val out = Profile.summarize(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    val k = out("k")
+    assert(k.getAs[Long]("n_rows") === 5L)
+    assert(k.getAs[Long]("n_nonnull") === 5L)
+    assert(k.getAs[Long]("n_distinct") === 5L)
+    assert(k.getAs[Long]("n_zeros") === 1L)
+    assert(k.getAs[Double]("min_value") === 0.0)
+    assert(k.getAs[Double]("max_value") === 4.0)
+    assert(k.getAs[Double]("mean_value") === 2.0)
+    // population stddev of {1,2,3,0,4} = sqrt(mean(x²) − mean²) = sqrt(6 − 4)
+    assert(math.abs(k.getAs[Double]("stddev_value") - math.sqrt(2.0)) < 1e-12)
+    assert(k.getAs[Double]("median_value") === 2.0)
+
+    val v = out("v")
+    assert(v.getAs[Long]("n_nonnull") === 4L) // null excluded
+    assert(v.getAs[Double]("mean_value") === 5.0)
+    // population stddev of {2,4,6,8} = sqrt(30 − 25)
+    assert(math.abs(v.getAs[Double]("stddev_value") - math.sqrt(5.0)) < 1e-12)
+    assert(v.getAs[Double]("median_value") === 5.0) // interpolated between 4 and 6
+  }
+
+  test("summarize: constant column has stddev exactly 0.0 (zero clamp, not NaN)") {
+    val df = spark.range(100).select(lit(7L).as("c"))
+    val row = Profile.summarize(df, Seq("c")).collect().head
+    assert(row.getAs[Double]("stddev_value") === 0.0)
+    assert(row.getAs[Long]("n_distinct") === 1L)
+  }
+
+  test("summarizeStrings: modal value with deterministic tiebreak") {
+    val df = Seq("b", "a", "b", "c", "a").toDF("s")
+    val row = Profile.summarizeStrings(df, Seq("s")).collect().head
+    assert(row.getAs[Long]("n_distinct") === 3L)
+    // a and b tie at 2; (cnt, value) max_by breaks toward the larger value
+    assert(row.getAs[String]("top_value") === "b")
+    assert(row.getAs[Long]("top_freq") === 2L)
+  }
+
+  test("summarize runs ONE aggregate job; the result plan holds no file scans") {
+    // the wide aggregate is captured to the driver once (S8 pattern); a
+    // regression to the union-of-selects shape would re-plan the full
+    // scan+aggregate subtree once PER COLUMN (measured: 3 FileScans for
+    // 3 columns with no cross-branch reuse)
+    val df = Tables.load(spark, sf, "orders")
+    val plan = Profile.summarize(df, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet") && !plan.contains("Aggregate"),
+      s"profile result should be a local relation, not a re-executable scan:\n$plan")
+  }
+}
