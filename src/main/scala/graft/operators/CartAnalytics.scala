@@ -90,12 +90,20 @@ object CartAnalytics {
   // reconstructed from per-order part counts, which reuses the same
   // l_orderkey partitioning as the pair join (no extra shuffle).
   // ---------------------------------------------------------------------
-  def q02CoAbandonedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val abOrders = ord(spark, dir).where(abandoned).select(col("o_orderkey"))
-    val abLines = li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-      .join(abOrders, col("l_orderkey") === col("o_orderkey"))
+  /** Lines of abandoned orders — q02's pair-stage input (shared with the
+    * SQL-text parity lock in SqlParitySpec). */
+  private[graft] def q02AbandonedLines(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(ord(spark, dir).where(abandoned).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_partkey"))
-    val paired = abLines.as("c1")
+
+  /** Canonical co-abandonment pair stage: unordered (a,b) pairs via
+    * least/greatest + groupBy — the algebraic equivalent of the
+    * reference's CASE-key + row_number dedup (SqlParitySpec proves the
+    * equivalence against `CartSql.q02PairsRefShapeSql` row-for-row). */
+  private[graft] def q02CanonicalPairs(abLines: DataFrame): DataFrame =
+    abLines.as("c1")
       .join(abLines.as("c2"),
         col("c1.l_orderkey") === col("c2.l_orderkey") &&
           col("c1.l_partkey") =!= col("c2.l_partkey"))
@@ -105,6 +113,11 @@ object CartAnalytics {
         col("c1.l_orderkey").as("ok"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(countDistinct(col("ok")).as("abandoned_orders"))
+
+  def q02CoAbandonedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val abOrders = ord(spark, dir).where(abandoned).select(col("o_orderkey"))
+    val abLines = q02AbandonedLines(spark, dir)
+    val paired = q02CanonicalPairs(abLines)
     // abandoned orders contributing no pair: none or a single distinct part
     val perOrder = abLines.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_partkey")).as("np"))
@@ -875,7 +888,9 @@ object CartAnalytics {
       cols.map { c =>
         s"""SELECT '$c' AS column_name, n_rows, n_nonnull, n_distinct, n_zeros,
            |       min_value, max_value, mean_value,
-           |       sqrt(greatest(0.0::DOUBLE, sum2d / nnd - mean_value * mean_value)) AS stddev_value,
+           |       -- coalesce: all-null column → null variance; Spark's
+           |       -- null-ignoring greatest gives 0.0, so mirror that explicitly
+           |       sqrt(greatest(0.0::DOUBLE, coalesce(sum2d / nnd - mean_value * mean_value, 0.0::DOUBLE))) AS stddev_value,
            |       median_value
            |FROM (
            |  SELECT count(*) AS n_rows,

@@ -1,90 +1,75 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Reusable column-profile surface — the engine's equivalent of the
   * reference's `dbutils.data.summarize` cells (SURVEY §2.4 A11; reference
   * dbc cmds 2, 7, 42, 43): per-column statistics over arbitrary
   * DataFrames, not just the q15/q17 oracle queries (which delegate here).
   *
-  * Scale design: ONE aggregate job for all numeric columns (a single wide
-  * `agg` the optimizer partial-aggregates map-side), then a tiny union of
-  * literal-labeled one-row frames — never a per-column scan. Mean and
-  * stddev accumulate in DECIMAL (exact, partition-order-independent) with
-  * one double cast at the end; stddev uses the sum-of-squares algebra
-  * `sqrt(max(0, sum2/n − mean²))`, clamped at zero because a constant
-  * column can land one ulp negative.
+  * Scale design: ONE wide aggregate (partial-aggregated map-side) feeds
+  * every per-column output row. The 1-row aggregate is persisted, so the
+  * per-column union branches substitute the cached plan instead of each
+  * replanning the whole scan+aggregate (without the persist, Spark reuses
+  * NOTHING across union branches — measured 3 FileScans for 3 columns).
+  * The query stays lazy and its real plan stays visible to plan tests.
+  *
+  * Numeric contract: statistics are computed on values quantized to
+  * `scale` decimal places (default 2 — exact for the engine's money
+  * convention and for integer keys). The DECIMAL accumulation is exact
+  * and partition-order-independent with one double cast at the end;
+  * columns needing finer precision pass a larger `scale` (values must
+  * stay within DECIMAL(19, scale)). stddev uses the sum-of-squares
+  * algebra `sqrt(greatest(0, sum2/n − mean²))`, clamped at zero because
+  * a constant column can land one ulp negative.
   */
 object Profile {
 
   /** Numeric profile: one output row per column —
     * count / nonnull / distinct / zeros / min / max / mean / stddev /
-    * median (exact linear-interpolated percentile).
-    *
-    * The wide aggregate is fetched to the driver ONCE (the engine's S8
-    * scalar-capture pattern, like `anchorDate`) and the per-column rows
-    * are built locally — a union of per-column selects over the aggregate
-    * would replicate the whole scan+aggregate subtree per column (Spark
-    * plans no reuse across union branches: measured 3 FileScans for 3
-    * columns), which at corpus scale is N full scans for one profile.
-    * Driver-side arithmetic is the SAME IEEE ops codegen would emit
-    * (BigDecimal.doubleValue cast, double divide/multiply/sqrt), so
-    * results are bit-identical to the in-plan form. */
-  def summarize(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    * median (exact linear-interpolated percentile). */
+  def summarize(df: DataFrame, numericCols: Seq[String], scale: Int = 2): DataFrame = {
     require(numericCols.nonEmpty, "summarize needs at least one column")
     val aggs = numericCols.flatMap { c =>
-      val d = col(c).cast(DecimalType(19, 2))
+      val x = df(c) // exact-name resolution — no dot/backtick parsing
+      val d = x.cast(DecimalType(19, scale))
       Seq(
-        count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        sum(when(col(c) === 0, 1L).otherwise(0L)).as(s"${c}__zeros"),
-        min(col(c)).cast(DoubleType).as(s"${c}__min"),
-        max(col(c)).cast(DoubleType).as(s"${c}__max"),
-        (sum(col(c).cast(DecimalType(28, 2))).cast(DoubleType) /
-          count(col(c)).cast(DoubleType)).as(s"${c}__mean"),
+        count(x).as(s"${c}__nonnull"),
+        countDistinct(x).as(s"${c}__distinct"),
+        sum(when(x === 0, 1L).otherwise(0L)).as(s"${c}__zeros"),
+        min(x).cast(DoubleType).as(s"${c}__min"),
+        max(x).cast(DoubleType).as(s"${c}__max"),
+        (sum(x.cast(DecimalType(28, scale))).cast(DoubleType) /
+          count(x).cast(DoubleType)).as(s"${c}__mean"),
         sum(d * d).as(s"${c}__sum2"),
-        expr(s"percentile($c, 0.5)").as(s"${c}__median"))
+        percentile(x, lit(0.5)).as(s"${c}__median")) // exact, linear-interpolated
     } :+ count(lit(1)).as("n_rows")
-    val w = df.agg(aggs.head, aggs.tail: _*).first()
-    val rows = numericCols.map { c =>
-      val nonnull = w.getAs[Long](s"${c}__nonnull")
-      val mean = w.getAs[java.lang.Double](s"${c}__mean")
-      val sum2 = w.getAs[java.math.BigDecimal](s"${c}__sum2")
-      // clamp at 0: a constant column's sum2/n and mean² can differ by
-      // one ulp with mean² larger — sqrt(-ε) would be NaN here and an
-      // ERROR in the DuckDB oracle, so both sides clamp identically
-      val stddev: java.lang.Double =
-        if (sum2 == null || mean == null || nonnull == 0L) null
-        else math.sqrt(math.max(0.0,
-          sum2.doubleValue / nonnull.toDouble - mean * mean))
-      Row(
-        c,
-        w.getAs[Long]("n_rows"),
-        nonnull,
-        w.getAs[Long](s"${c}__distinct"),
-        w.getAs[java.lang.Long](s"${c}__zeros"),
-        w.getAs[java.lang.Double](s"${c}__min"),
-        w.getAs[java.lang.Double](s"${c}__max"),
-        mean,
-        stddev,
-        w.getAs[java.lang.Double](s"${c}__median"))
-    }.sortBy(_.getString(0))
-    val schema = StructType(Seq(
-      StructField("column_name", StringType, nullable = false),
-      StructField("n_rows", LongType, nullable = false),
-      StructField("n_nonnull", LongType, nullable = false),
-      StructField("n_distinct", LongType, nullable = false),
-      StructField("n_zeros", LongType, nullable = true),
-      StructField("min_value", DoubleType, nullable = true),
-      StructField("max_value", DoubleType, nullable = true),
-      StructField("mean_value", DoubleType, nullable = true),
-      StructField("stddev_value", DoubleType, nullable = true),
-      StructField("median_value", DoubleType, nullable = true)))
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-      .orderBy(col("column_name").asc)
+    // persisted: the per-column branches below each reference this 1-row
+    // frame; the cache substitution makes them share ONE scan+aggregate
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perCol = numericCols.map { c =>
+      val mean = wide(s"${c}__mean")
+      wide.select(
+        lit(c).as("column_name"),
+        wide("n_rows"),
+        wide(s"${c}__nonnull").as("n_nonnull"),
+        wide(s"${c}__distinct").as("n_distinct"),
+        wide(s"${c}__zeros").as("n_zeros"),
+        wide(s"${c}__min").as("min_value"),
+        wide(s"${c}__max").as("max_value"),
+        mean.as("mean_value"),
+        // clamp at 0: a constant column's sum2/n and mean² can differ by
+        // one ulp with mean² larger — Spark's sqrt(-ε) is NaN but DuckDB
+        // ERRORS, so both sides of the oracle clamp identically; for an
+        // all-null column the null-ignoring greatest yields 0.0
+        sqrt(greatest(lit(0.0), wide(s"${c}__sum2").cast(DoubleType) /
+          wide(s"${c}__nonnull").cast(DoubleType) - mean * mean)).as("stddev_value"),
+        wide(s"${c}__median").as("median_value"))
+    }
+    perCol.reduce(_.unionAll(_)).orderBy(col("column_name").asc)
   }
 
   /** String profile (the top/freq half of summarize): per column, the
@@ -94,7 +79,7 @@ object Profile {
   def summarizeStrings(df: DataFrame, strCols: Seq[String]): DataFrame = {
     require(strCols.nonEmpty, "summarizeStrings needs at least one column")
     val perCol = strCols.map { c =>
-      val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val counts = df.groupBy(df(c).as("v")).agg(count(lit(1)).as("cnt"))
       counts.agg(
           count(lit(1)).as("n_distinct"),
           expr("max_by(v, struct(cnt, v))").as("top_value"),

@@ -53,15 +53,24 @@ class ProfileSpec extends SparkSpec {
     assert(row.getAs[Long]("top_freq") === 2L)
   }
 
-  test("summarize runs ONE aggregate job; the result plan holds no file scans") {
-    // the wide aggregate is captured to the driver once (S8 pattern); a
-    // regression to the union-of-selects shape would re-plan the full
+  test("summarize shares ONE cached aggregate across column branches (no per-column scans)") {
+    // the persisted wide aggregate substitutes into every union branch; a
+    // regression to unshared branches would re-plan the full
     // scan+aggregate subtree once PER COLUMN (measured: 3 FileScans for
     // 3 columns with no cross-branch reuse)
     val df = Tables.load(spark, sf, "orders")
-    val plan = Profile.summarize(df, Seq("o_orderkey", "o_custkey", "o_totalprice"))
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("parquet") && !plan.contains("Aggregate"),
-      s"profile result should be a local relation, not a re-executable scan:\n$plan")
+    val out = Profile.summarize(df, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"union branches must read the persisted aggregate, not rescan:\n$plan")
+    assert(out.count() === 3L)
+  }
+
+  test("summarize: all-null column yields null mean and 0.0 stddev (null-ignoring clamp)") {
+    val df = spark.range(10).select(lit(null).cast("double").as("c"))
+    val row = Profile.summarize(df, Seq("c")).collect().head
+    assert(row.getAs[Long]("n_nonnull") === 0L)
+    assert(row.isNullAt(row.fieldIndex("mean_value")))
+    assert(row.getAs[Double]("stddev_value") === 0.0)
   }
 }

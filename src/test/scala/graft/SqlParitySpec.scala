@@ -40,28 +40,16 @@ class SqlParitySpec extends SparkSpec {
   test("q02 reference-literal shape (comma join + CASE canonical key + row_number " +
       "rank=1) == canonical least/greatest pair builder") {
     // the reference's own q02 text (py:197-213) re-expressed on the
-    // synthetic schema must produce exactly the engine's canonical pair
-    // stage: the CASE/row_number dedup and least/greatest+groupBy are the
-    // same algebra (the builder's extra null-pair bucket is excluded —
-    // the reference's WHERE c1.p_order = c2.p_order drops null-extended
-    // rows, making its RIGHT JOIN effectively inner)
+    // synthetic schema must produce exactly the engine's PRODUCTION pair
+    // stage (CartAnalytics.q02CanonicalPairs — the same code q02 runs):
+    // the CASE/row_number dedup and least/greatest+groupBy are the same
+    // algebra (the builder's extra null-pair bucket is excluded — the
+    // reference's WHERE c1.p_order = c2.p_order drops null-extended rows,
+    // making its RIGHT JOIN effectively inner)
     import org.apache.spark.sql.functions._
     val sqlRows = CartSql.q02PairsRefShapeSql(spark, sf)
-    val orders = Tables.load(spark, sf, "orders")
-      .where(col("o_orderstatus") === "O").select(col("o_orderkey"))
-    val lines = Tables.load(spark, sf, "lineitem")
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_partkey"))
-    val builder = lines.as("c1")
-      .join(lines.as("c2"),
-        col("c1.l_orderkey") === col("c2.l_orderkey") &&
-          col("c1.l_partkey") =!= col("c2.l_partkey"))
-      .select(
-        least(col("c1.l_partkey"), col("c2.l_partkey")).as("part_a"),
-        greatest(col("c1.l_partkey"), col("c2.l_partkey")).as("part_b"),
-        col("c1.l_orderkey").as("ok"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(countDistinct(col("ok")).as("abandoned_orders"))
+    val builder = CartAnalytics.q02CanonicalPairs(
+        CartAnalytics.q02AbandonedLines(spark, sf))
       .orderBy(col("abandoned_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(100)
     sameRows(builder, sqlRows)
