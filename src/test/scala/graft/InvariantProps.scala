@@ -74,4 +74,41 @@ object InvariantProps extends Properties("graft.invariants") {
           .agg(sum(col("v").cast("decimal(18,2)")).cast("double")).first().getDouble(0)
       total(xs, 1) == total(scala.util.Random.shuffle(xs), 7)
     }
+
+  property("two-phase ranked top-k equals the single-window rank for any (data, k)") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L))),
+      Gen.chooseNum(1, 7)) { (rows, k) =>
+      // unique id tiebreak makes the order total, as the utility requires
+      val df = rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+        .toDF("g", "score", "id").repartition(5)
+      val naive = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+        df.withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      }.select($"g", $"score", $"id", $"rank").collect().toSet
+      val phased = graft.plans.Scale
+        .twoPhaseTopKRanked(df, $"g", Seq($"score".desc, $"id".asc), k, "rank")
+        .select($"g", $"score", $"id", $"rank").collect().toSet
+      phased == naive
+    }
+
+  property("summarize stats match independently computed model stats on money-grid values") =
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(Gen.chooseNum(-100000, 100000))) { cents =>
+      val xs = cents.map(_ / 100.0) // exactly representable on the 0.01 grid contract
+      val row = graft.operators.Profile.summarize(xs.toDF("v"), Seq("v"))
+        .collect().head
+      // model: exact BigDecimal accumulation, matching the documented algebra
+      val n = xs.length
+      val mean = xs.map(BigDecimal(_)).sum.toDouble / n.toDouble
+      val sum2 = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+      val stddev = math.sqrt(math.max(0.0, sum2 / n.toDouble - mean * mean))
+      row.getAs[Long]("n_nonnull") == n.toLong &&
+        row.getAs[Long]("n_distinct") == xs.distinct.length.toLong &&
+        row.getAs[Long]("n_zeros") == xs.count(_ == 0.0).toLong &&
+        row.getAs[Double]("min_value") == xs.min &&
+        row.getAs[Double]("max_value") == xs.max &&
+        math.abs(row.getAs[Double]("mean_value") - mean) < 1e-9 &&
+        math.abs(row.getAs[Double]("stddev_value") - stddev) < 1e-9
+    }
 }
