@@ -101,26 +101,35 @@ object Dedup {
   // ---------------------------------------------------------------------
   val NumBands = 8 // r = 2 rows/band, k = 16 hashes
 
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
-    // ONE aggregation pass produces the whole signature AND the set size —
-    // sh is scanned once for signatures instead of twice (sizes used to be
-    // a separate groupBy over a recomputed shingle explode).
-    // persisted: consumed by 8 band self-joins (16 plan references) plus
-    // the two est-side lookups — one row per doc, so the cache is tiny
-    val sig = hashed.groupBy(col("doc_id"))
+  /** MinHash signature table (one row per doc: mh0..mh15 + set size `n`).
+    * ONE aggregation pass produces the whole signature AND the set size —
+    * sh is scanned once for signatures instead of twice. Persisted:
+    * consumed by 8 band self-joins (16 plan references) plus verify-side
+    * lookups — one row per doc, so the cache is tiny. Shared by d03 and
+    * d08 (CacheManager dedupes the identical plan). */
+  private def lshSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), h31(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
       .agg(min(perm(0, col("h"))).as("mh0"),
         (1 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i")) :+
           count(lit(1)).as("n"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = (0 until NumBands).map { jb =>
+
+  /** LSH band candidates: unordered doc pairs colliding in ≥1 of the 8
+    * two-row bands — O(collisions), never all-pairs. */
+  private def lshCandidates(sig: DataFrame): DataFrame =
+    (0 until NumBands).map { jb =>
       sig.as("x").join(sig.as("y"),
           col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
             col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     }.reduce(_ unionAll _).distinct()
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sig = lshSignatures(sh)
+    val cand = lshCandidates(sig)
     val est = (0 until NumHashes)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
@@ -285,12 +294,19 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
+    clusterOutput(minLabelComponents(pairs))
+  }
+
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation: O(graph diameter) join rounds, each
+    * partitioned on doc_id. Propagates only over docs that touch an
+    * edge — every other doc is a fixed singleton — so the loop runs on
+    * the (tiny) near-dup subgraph, not the corpus. Shared by d06 (exact
+    * edges) and d08 (LSH-candidate edges). */
+  private def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    // propagate only over docs that touch an edge — every other doc is a
-    // fixed singleton, and the output keeps multi-doc clusters only, so
-    // the loop runs on the (tiny) near-dup subgraph, not the corpus
     val docs = edges.select(col("doc_a").as("doc_id")).distinct()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
     var converged = false
@@ -309,7 +325,13 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
-    val out = labels
+    labels
+  }
+
+  /** (doc_id, cluster_id, cluster_size, is_keeper) rows for multi-doc
+    * clusters, keeper = min member. */
+  private def clusterOutput(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .join(labels, col("label") === col("cluster_id"))
@@ -317,8 +339,6 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .where(col("cluster_size") > 1) // singletons are not duplicates
       .orderBy(col("cluster_id").asc, col("doc_id").asc)
-    out
-  }
 
   // ---------------------------------------------------------------------
   // d07 — contamination detection: training docs whose 3-gram shingles
@@ -349,6 +369,37 @@ object Dedup {
       .limit(200)
   }
 
+  // ---------------------------------------------------------------------
+  // d08 — near-dup clusters at scale: d06's semantics with the edge set
+  // built from d03's LSH band candidates instead of the exact
+  // inverted-index self-join (which is quadratic in per-shingle doc
+  // frequency). Candidates (O(band collisions)) are exact-verified
+  // (jaccard ≥ 0.6 on the real shingle sets) before clustering, so
+  // PRECISION is exact and only recall is probabilistic: a j=0.6 pair
+  // collides in ≥1 of the 8 two-row bands w.p. 1−(1−0.6²)^8 ≈ 97%, and
+  // near-identical pairs with near-certainty. This is the clustering
+  // path that survives 100 TB — no stage is quadratic in corpus size.
+  // The DuckDB oracle mirrors the band joins exactly, so the result is
+  // deterministic and oracle-checked despite the probabilistic recall.
+  // ---------------------------------------------------------------------
+  def d08LshClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sig = lshSignatures(sh)
+    val cand = lshCandidates(sig)
+    val shared = cand.as("c")
+      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sig.select(col("doc_id"), col("n"))
+    val edges = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    clusterOutput(minLabelComponents(edges))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
@@ -356,8 +407,26 @@ object Dedup {
     "d02_ngram_jaccard" -> d02NgramJaccard _,
     "d03_minhash_lsh" -> d03MinhashLsh _,
     "d04_simhash" -> d04Simhash _,
-    "d05_embedding_neardup" -> d05EmbeddingNeardup _
+    "d05_embedding_neardup" -> d05EmbeddingNeardup _,
+    "d08_lsh_clusters" -> d08LshClusters _
   )
+
+  /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
+  private def sigColsSql: String = (0 until NumHashes)
+    .map(i => s"min(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
+
+  /** DuckDB mirror of [[lshCandidates]] (over CTE `sig`).
+    * `combinator` must be "UNION" in plain WITH queries; under WITH
+    * RECURSIVE a bare top-level UNION chain in a CTE body gets DuckDB's
+    * recursive-union treatment and can leave DUPLICATE rows (observed:
+    * doubled cand rows doubling `shared` counts) — there, use
+    * "UNION ALL" and wrap with an explicit outer SELECT DISTINCT. */
+  private def bandJoinsSql(combinator: String): String = (0 until NumBands).map { jb =>
+    s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sig x JOIN sig y
+       |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}
+       |   AND x.doc_id < y.doc_id""".stripMargin
+  }.mkString(s"\n$combinator\n")
 
   val oracleSql: Map[String, String] = Map(
     "d07_contamination" ->
@@ -423,14 +492,8 @@ object Dedup {
          |LIMIT 100""".stripMargin,
 
     "d03_minhash_lsh" -> {
-      val sigCols = (0 until NumHashes)
-        .map(i => s"min(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
-      val bandJoins = (0 until NumBands).map { jb =>
-        s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM sig x JOIN sig y
-           |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}
-           |   AND x.doc_id < y.doc_id""".stripMargin
-      }.mkString("\nUNION\n")
+      val sigCols = sigColsSql
+      val bandJoins = bandJoinsSql("UNION")
       val estSql = (0 until NumHashes)
         .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
         .mkString("(", " + ", s")::DOUBLE / $NumHashes")
@@ -494,6 +557,41 @@ object Dedup {
          |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
          |LIMIT 200""".stripMargin
     },
+
+    "d08_lsh_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigColsSql
+         |        FROM h GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |${bandJoinsSql("UNION ALL")}
+         |  ) band_hits),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON c.doc_a = a.doc_id
+         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT s.doc_a, s.doc_b FROM shared s
+         |  JOIN sizes sa ON s.doc_a = sa.doc_id
+         |  JOIN sizes sb ON s.doc_b = sb.doc_id
+         |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
+         |bi AS (SELECT doc_a, doc_b FROM edges
+         |       UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
+         |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
+         |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
+         |       doc = labels.cluster_id AS is_keeper
+         |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
+         |WHERE cluster_size > 1
+         |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin,
 
     "d05_embedding_neardup" ->
       s"""WITH $normedSql

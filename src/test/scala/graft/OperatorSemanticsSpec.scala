@@ -120,6 +120,23 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"missed: ${exactHigh -- lshPairs}")
   }
 
+  test("d08 LSH clusters refine d06 exact clusters (precision exact, recall banded)") {
+    // d08's edges are a subset of d06's (LSH candidates ∩ exact verify),
+    // so every d08 component must sit wholly inside one d06 component —
+    // regardless of which band collisions occurred
+    val exact = Dedup.d06NeardupClusters(spark, sf).collect()
+    val lsh = Dedup.d08LshClusters(spark, sf).collect()
+    assert(lsh.nonEmpty, "sf0.001's planted near-dups must survive banding")
+    val exactCluster = exact.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    lsh.groupBy(_.getAs[Long]("cluster_id")).values.foreach { members =>
+      val docs = members.map(_.getAs[Long]("doc_id"))
+      assert(docs.forall(exactCluster.contains),
+        s"LSH cluster member not a near-dup under exact edges: $docs")
+      assert(docs.map(exactCluster).distinct.length === 1,
+        s"LSH cluster spans multiple exact clusters: $docs")
+    }
+  }
+
   test("near-dup clusters are valid: keeper is the min member, sizes consistent") {
     val rows = Dedup.d06NeardupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001's planted near-dups must cluster")
