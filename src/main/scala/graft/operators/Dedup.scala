@@ -304,11 +304,20 @@ object Dedup {
     * the (tiny) near-dup subgraph, not the corpus. Shared by d06 (exact
     * edges) and d08 (LSH-candidate edges). */
   private def minLabelComponents(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): persist caches DATA but keeps the
+    // full logical lineage, so every round's plan embeds every previous
+    // round PLUS the whole edge-derivation subtree — Catalyst re-optimizes
+    // a plan that grows per round, and with a deep candidate pipeline
+    // (d08's band joins) planning time dwarfs execution (measured ~17s at
+    // sf0.1, data-independent). Checkpointing truncates lineage to the
+    // materialized partitions; each round then plans a constant-size join.
+    // On a cluster, swap for reliable checkpoint(dir) if executor loss
+    // during the (short) loop matters.
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint()
     val docs = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     while (!converged) {
       val next = labels
@@ -317,11 +326,10 @@ object Dedup {
           col("doc_b") === col("nbr"), "left_outer")
         .groupBy(col("doc_id"))
         .agg(least(min(col("label")), min(col("nbr_label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }
