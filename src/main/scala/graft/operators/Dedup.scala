@@ -285,17 +285,25 @@ object Dedup {
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
+    val shared = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    clusterOutput(minLabelComponents(thresholdEdges(shared, sizes)))
+  }
+
+  /** Filter (doc_a, doc_b, shared) rows down to jaccard ≥
+    * [[ClusterThreshold]] edges, given per-doc distinct-shingle counts —
+    * the verify stage shared by d06 (exact pairs) and d08 (LSH
+    * candidates); the refinement relation between them assumes BOTH use
+    * this exact formula. */
+  private def thresholdEdges(shared: DataFrame, sizes: DataFrame): DataFrame =
+    shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
-    clusterOutput(minLabelComponents(pairs))
-  }
 
   /** Connected components over an undirected pair graph via iterative
     * min-label propagation: O(graph diameter) join rounds, each
@@ -330,11 +338,22 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .where(col("n.label") =!= col("o.label")).count()
+      // checkpoint blocks are NOT CacheManager entries (clearCache can't
+      // free them), so release each superseded round explicitly; edges
+      // and the final labels stay pinned only until the returned query
+      // runs and the Datasets are GC'd (ContextCleaner frees the blocks)
+      freeCheckpoint(labels)
       labels = next
       converged = changed == 0
     }
     labels
   }
+
+  /** Unpersist the materialized RDD behind a localCheckpoint'ed frame. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** (doc_id, cluster_id, cluster_size, is_keeper) rows for multi-doc
     * clusters, keeper = min member. */
@@ -400,12 +419,7 @@ object Dedup {
       .groupBy(col("c.doc_a"), col("c.doc_b"))
       .agg(count(lit(1)).as("shared"))
     val sizes = sig.select(col("doc_id"), col("n"))
-    val edges = shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    clusterOutput(minLabelComponents(edges))
+    clusterOutput(minLabelComponents(thresholdEdges(shared, sizes)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,6 +436,25 @@ object Dedup {
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
   private def sigColsSql: String = (0 until NumHashes)
     .map(i => s"min(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
+
+  /** DuckDB recursive connected-components tail over an `edges(doc_a,
+    * doc_b)` CTE — mirror of [[minLabelComponents]]+[[clusterOutput]],
+    * shared verbatim by the d06 and d08 oracles (the refinement test
+    * assumes both cluster with identical semantics). */
+  private def componentsTailSql: String =
+    """bi AS (SELECT doc_a, doc_b FROM edges
+      |       UNION ALL SELECT doc_b, doc_a FROM edges),
+      |reach(doc, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
+      |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
+      |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+      |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
+      |       doc = labels.cluster_id AS is_keeper
+      |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
+      |WHERE cluster_size > 1
+      |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[lshCandidates]] (over CTE `sig`).
     * `combinator` must be "UNION" in plain WITH queries; under WITH
@@ -464,19 +497,7 @@ object Dedup {
          |  SELECT doc_a, doc_b FROM pairs
          |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE shared / (sa.n + sb.n - shared) >= $ClusterThreshold),
-         |bi AS (SELECT doc_a, doc_b FROM edges
-         |       UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
-         |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
-         |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
-         |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
-         |       doc = labels.cluster_id AS is_keeper
-         |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
-         |WHERE cluster_size > 1
-         |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin,
+         |$componentsTailSql""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
@@ -587,19 +608,7 @@ object Dedup {
          |  JOIN sizes sa ON s.doc_a = sa.doc_id
          |  JOIN sizes sb ON s.doc_b = sb.doc_id
          |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
-         |bi AS (SELECT doc_a, doc_b FROM edges
-         |       UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
-         |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
-         |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
-         |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
-         |       doc = labels.cluster_id AS is_keeper
-         |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
-         |WHERE cluster_size > 1
-         |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin,
+         |$componentsTailSql""".stripMargin,
 
     "d05_embedding_neardup" ->
       s"""WITH $normedSql

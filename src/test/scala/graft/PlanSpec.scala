@@ -90,6 +90,10 @@ class PlanSpec extends SparkSpec {
     // `WindowExec: No Partition Defined`. None of the engine's plans may
     // contain one — INCLUDING inside persisted subtrees, which appear as
     // InMemoryRelation leaves and would otherwise hide their interior.
+    // Known scope limit: localCheckpoint'ed subtrees (the d06/d08
+    // propagation loop) execute during construction and surface only as
+    // LogicalRDD leaves, so their interiors are not inspectable here —
+    // they contain no windows by construction (joins+aggregates only).
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
