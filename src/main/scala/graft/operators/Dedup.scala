@@ -158,7 +158,7 @@ object Dedup {
   // token — zero extra hashing) built from token-hash bit votes (term
   // frequency weighted: every occurrence votes). Near-dups = pairs with
   // hamming distance ≤ 8 over the 120 bits. Candidate generation is
-  // BANDED, not all-pairs: nine DISJOINT 12-13-bit segments; by
+  // BANDED, not all-pairs: nine DISJOINT 12-15-bit segments; by
   // pigeonhole any pair within hamming 8 matches exactly on ≥1 segment,
   // so 9 segment equi-joins (≥4096 bucket values each) recover every
   // qualifying pair with the exact hamming check running inline on
@@ -173,9 +173,12 @@ object Dedup {
   // ---------------------------------------------------------------------
   val SimBits = 60 // per signature word
   val HammingMax = 8
-  /** (word 1|2, bit offset, width): nine disjoint segments. */
+  /** (word 1|2, bit offset, width): nine disjoint segments covering all
+    * 120 bits — four 15-bit over word 1, five 12-bit over word 2. Wider
+    * segments only raise selectivity (2^15 / 2^12 buckets); recall stays
+    * guaranteed by pigeonhole as long as the 9 segments are disjoint. */
   val SimBands: Seq[(Int, Int, Int)] = Seq(
-    (1, 0, 13), (1, 13, 13), (1, 26, 13), (1, 39, 13),
+    (1, 0, 15), (1, 15, 15), (1, 30, 15), (1, 45, 15),
     (2, 0, 12), (2, 12, 12), (2, 24, 12), (2, 36, 12), (2, 48, 12))
 
   def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -250,15 +253,11 @@ object Dedup {
       s"$op is an all-pairs exactness baseline (O(n²)): input has $n rows > cap $cap; " +
         s"use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS for a deliberate eval run")
 
-  /** One guard count per corpus dir, not per invocation: the bench's
-    * warm-up + min-of-2 pattern builds the same query three times. */
-  private val corpusRows = scala.collection.concurrent.TrieMap.empty[String, Long]
-
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // count the bare table (column-pruned count-star over parquet
-    // metadata), not the dot-product projection
-    val n = corpusRows.getOrElseUpdate(dir,
-      Tables.load(spark, dir, "embeddings").count())
+    // guard count on the bare table — a column-pruned count-star over
+    // parquet footers, cheap enough to run per invocation (memoizing it
+    // would let a regrown corpus at the same path bypass the cap)
+    val n = Tables.load(spark, dir, "embeddings").count()
     requireBaselineSize(n, BaselineMaxVectors, "d05_embedding_neardup",
       "Similarity.s02 (LSH buckets) / s03 (IVF)")
     val v = normed(spark, dir)

@@ -16,14 +16,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * NOTHING across union branches — measured 3 FileScans for 3 columns).
   * The query stays lazy and its real plan stays visible to plan tests.
   *
-  * Numeric contract: statistics are computed on values quantized to
-  * `scale` decimal places (default 2 — exact for the engine's money
-  * convention and for integer keys). The DECIMAL accumulation is exact
-  * and partition-order-independent with one double cast at the end;
-  * columns needing finer precision pass a larger `scale` (values must
-  * stay within DECIMAL(19, scale)). stddev uses the sum-of-squares
-  * algebra `sqrt(greatest(0, sum2/n − mean²))`, clamped at zero because
-  * a constant column can land one ulp negative.
+  * Numeric contract — read before pointing this at arbitrary columns:
+  *  - mean and stddev are computed on values quantized to `scale`
+  *    decimal places (default 2 — exact for the engine's money
+  *    convention and for integer keys); min/max/median/zeros/distinct
+  *    use the RAW values. Columns with sub-grid magnitudes (ratios,
+  *    embedding scores) need a larger `scale` or their mean/stddev
+  *    quantize toward zero while min/max stay raw.
+  *  - capacity: values must fit DECIMAL(19, scale) and
+  *    Σx²·10^(2·scale) must stay under 10^38 (the DECIMAL(38, 2·scale)
+  *    sum-of-squares accumulator); beyond that the profile FAILS LOUDLY
+  *    on both engines (ANSI overflow here, out-of-range in the oracle)
+  *    rather than silently degrading.
+  *  - each call persists its 1-row wide aggregate (a CacheManager entry
+  *    shared by the column branches); long-lived callers profiling many
+  *    distinct inputs should `spark.catalog.clearCache()` periodically.
+  *  - stddev uses the sum-of-squares algebra
+  *    `sqrt(greatest(0, sum2/n − mean²))`, clamped at zero because a
+  *    constant column can land one ulp negative.
   */
 object Profile {
 
