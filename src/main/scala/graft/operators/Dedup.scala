@@ -72,7 +72,16 @@ object Dedup {
   // ---------------------------------------------------------------------
   // d02 — exact n-gram Jaccard near-dup: shingle inverted-index self-join.
   // ---------------------------------------------------------------------
+  /** Guard shared by the exact inverted-index baselines (d02, d06): their
+    * pair stage is quadratic in per-shingle document frequency, so they
+    * refuse corpora beyond the doc cap — at scale use d03 (pairs) / d08
+    * (clusters), whose candidates come from bounded band joins. */
+  private def requireExactBaselineCorpus(spark: SparkSession, dir: String, op: String): Unit =
+    requireBaselineSize(Tables.load(spark, dir, "documents").count(),
+      BaselineMaxVectors, op, "Dedup.d03MinhashLsh / d08LshClusters (banded LSH)")
+
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    requireExactBaselineCorpus(spark, dir, "d02_ngram_jaccard")
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
@@ -240,11 +249,13 @@ object Dedup {
     s"""v AS (SELECT vec_id, embedding AS e, label,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
-  /** Hard cap on the all-pairs exactness baselines. d05 is O(n²) BY
-    * CONTRACT (it is the ground truth the bucketed paths are measured
-    * against), so it refuses corpora where the quadratic plan stops being
-    * an intentional choice — at scale, use the bucketed s02 (LSH) / s03
-    * (IVF) paths instead. Overridable for eval runs that accept the cost. */
+  /** Hard row cap on the quadratic exactness baselines (d05 all-pairs
+    * cosine; d02/d06 exact inverted-index pairs). These are O(n²)-family
+    * BY CONTRACT (they are the ground truth the bucketed paths are
+    * measured against), so they refuse corpora where the quadratic plan
+    * stops being an intentional choice — at scale use the bucketed
+    * s02/s03 (ANN) and d03/d08 (dedup/clustering) paths instead.
+    * Overridable for eval runs that accept the cost. */
   val BaselineMaxVectors: Long =
     sys.env.getOrElse("GRAFT_BASELINE_MAX_VECTORS", "100000").toLong
 
@@ -282,6 +293,7 @@ object Dedup {
   val ClusterThreshold = 0.6
 
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    requireExactBaselineCorpus(spark, dir, "d06_neardup_clusters")
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = sh.as("a")
