@@ -104,6 +104,42 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // s05 — IVF with multi-probe (nprobe = 2): identical index to s03, but
+  // each query searches its TWO nearest cells instead of one — the
+  // standard IVF recall knob. The corpus is still assigned to exactly one
+  // cell (so a neighbor cannot appear twice), the probe side just fans
+  // out to 2 rows per query; cost is 2/K of the corpus per probe instead
+  // of 1/K. Per query, the candidate pool is a superset of s03's (the
+  // first probe cell IS s03's cell), so recall vs the exact s01 truth can
+  // only improve — SimilaritySpec asserts that monotonicity.
+  // ---------------------------------------------------------------------
+  val NProbe = 2
+
+  def s05AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val cents = v.where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val centCos = expr(dotExpr.format("embedding", "ce")) / (col("nrm") * col("cn"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
+    val ranked = v.join(broadcast(cents))
+      .withColumn("cr", row_number().over(wCell))
+    val assigned = ranked.where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+        col("cent_id").as("cell"))
+    val qprobe = ranked.where(col("vec_id") < QuerySet && col("cr") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
+    val scored = qprobe.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+    Scale.twoPhaseTopKRanked(scored, col("query_id"),
+        Seq(cos.desc, col("vec_id").asc), TopK, "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(cos, 6).as("cosine"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // ---------------------------------------------------------------------
   // s04 — label-centroid outliers: per-label mean vector, then each
   // vector's squared distance to its own centroid; top-20 farthest are
   // the mislabeled/outlier candidates (embedding-quality audit). The
@@ -144,7 +180,8 @@ object Similarity {
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh_buckets" -> s02AnnLshBuckets _,
     "s03_ann_ivf" -> s03AnnIvf _,
-    "s04_centroid_outliers" -> s04CentroidOutliers _
+    "s04_centroid_outliers" -> s04CentroidOutliers _,
+    "s05_ann_ivf_multiprobe" -> s05AnnIvfMultiprobe _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -202,6 +239,32 @@ object Similarity {
          |            ORDER BY c DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, cell, neighbor_id, rank, round(c, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
+    "s05_ann_ivf_multiprobe" ->
+      s"""WITH $normedSql,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < $IvfCells),
+         |rankedcells AS (
+         |  SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                    c.cent_id ASC) AS cr
+         |  FROM v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, label, cell FROM rankedcells WHERE cr = 1),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+         |  FROM rankedcells WHERE vec_id < $QuerySet AND cr <= $NProbe),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |         ${dotSql("q.qe", "a.e")} / (q.qn * a.nrm) AS c
+         |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK
          |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 

@@ -152,6 +152,25 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("s05 multi-probe recall >= s03 single-probe recall per query (vs s01 exact truth)") {
+    // s05's candidate pool is a superset of s03's (probe cell 1 IS s03's
+    // cell), and pool members from the true top-k always outrank
+    // non-members, so per-query recall is provably monotone in nprobe
+    val truth = Similarity.s01AnnBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(rows: Array[org.apache.spark.sql.Row]): Map[Long, Int] =
+      rows.groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet.intersect(truth(q)).size }
+    val r3 = recall(Similarity.s03AnnIvf(spark, sf).collect())
+    val r5 = recall(Similarity.s05AnnIvfMultiprobe(spark, sf).collect())
+    truth.keys.foreach { q =>
+      assert(r5.getOrElse(q, 0) >= r3.getOrElse(q, 0), s"query $q recall regressed")
+    }
+    assert(r5.values.sum >= r3.values.sum)
+  }
+
   test("hash sample is deterministic across runs (content-keyed, not partition-keyed)") {
     // partition independence is covered end-to-end by the local[5] gate;
     // here: repeat runs agree and the predicate is a pure content hash
