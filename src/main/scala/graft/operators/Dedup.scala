@@ -261,8 +261,9 @@ object Dedup {
 
   private[graft] def requireBaselineSize(n: Long, cap: Long, op: String, alt: String): Unit =
     require(n <= cap,
-      s"$op is an all-pairs exactness baseline (O(n²)): input has $n rows > cap $cap; " +
-        s"use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS for a deliberate eval run")
+      s"$op is an exactness baseline with super-linear pair cost: input has $n rows > " +
+        s"cap $cap; use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS (the shared " +
+        "row cap for all quadratic-family baselines) for a deliberate eval run")
 
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     // guard count on the bare table — a column-pruned count-star over

@@ -111,7 +111,7 @@ object Similarity {
   // out to 2 rows per query; cost is 2/K of the corpus per probe instead
   // of 1/K. Per query, the candidate pool is a superset of s03's (the
   // first probe cell IS s03's cell), so recall vs the exact s01 truth can
-  // only improve — SimilaritySpec asserts that monotonicity.
+  // only improve — OperatorSemanticsSpec asserts that monotonicity.
   // ---------------------------------------------------------------------
   val NProbe = 2
 

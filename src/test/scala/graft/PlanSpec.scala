@@ -123,11 +123,12 @@ class PlanSpec extends SparkSpec {
       s"simhash pair stage regressed to an all-pairs join:\n$plan")
   }
 
-  test("s01/s02/s03: per-query top-k runs the two-phase partial rank") {
+  test("s01/s02/s03/s05: per-query top-k runs the two-phase partial rank") {
     Seq(
       "s01" -> Similarity.s01AnnBruteforce(spark, sf),
       "s02" -> Similarity.s02AnnLshBuckets(spark, sf),
-      "s03" -> Similarity.s03AnnIvf(spark, sf)).foreach { case (name, df) =>
+      "s03" -> Similarity.s03AnnIvf(spark, sf),
+      "s05" -> Similarity.s05AnnIvfMultiprobe(spark, sf)).foreach { case (name, df) =>
       val plan = formatted(df).toLowerCase
       assert(plan.contains("spark_partition_id"),
         s"$name lost the partial (per-partition) rank stage")
