@@ -569,7 +569,59 @@ object CartAnalytics {
       .orderBy(col("segment").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // Q22 — analytic windows beyond row_number (§2.5 widened): monthly
+  // revenue with lag (previous month), month-over-month delta, running
+  // year-to-date total, share of year, and within-year revenue rank.
+  // Every window partitions by year — a partition only ever holds ≤ 12
+  // pre-aggregated rows, so there is no zero-partition window and no
+  // reducer that scales with the fact table. Money stays DECIMAL through
+  // lag/subtraction/window-sum (exact, order-independent) with one double
+  // cast at the edge, like every moneySum.
+  // ---------------------------------------------------------------------
+  def q22WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val m = ord(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val byMo = Window.partitionBy(col("yr")).orderBy(col("mo").asc)
+    val run = byMo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("yr"))
+    m.select(col("yr"), col("mo"),
+        col("rev").cast(DoubleType).as("revenue"),
+        lag(col("rev"), 1).over(byMo).cast(DoubleType).as("prev_revenue"),
+        (col("rev") - lag(col("rev"), 1).over(byMo)).cast(DoubleType).as("mom_delta"),
+        sum(col("rev")).over(run).cast(DoubleType).as("ytd_revenue"),
+        // divide as doubles: decimal-division scale rules differ per engine
+        (col("rev").cast(DoubleType) / sum(col("rev")).over(whole).cast(DoubleType))
+          .as("yr_share"),
+        row_number().over(Window.partitionBy(col("yr"))
+          .orderBy(col("rev").desc, col("mo").asc)).as("rev_rank"))
+      .orderBy(col("yr").asc, col("mo").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q23 — GROUPING SETS with a custom set list ((priority), (status), ())
+  // — the shape neither ROLLUP (q18) nor a plain GROUP BY covers: two
+  // independent one-dimensional summaries plus the grand total in ONE
+  // pass over the fact table (Spark plans a single Expand + aggregate,
+  // not three scans).
+  // ---------------------------------------------------------------------
+  def q23GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id(col("o_orderpriority"), col("o_orderstatus")).as("gid"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_value"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("gid").asc, col("o_orderpriority").asc, col("o_orderstatus").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_window_analytics" -> q22WindowAnalytics _,
+    "q23_grouping_sets" -> q23GroupingSets _,
     "q18_rollup" -> q18Rollup _,
     "q19_setops" -> q19SetOps _,
     "q20_pivot_matrix" -> q20PivotMatrix _,
@@ -597,6 +649,36 @@ object CartAnalytics {
     s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q22_window_analytics" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, mo,
+        |       CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(lag(rev, 1) OVER (PARTITION BY yr ORDER BY mo ASC) AS DOUBLE)
+        |         AS prev_revenue,
+        |       CAST(rev - lag(rev, 1) OVER (PARTITION BY yr ORDER BY mo ASC) AS DOUBLE)
+        |         AS mom_delta,
+        |       CAST(sum(rev) OVER (PARTITION BY yr ORDER BY mo ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS ytd_revenue,
+        |       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE)
+        |         AS yr_share,
+        |       row_number() OVER (PARTITION BY yr ORDER BY rev DESC, mo ASC) AS rev_rank
+        |FROM m
+        |ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""".stripMargin,
+
+    "q23_grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+         |       count(*) AS n_orders,
+         |       ${moneySumSql("o_totalprice")} AS total_value
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         |ORDER BY gid ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+         |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
     "q18_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus,
          |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,

@@ -172,6 +172,67 @@ object TextAnalysis {
       .orderBy(col("rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t08 — within-document repetition / boilerplate detection: the share of
+  // repeated word-trigrams (1 − distinct/total) and the single most
+  // frequent word's share of the document. High values flag template spam
+  // and looped generations — a standard pre-training quality filter.
+  // Per-doc aggregation only: every groupBy keys on doc_id (or
+  // (doc_id, word)), so all stages are map-side combinable and the plan
+  // has no corpus-global state at any scale.
+  // ---------------------------------------------------------------------
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tris = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
+          |ELSE array() END""".stripMargin)).as("tg"))
+    val triStats = tris.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("tg")).as("n_distinct_trigrams"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_word_freq"), sum(col("c")).as("n_words"))
+    // raw doubles, no round() — see the t02 cross-engine note
+    wordStats.join(triStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct_trigrams"), lit(0L)).as("n_distinct_trigrams"),
+        // NULL > 0 is NULL → otherwise-branch in both engines (docs < 3 words)
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct_trigrams") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("rep_ratio"),
+        (col("max_word_freq") / col("n_words")).as("top_word_share"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // t09 — distinctive terms per document: rank each document's words by
+  // tf/df (term frequency over corpus document frequency — the tf-idf
+  // ordering without the log, so the score is a single IEEE division both
+  // engines compute bit-identically). df comes free as a count over the
+  // tf pairs. The final window partitions by doc_id and only ever holds
+  // one document's vocabulary — bounded by doc length, not corpus size.
+  // ---------------------------------------------------------------------
+  val DistinctiveK = 3
+
+  def t09DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("word"))
+      .withColumn("score", col("tf") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)))
+      .where(col("rk") <= DistinctiveK)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_language_id" -> t01LanguageId _,
     "t02_quality_score" -> t02QualityScore _,
@@ -179,7 +240,9 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_hash_sample" -> t05HashSample _,
     "t06_vocab" -> t06Vocab _,
-    "t07_stratified_sample" -> t07StratifiedSample _
+    "t07_stratified_sample" -> t07StratifiedSample _,
+    "t08_repetition" -> t08Repetition _,
+    "t09_distinctive_terms" -> t09DistinctiveTerms _
   )
 
   // ---------------------------------------------------------------------
@@ -304,6 +367,50 @@ object TextAnalysis {
          |  FROM documents)
          |SELECT doc_id, lang, source
          |FROM ranked WHERE rk <= (SELECT q FROM quota)
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t08_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT doc_id, max(c) AS max_word_freq, sum(c)::BIGINT AS n_words
+        |  FROM wc GROUP BY 1),
+        |tg AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(w) >= 3
+        |           THEN list_transform(generate_series(1, len(w)-2),
+        |                i -> array_to_string(w[i:i+2], ' '))
+        |           ELSE [] END) AS tg
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+        |ts AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |         count(DISTINCT tg) AS n_distinct_trigrams
+        |  FROM tg GROUP BY 1)
+        |SELECT ws.doc_id, n_words,
+        |       coalesce(n_trigrams, 0) AS n_trigrams,
+        |       coalesce(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+        |       CASE WHEN n_trigrams > 0
+        |            THEN 1.0::DOUBLE - n_distinct_trigrams / n_trigrams
+        |            ELSE 0.0::DOUBLE END AS rep_ratio,
+        |       max_word_freq / n_words AS top_word_share
+        |FROM ws LEFT JOIN ts ON ws.doc_id = ts.doc_id
+        |ORDER BY ws.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t09_distinctive_terms" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, word, tf, df, tf / df AS score
+         |  FROM tf JOIN dfq USING (word)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, word ASC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, word, tf, df, score
+         |FROM ranked WHERE rk <= $DistinctiveK
+         |ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin
   )
 }

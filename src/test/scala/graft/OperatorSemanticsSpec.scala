@@ -218,4 +218,93 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(total === users)
     rows.foreach(r => assert((0 to 3).contains(r.getAs[Int]("funnel_depth"))))
   }
+
+  test("t08 repetition matches an independent per-doc computation") {
+    val rows = TextAnalysis.t08Repetition(spark, sf).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size, "one output row per document")
+    rows.foreach { r =>
+      val words = texts(r.getLong(0)).split("\\s+").toSeq
+      val tris = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_words") === words.length.toLong)
+      assert(r.getAs[Long]("n_trigrams") === tris.length.toLong)
+      assert(r.getAs[Long]("n_distinct_trigrams") === tris.distinct.length.toLong)
+      val expRep = if (tris.nonEmpty) 1.0 - tris.distinct.length.toDouble / tris.length else 0.0
+      assert(r.getAs[Double]("rep_ratio") === expRep)
+      val maxFreq = words.groupBy(identity).values.map(_.length).max
+      assert(r.getAs[Double]("top_word_share") === maxFreq.toDouble / words.length)
+    }
+  }
+
+  test("t09 distinctive terms: rank-1 word maximizes tf/df for its document") {
+    val rows = TextAnalysis.t09DistinctiveTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to rs.length),
+        "ranks are consecutive from 1")
+      assert(rs.length <= TextAnalysis.DistinctiveK)
+      rs.foreach(r => assert(
+        r.getAs[Double]("score") === r.getAs[Long]("tf").toDouble / r.getAs[Long]("df")))
+    }
+    // independent check of the winning word for one document
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dfm = docs.values.flatMap(_.split("\\s+").distinct).toSeq
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val someDoc = docs.keys.min
+    val tfm = docs(someDoc).split("\\s+").toSeq.groupBy(identity).view.mapValues(_.length)
+    val best = tfm.toSeq.map { case (w, tf) => (w, tf.toDouble / dfm(w)) }
+      .sortBy { case (w, s) => (-s, w) }.head
+    val got = byDoc(someDoc).minBy(_.getAs[Int]("rk"))
+    assert(got.getString(2) === best._1)
+    assert(got.getAs[Double]("score") === best._2)
+  }
+
+  test("q22 windows: ytd closes to year total, shares sum to 1, ranks permute") {
+    val rows = CartAnalytics.q22WindowAnalytics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent year totals through the same DECIMAL-sum + one-cast edge
+    val yearTot = Tables.load(spark, sf, "orders")
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val byYear = rows.groupBy(_.getAs[Int]("yr"))
+    byYear.foreach { case (yr, ms) =>
+      val sorted = ms.sortBy(_.getAs[Int]("mo"))
+      assert(sorted.last.getAs[Double]("ytd_revenue") === yearTot(yr),
+        "running DECIMAL total closes bit-exactly to the year total")
+      // first month of the year has no predecessor; all others lag correctly
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_revenue")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // lag is the same decimal cast through the same edge → bit-equal
+          assert(b.getAs[Double]("prev_revenue") === a.getAs[Double]("revenue"))
+          // delta is computed exactly in DECIMAL then cast once; comparing
+          // against a difference of two already-rounded doubles needs a ulp
+          // allowance
+          val recomputed = b.getAs[Double]("revenue") - a.getAs[Double]("revenue")
+          assert(math.abs(b.getAs[Double]("mom_delta") - recomputed) <=
+            1e-9 * math.max(1.0, math.abs(recomputed)))
+        case _ =>
+      }
+      val shareSum = sorted.map(_.getAs[Double]("yr_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9)
+      assert(sorted.map(_.getAs[Int]("rev_rank")).sorted.toSeq === (1 to sorted.length))
+    }
+  }
+
+  test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
+    val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    // gid 1 = (priority), 2 = (status), 3 = grand total — no (a,b) set
+    assert(rows.map(_.getAs[Long]("gid")).toSet === Set(1L, 2L, 3L))
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid(1).map(_.getAs[Long]("n_orders")).sum === nOrders)
+    assert(byGid(2).map(_.getAs[Long]("n_orders")).sum === nOrders)
+    assert(byGid(3).map(_.getAs[Long]("n_orders")).toSeq === Seq(nOrders))
+    byGid(1).foreach(r => assert(!r.isNullAt(0) && r.isNullAt(1)))
+    byGid(2).foreach(r => assert(r.isNullAt(0) && !r.isNullAt(1)))
+  }
 }
