@@ -116,12 +116,43 @@ object EventsAnalytics {
       .orderBy(col("cohort_week").asc, col("weeks_since").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e06 — hourly anomaly detection: flag hours whose event count exceeds
+  // 2× the trailing mean of the 24 previous observed hours (ROWS frame
+  // over the hourly rollup, so gap hours with zero events don't emit
+  // rows and aren't averaged). The window partitions by event_type and
+  // its length is bounded by the corpus TIME RANGE (hours), not data
+  // volume — the pre-aggregation shrinks 100 TB of raw events to one row
+  // per (type, hour) before any window runs. The ratio is built from
+  // exact integer window sums with a single fixed-shape double
+  // expression, so both engines agree bitwise.
+  // ---------------------------------------------------------------------
+  val TrailHours = 24
+
+  def e06HourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("hour_start").asc)
+      .rowsBetween(-TrailHours, -1)
+    hourly
+      .withColumn("trail_hours", count(lit(1)).over(trail))
+      .withColumn("trail_events", sum(col("n_events")).over(trail))
+      .where(col("trail_hours") === TrailHours) // full-history hours only
+      .withColumn("ratio",
+        col("n_events").cast(DoubleType) * col("trail_hours") / col("trail_events"))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("trail_events"), col("ratio"), (col("ratio") > 2.0).as("is_spike"))
+      .orderBy(col("event_type").asc, col("hour_start").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> e01Sessionize _,
     "e02_props_stats" -> e02PropsStats _,
     "e03_hourly_agg" -> e03HourlyAgg _,
     "e04_funnel" -> e04Funnel _,
-    "e05_retention" -> e05Retention _
+    "e05_retention" -> e05Retention _,
+    "e06_hourly_anomaly" -> e06HourlyAnomaly _
   )
 
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
@@ -188,6 +219,23 @@ object EventsAnalytics {
         |       count(DISTINCT act.user_id) AS n_users
         |FROM act JOIN fw USING (user_id)
         |GROUP BY 1, 2
-        |ORDER BY cohort_week ASC NULLS FIRST, weeks_since ASC NULLS FIRST""".stripMargin
+        |ORDER BY cohort_week ASC NULLS FIRST, weeks_since ASC NULLS FIRST""".stripMargin,
+
+    "e06_hourly_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         |         count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |trail AS (
+         |  SELECT *, count(*) OVER w AS trail_hours,
+         |         CAST(sum(n_events) OVER w AS BIGINT) AS trail_events
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start ASC
+         |               ROWS BETWEEN $TrailHours PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hour_start, n_events, trail_events,
+         |       CAST(n_events AS DOUBLE) * trail_hours / trail_events AS ratio,
+         |       CAST(n_events AS DOUBLE) * trail_hours / trail_events > 2.0 AS is_spike
+         |FROM trail WHERE trail_hours = $TrailHours
+         |ORDER BY event_type ASC NULLS FIRST, hour_start ASC NULLS FIRST""".stripMargin
   )
 }

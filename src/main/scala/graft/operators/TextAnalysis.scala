@@ -233,7 +233,28 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t10 — sketch cardinality: per-source distinct-document counts via
+  // HyperLogLog++ (approx_count_distinct, rsd 1%) next to the exact
+  // countDistinct it approximates. At 100 TB the exact distinct shuffles
+  // every distinct value; the HLL sketch is fixed-size mergeable state
+  // (kilobytes per group) that partial-aggregates map-side — the only
+  // one-pass way to count distincts over a web corpus. No DuckDB oracle:
+  // DuckDB's approx_distinct is a different estimator, so the driver
+  // records the rows-only check and OperatorSemanticsSpec pins the
+  // relative error instead.
+  // ---------------------------------------------------------------------
+  def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("exact_distinct_texts"),
+        approx_count_distinct(col("text"), 0.01).as("approx_distinct_texts"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_sketch_cardinality" -> t10SketchCardinality _,
     "t01_language_id" -> t01LanguageId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_counts" -> t03TokenCounts _,

@@ -295,6 +295,43 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("e06 anomaly: trailing stats match an independent per-type series walk") {
+    val rows = EventsAnalytics.e06HourlyAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = EventsAnalytics.TrailHours
+    val series = Tables.load(spark, sf, "events")
+      .groupBy($"event_type", date_trunc("HOUR", $"ts").as("hour_start"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getTimestamp(1).getTime, r.getLong(2))).sortBy(_._1))
+      .toMap
+    val expected = series.flatMap { case (et, s) =>
+      s.indices.drop(k).map { i =>
+        (et, s(i)._1) -> (s(i)._2, s.slice(i - k, i).map(_._2).sum)
+      }
+    }
+    assert(rows.length === expected.size, "exactly the full-history hours are emitted")
+    rows.foreach { r =>
+      val (n, win) = expected((r.getString(0), r.getTimestamp(1).getTime))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("trail_events") === win)
+      assert(r.getAs[Boolean]("is_spike") === (r.getAs[Double]("ratio") > 2.0))
+    }
+  }
+
+  test("t10 sketch cardinality: HLL estimate within 5% of the exact distinct") {
+    val rows = TextAnalysis.t10SketchCardinality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct_texts")
+      val approx = r.getAs[Long]("approx_distinct_texts")
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"source ${r.getString(0)}: approx $approx vs exact $exact")
+      assert(exact <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()
