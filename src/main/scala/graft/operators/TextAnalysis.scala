@@ -213,16 +213,21 @@ object TextAnalysis {
   // t09 — distinctive terms per document: rank each document's words by
   // tf/df (term frequency over corpus document frequency — the tf-idf
   // ordering without the log, so the score is a single IEEE division both
-  // engines compute bit-identically). df comes free as a count over the
-  // tf pairs. The final window partitions by doc_id and only ever holds
-  // one document's vocabulary — bounded by doc length, not corpus size.
+  // engines compute bit-identically). df is a count over the persisted tf
+  // pairs — one extra map-combinable aggregate, no second corpus scan.
+  // The final window partitions by doc_id and only ever holds one
+  // document's vocabulary — bounded by doc length, not corpus size.
   // ---------------------------------------------------------------------
   val DistinctiveK = 3
 
   def t09DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: tf feeds BOTH the df aggregate and the join below, and an
+    // unpersisted shared subtree would re-run the explode + (doc_id, word)
+    // shuffle — the dominant cost — twice (measured: see PERF.md)
     val tf = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("word"))
       .withColumn("score", col("tf") / col("df"))

@@ -226,7 +226,7 @@ class OperatorSemanticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.length === texts.size, "one output row per document")
     rows.foreach { r =>
-      val words = texts(r.getLong(0)).split("\\s+").toSeq
+      val words = texts(r.getLong(0)).split("\\s+", -1).toSeq
       val tris = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
       assert(r.getAs[Long]("n_words") === words.length.toLong)
       assert(r.getAs[Long]("n_trigrams") === tris.length.toLong)
@@ -251,10 +251,10 @@ class OperatorSemanticsSpec extends SparkSpec {
     // independent check of the winning word for one document
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val dfm = docs.values.flatMap(_.split("\\s+").distinct).toSeq
+    val dfm = docs.values.flatMap(_.split("\\s+", -1).distinct).toSeq
       .groupBy(identity).view.mapValues(_.length).toMap
     val someDoc = docs.keys.min
-    val tfm = docs(someDoc).split("\\s+").toSeq.groupBy(identity).view.mapValues(_.length)
+    val tfm = docs(someDoc).split("\\s+", -1).toSeq.groupBy(identity).view.mapValues(_.length)
     val best = tfm.toSeq.map { case (w, tf) => (w, tf.toDouble / dfm(w)) }
       .sortBy { case (w, s) => (-s, w) }.head
     val got = byDoc(someDoc).minBy(_.getAs[Int]("rk"))
