@@ -340,22 +340,25 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
     while (!converged) {
+      // the old label rides along as min(label) — constant within each
+      // doc_id group — so convergence is a filter+count over the round's
+      // already-materialized checkpoint instead of a second join of the
+      // old and new label tables (one fewer shuffle + action per round)
       val next = labels
         .join(edges, col("doc_id") === col("doc_a"), "left_outer")
         .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")),
           col("doc_b") === col("nbr"), "left_outer")
         .groupBy(col("doc_id"))
-        .agg(least(min(col("label")), min(col("nbr_label"))).as("label"))
+        .agg(min(col("label")).as("old_label"),
+          least(min(col("label")), min(col("nbr_label"))).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.label") =!= col("o.label")).count()
+      val changed = next.where(col("label") =!= col("old_label")).count()
       // checkpoint blocks are NOT CacheManager entries (clearCache can't
       // free them), so release each superseded round explicitly; edges
       // and the final labels stay pinned only until the returned query
       // runs and the Datasets are GC'd (ContextCleaner frees the blocks)
       freeCheckpoint(labels)
-      labels = next
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
     }
     labels
