@@ -157,23 +157,58 @@ object Similarity {
   // ---------------------------------------------------------------------
   val OutlierTopK = 20
 
-  def s04CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.load(spark, dir, "embeddings")
-    val ex = emb.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("dim0", "v")))
-    val cent = ex.groupBy(col("label"), col("dim0"))
+  /** Per-label centroid as a sorted double array (integer-grid exact sums
+    * — see the s04 note). One partial-aggregated shuffle on (label, dim);
+    * the collect_list is bounded by the embedding DIMENSION, not by
+    * vectors per label. Shared by s04 (outlier distances) and s06
+    * (label-affinity matrix). */
+  private def centroidArr(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy(col("label"), col("dim0"))
       .agg((sum(floor(col("v").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
         .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"))
-    val centArr = cent.groupBy(col("label"))
+      .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)").as("cent"))
+
+  def s04CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
     val d2 = expr(
       """aggregate(zip_with(embedding, cent,
         |          (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),
         |cast(0.0 AS double), (acc, q) -> acc + q)""".stripMargin.replace("\n", " "))
-    emb.join(centArr, Seq("label"))
+    emb.join(centroidArr(spark, dir), Seq("label"))
       .select(col("vec_id"), col("label"), d2.as("dist2"))
       .orderBy(col("dist2").desc, col("vec_id").asc)
       .limit(OutlierTopK)
+  }
+
+  // ---------------------------------------------------------------------
+  // s06 — label-affinity matrix: cosine similarity between every pair of
+  // label centroids (the "which classes/domains are embedding-near"
+  // audit that guides mixture weights and contamination checks). The
+  // centroid build is the same exact integer-grid aggregation as s04;
+  // the matrix itself is an L×L broadcast theta-join over L centroid
+  // rows — L is bounded (a label set), so this costs nothing at any
+  // corpus size. The double-array dot uses the built-in fold: this is
+  // OFF the hot path (L² evaluations total), where graft_dot's codegen
+  // only matters for per-pair corpus work.
+  // ---------------------------------------------------------------------
+  private def ddot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, q) -> acc + q)"
+
+  def s06LabelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both join sides read it, and unpersisted the corpus-wide
+    // explode+aggregate behind it would run twice (the t09 lesson)
+    val centArr = centroidArr(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = centArr.select(col("label").as("label_a"), col("cent").as("ca"))
+    val b = centArr.select(col("label").as("label_b"), col("cent").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (expr(ddot("ca", "cb")) /
+          (sqrt(expr(ddot("ca", "ca"))) * sqrt(expr(ddot("cb", "cb"))))).as("cosine"))
+      .orderBy(col("label_a").asc, col("label_b").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,8 +216,12 @@ object Similarity {
     "s02_ann_lsh_buckets" -> s02AnnLshBuckets _,
     "s03_ann_ivf" -> s03AnnIvf _,
     "s04_centroid_outliers" -> s04CentroidOutliers _,
-    "s05_ann_ivf_multiprobe" -> s05AnnIvfMultiprobe _
+    "s05_ann_ivf_multiprobe" -> s05AnnIvfMultiprobe _,
+    "s06_label_affinity" -> s06LabelAffinity _
   )
+
+  private def ddotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
@@ -290,6 +329,25 @@ object Similarity {
          |SELECT vec_id, label, dist2
          |FROM dist
          |ORDER BY dist2 DESC NULLS LAST, vec_id ASC NULLS FIRST
-         |LIMIT $OutlierTopK""".stripMargin
+         |LIMIT $OutlierTopK""".stripMargin,
+
+    "s06_label_affinity" ->
+      s"""WITH ex AS (
+         |  SELECT label, i AS dim0, embedding[i]::DOUBLE AS v
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+         |cent AS (
+         |  SELECT label, dim0,
+         |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
+         |           / count(*) / 1e9 AS c
+         |  FROM ex GROUP BY label, dim0),
+         |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
+         |pairs AS (
+         |  SELECT a.label AS label_a, b.label AS label_b, a.cent AS ca, b.cent AS cb
+         |  FROM centarr a JOIN centarr b ON a.label < b.label)
+         |SELECT label_a, label_b,
+         |       ${ddotSql("ca", "cb")}
+         |         / (sqrt(${ddotSql("ca", "ca")}) * sqrt(${ddotSql("cb", "cb")})) AS cosine
+         |FROM pairs
+         |ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST""".stripMargin
   )
 }

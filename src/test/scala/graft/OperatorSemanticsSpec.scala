@@ -319,6 +319,31 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("s06 label affinity matches an independent centroid-cosine computation") {
+    val rows = Similarity.s06LabelAffinity(spark, sf).collect()
+    val emb = Tables.load(spark, sf, "embeddings").select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val labels = emb.map(_._1).distinct.sorted
+    assert(rows.length === labels.length * (labels.length - 1) / 2,
+      "one row per unordered label pair")
+    // same integer-grid quantization and fold order as the engine
+    def centroid(l: Int): Array[Double] = {
+      val vs = emb.filter(_._1 == l).map(_._2)
+      Array.tabulate(vs.head.length) { d =>
+        vs.map(v => math.floor(v(d).toDouble * 1e9).toLong).sum.toDouble / vs.length / 1e9
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    rows.foreach { r =>
+      val (ca, cb) = (centroid(r.getInt(0)), centroid(r.getInt(1)))
+      val expected = dot(ca, cb) / (math.sqrt(dot(ca, ca)) * math.sqrt(dot(cb, cb)))
+      assert(r.getAs[Double]("cosine") === expected,
+        s"pair (${r.getInt(0)}, ${r.getInt(1)})")
+      assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-12)
+    }
+  }
+
   test("t10 sketch cardinality: HLL estimate within 5% of the exact distinct") {
     val rows = TextAnalysis.t10SketchCardinality(spark, sf).collect()
     assert(rows.nonEmpty)
