@@ -323,7 +323,7 @@ object Dedup {
     * edge — every other doc is a fixed singleton — so the loop runs on
     * the (tiny) near-dup subgraph, not the corpus. Shared by d06 (exact
     * edges) and d08 (LSH-candidate edges). */
-  private def minLabelComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not persist): persist caches DATA but keeps the
     // full logical lineage, so every round's plan embeds every previous
     // round PLUS the whole edge-derivation subtree — Catalyst re-optimizes

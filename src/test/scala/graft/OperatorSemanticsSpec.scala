@@ -319,6 +319,41 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("min-label propagation equals union-find components on adversarial + random graphs") {
+    def expected(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      // union-find with parent(maxRoot) = minRoot, so every root is the
+      // component minimum — the same labeling contract as the engine
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      es.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+    val rng = new scala.util.Random(20260812L)
+    val graphs: Seq[Seq[(Long, Long)]] =
+      Seq(
+        (0L until 14L).map(i => (i, i + 1)),             // chain: worst-case diameter
+        (1L to 10L).map(i => (0L, i)),                   // star: diameter 2
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L)) // multiple components
+      ) ++ (1 to 7).map { _ =>
+        Seq.fill(rng.nextInt(25) + 1)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+          .filter(e => e._1 != e._2) match {
+          case Nil => Seq((0L, 1L))
+          case l => l.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+        }
+      }
+    graphs.foreach { es =>
+      val got = Dedup.minLabelComponents(es.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected(es), s"edges: $es")
+    }
+  }
+
   test("s06 label affinity matches an independent centroid-cosine computation") {
     val rows = Similarity.s06LabelAffinity(spark, sf).collect()
     val emb = Tables.load(spark, sf, "embeddings").select("label", "embedding").collect()
