@@ -142,4 +142,27 @@ object CartSql {
       |HAVING increase > 0
       |ORDER BY increase DESC, cur.l_partkey ASC
       |LIMIT 100""".stripMargin)
+
+  /** q22 as SQL: analytic windows (lag, framed running sum, whole-partition
+    * sum, rank) in OVER-clause text — the §2.5 surface through the SQL
+    * entry path. */
+  def q22Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """WITH m AS (
+      |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY yr, mo)
+      |SELECT yr, mo,
+      |       CAST(rev AS DOUBLE) AS revenue,
+      |       CAST(lag(rev, 1) OVER (PARTITION BY yr ORDER BY mo ASC) AS DOUBLE)
+      |         AS prev_revenue,
+      |       CAST(rev - lag(rev, 1) OVER (PARTITION BY yr ORDER BY mo ASC) AS DOUBLE)
+      |         AS mom_delta,
+      |       CAST(sum(rev) OVER (PARTITION BY yr ORDER BY mo ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS ytd_revenue,
+      |       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE)
+      |         AS yr_share,
+      |       row_number() OVER (PARTITION BY yr ORDER BY rev DESC, mo ASC) AS rev_rank
+      |FROM m
+      |ORDER BY yr ASC, mo ASC""".stripMargin)
 }

@@ -37,6 +37,10 @@ class SqlParitySpec extends SparkSpec {
     sameRows(CartAnalytics.q12ExportJoin(spark, sf), CartSql.q12Sql(spark, sf))
   }
 
+  test("q22 SQL text (analytic windows: lag/framed sum/rank) == DataFrame builder") {
+    sameRows(CartAnalytics.q22WindowAnalytics(spark, sf), CartSql.q22Sql(spark, sf))
+  }
+
   test("q02 reference-literal shape (comma join + CASE canonical key + row_number " +
       "rank=1) == canonical least/greatest pair builder") {
     // the reference's own q02 text (py:197-213) re-expressed on the
