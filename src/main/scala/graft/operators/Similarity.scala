@@ -199,15 +199,19 @@ object Similarity {
 
   def s06LabelAffinity(spark: SparkSession, dir: String): DataFrame = {
     // persisted: both join sides read it, and unpersisted the corpus-wide
-    // explode+aggregate behind it would run twice (the t09 lesson)
+    // explode+aggregate behind it would run twice (the t09 lesson);
+    // norms hoisted to one per label (the normed() convention) instead of
+    // recomputed inside the L² pair rows
     val centArr = centroidArr(spark, dir)
+      .withColumn("nrm", sqrt(expr(ddot("cent", "cent"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = centArr.select(col("label").as("label_a"), col("cent").as("ca"))
-    val b = centArr.select(col("label").as("label_b"), col("cent").as("cb"))
+    val a = centArr.select(col("label").as("label_a"), col("cent").as("ca"),
+      col("nrm").as("na"))
+    val b = centArr.select(col("label").as("label_b"), col("cent").as("cb"),
+      col("nrm").as("nb"))
     a.join(broadcast(b), col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"),
-        (expr(ddot("ca", "cb")) /
-          (sqrt(expr(ddot("ca", "ca"))) * sqrt(expr(ddot("cb", "cb"))))).as("cosine"))
+        (expr(ddot("ca", "cb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("label_a").asc, col("label_b").asc)
   }
 
@@ -222,6 +226,23 @@ object Similarity {
 
   private def ddotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** The exact-integer-grid centroid build shared by the s04 and s06
+    * oracles — one definition so a quantization change can't drift
+    * between them (mirrors [[centroidArr]] on the Spark side). */
+  private val centroidCteSql: String =
+    """ex AS (
+      |  SELECT vec_id, label, i AS dim0, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+      |cent AS (
+      |  -- VARCHAR roundtrip: DuckDB sums BIGINT into HUGEINT, and its
+      |  -- direct wide-integer→DOUBLE cast is not correctly rounded above
+      |  -- 2^53; the string path is, matching Spark's BigDecimal cast
+      |  SELECT label, dim0,
+      |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
+      |           / count(*) / 1e9 AS c
+      |  FROM ex GROUP BY label, dim0),
+      |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
@@ -308,18 +329,7 @@ object Similarity {
          |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     "s04_centroid_outliers" ->
-      s"""WITH ex AS (
-         |  SELECT vec_id, label, i AS dim0, embedding[i]::DOUBLE AS v
-         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-         |cent AS (
-         |  -- VARCHAR roundtrip: DuckDB sums BIGINT into HUGEINT, and its
-         |  -- direct wide-integer→DOUBLE cast is not correctly rounded above
-         |  -- 2^53; the string path is, matching Spark's BigDecimal cast
-         |  SELECT label, dim0,
-         |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
-         |           / count(*) / 1e9 AS c
-         |  FROM ex GROUP BY label, dim0),
-         |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
+      s"""WITH $centroidCteSql,
          |dist AS (
          |  SELECT e.vec_id, e.label,
          |         list_reduce(list_transform(generate_series(1, len(e.embedding)),
@@ -332,21 +342,15 @@ object Similarity {
          |LIMIT $OutlierTopK""".stripMargin,
 
     "s06_label_affinity" ->
-      s"""WITH ex AS (
-         |  SELECT label, i AS dim0, embedding[i]::DOUBLE AS v
-         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-         |cent AS (
-         |  SELECT label, dim0,
-         |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
-         |           / count(*) / 1e9 AS c
-         |  FROM ex GROUP BY label, dim0),
-         |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label),
+      s"""WITH $centroidCteSql,
+         |cnorm AS (
+         |  SELECT label, cent, sqrt(${ddotSql("cent", "cent")}) AS nrm FROM centarr),
          |pairs AS (
-         |  SELECT a.label AS label_a, b.label AS label_b, a.cent AS ca, b.cent AS cb
-         |  FROM centarr a JOIN centarr b ON a.label < b.label)
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |         a.cent AS ca, b.cent AS cb, a.nrm AS na, b.nrm AS nb
+         |  FROM cnorm a JOIN cnorm b ON a.label < b.label)
          |SELECT label_a, label_b,
-         |       ${ddotSql("ca", "cb")}
-         |         / (sqrt(${ddotSql("ca", "ca")}) * sqrt(${ddotSql("cb", "cb")})) AS cosine
+         |       ${ddotSql("ca", "cb")} / (na * nb) AS cosine
          |FROM pairs
          |ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST""".stripMargin
   )
