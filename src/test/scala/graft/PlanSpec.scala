@@ -140,4 +140,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("collect_list(struct(vec_id"),
       s"per-(label,dim) vector collection is back — unbounded group memory:\n$plan")
   }
+
+  test("q22: orders scan reads only the two referenced columns") {
+    val plan = formatted(CartAnalytics.q22WindowAnalytics(spark, sf))
+    val scan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_orderdate")).getOrElse(fail("no orders scan found"))
+    assert(scan.contains("o_totalprice") && !scan.contains("o_orderstatus") &&
+      !scan.contains("o_custkey"),
+      s"monthly rollup must prune to (o_orderdate, o_totalprice):\n$scan")
+  }
+
+  test("q23: grouping sets plan one Expand over ONE orders scan, not a scan per set") {
+    val plan = formatted(CartAnalytics.q23GroupingSets(spark, sf))
+    val nExpand = plan.linesIterator.count(_.trim.matches("""\(\d+\) Expand.*"""))
+    val nScans = plan.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(nExpand === 1 && nScans === 1,
+      s"expected 1 Expand over 1 scan, got $nExpand/$nScans:\n$plan")
+  }
+
+  test("t10: HLL sketch partial-aggregates map-side (mergeable state, one shuffle)") {
+    val plan = formatted(TextAnalysis.t10SketchCardinality(spark, sf))
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"approx_count_distinct must partial-aggregate before the shuffle:\n$plan")
+  }
+
+  test("s06: the label-pair stage broadcasts (no shuffle of the centroid table)") {
+    val plan = formatted(Similarity.s06LabelAffinity(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"L-row centroid pairing should broadcast:\n$plan")
+  }
 }
