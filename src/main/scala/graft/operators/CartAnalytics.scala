@@ -619,9 +619,45 @@ object CartAnalytics {
         col("n_orders"), col("total_value"))
       .orderBy(col("gid").asc, col("o_orderpriority").asc, col("o_orderstatus").asc)
 
+  // ---------------------------------------------------------------------
+  // Q24 — referential-integrity audit: orphan counts for every foreign-key
+  // edge of the star schema in one result — the data-quality gate a
+  // pipeline runs before trusting its joins. Each edge is a left-anti
+  // join (no fan-out, no dedup) aggregated to a single row; the child
+  // side partial-counts and the parent side is a dimension (broadcast) or
+  // the already-shuffled fact key. UNION ALL of six 1-row aggregates.
+  // ---------------------------------------------------------------------
+  def q24IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    val nat = Tables.load(spark, dir, "nation")
+    Seq(
+      edge("orders->customer", ord(spark, dir).select(col("o_custkey")), "o_custkey",
+        Tables.load(spark, dir, "customer"), "c_custkey"),
+      edge("lineitem->orders", li(spark, dir).select(col("l_orderkey")), "l_orderkey",
+        ord(spark, dir), "o_orderkey"),
+      edge("lineitem->part", li(spark, dir).select(col("l_partkey")), "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"),
+      edge("customer->nation", Tables.load(spark, dir, "customer")
+        .select(col("c_nationkey")), "c_nationkey", nat, "n_nationkey"),
+      edge("supplier->nation", Tables.load(spark, dir, "supplier")
+        .select(col("s_nationkey")), "s_nationkey", nat, "n_nationkey"),
+      edge("nation->region", nat.select(col("n_regionkey")), "n_regionkey",
+        Tables.load(spark, dir, "region"), "r_regionkey")
+    ).reduce(_ unionAll _)
+      .orderBy(col("fk_edge").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_window_analytics" -> q22WindowAnalytics _,
     "q23_grouping_sets" -> q23GroupingSets _,
+    "q24_integrity_audit" -> q24IntegrityAudit _,
     "q18_rollup" -> q18Rollup _,
     "q19_setops" -> q19SetOps _,
     "q20_pivot_matrix" -> q20PivotMatrix _,
@@ -649,6 +685,39 @@ object CartAnalytics {
     s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q24_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders->customer' AS fk_edge,
+        |         (SELECT count(*) FROM orders) AS n_rows,
+        |         (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer WHERE o_custkey = c_custkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem->orders',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders WHERE l_orderkey = o_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |            (SELECT 1 FROM part WHERE l_partkey = p_partkey))
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |         (SELECT count(*) FROM customer),
+        |         (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |            (SELECT 1 FROM nation WHERE c_nationkey = n_nationkey))
+        |  UNION ALL
+        |  SELECT 'supplier->nation',
+        |         (SELECT count(*) FROM supplier),
+        |         (SELECT count(*) FROM supplier WHERE NOT EXISTS
+        |            (SELECT 1 FROM nation WHERE s_nationkey = n_nationkey))
+        |  UNION ALL
+        |  SELECT 'nation->region',
+        |         (SELECT count(*) FROM nation),
+        |         (SELECT count(*) FROM nation WHERE NOT EXISTS
+        |            (SELECT 1 FROM region WHERE n_regionkey = r_regionkey)))
+        |ORDER BY fk_edge ASC NULLS FIRST""".stripMargin,
+
     "q22_window_analytics" ->
       """WITH m AS (
         |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -319,6 +319,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q24 integrity audit matches independently computed orphan counts") {
+    val rows = CartAnalytics.q24IntegrityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("orders->customer", "lineitem->orders",
+      "lineitem->part", "customer->nation", "supplier->nation", "nation->region"))
+    rows.values.foreach { case (n, o) => assert(o >= 0 && o <= n) }
+    // independent recompute of one fact edge via set difference
+    val lo = Tables.load(spark, sf, "lineitem").select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val ok = Tables.load(spark, sf, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows("lineitem->orders") === ((lo.length.toLong, lo.count(!ok.contains(_)).toLong)))
+  }
+
   test("min-label propagation equals union-find components on adversarial + random graphs") {
     def expected(es: Seq[(Long, Long)]): Map[Long, Long] = {
       // union-find with parent(maxRoot) = minRoot, so every root is the
