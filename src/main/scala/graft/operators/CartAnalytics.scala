@@ -627,15 +627,25 @@ object CartAnalytics {
   // side partial-counts and the parent side is a dimension (broadcast) or
   // the already-shuffled fact key. UNION ALL of six 1-row aggregates.
   // ---------------------------------------------------------------------
+  /** One FK edge of the audit: total child rows + orphans (children whose
+    * key matches no parent). Left-anti is fan-out-proof regardless of
+    * parent-key duplication, and counts a NULL child key as an orphan
+    * (matching NOT EXISTS, not NOT IN). private[graft] so the spec can
+    * exercise it on fixtures that actually CONTAIN orphans — the shipped
+    * testdata is referentially intact everywhere. */
+  private[graft] def fkEdgeAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.join(parent.select(col(parentKey)),
+      col(childKey) === col(parentKey), "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+  }
+
   def q24IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, childKey: String,
-        parent: DataFrame, parentKey: String): DataFrame = {
-      val orphans = child.join(parent.select(col(parentKey)),
-        col(childKey) === col(parentKey), "left_anti")
-      child.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
-    }
+        parent: DataFrame, parentKey: String): DataFrame =
+      fkEdgeAudit(name, child, childKey, parent, parentKey)
     val nat = Tables.load(spark, dir, "nation")
     Seq(
       edge("orders->customer", ord(spark, dir).select(col("o_custkey")), "o_custkey",

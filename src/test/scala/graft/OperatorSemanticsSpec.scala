@@ -333,6 +333,21 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows("lineitem->orders") === ((lo.length.toLong, lo.count(!ok.contains(_)).toLong)))
   }
 
+  test("q24 edge audit detects injected orphans (incl. NULL keys) and survives dup parents") {
+    // the shipped testdata is referentially intact (0 orphans on every
+    // edge at every sf), so the detection logic needs a fixture that is
+    // actually broken: 2 orphan keys + 1 NULL key, and a duplicated
+    // parent key that must NOT inflate n_rows via join fan-out
+    val child = Seq(Some(1L), Some(2L), Some(99L), Some(98L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // pk=1 duplicated
+    val row = CartAnalytics.fkEdgeAudit("fixture", child, "ck", parent, "pk")
+      .collect().head
+    assert(row.getString(0) === "fixture")
+    assert(row.getLong(1) === 5L, "n_rows must be the raw child count, no fan-out")
+    assert(row.getLong(2) === 3L, "orphans = {99, 98, NULL}")
+  }
+
   test("min-label propagation equals union-find components on adversarial + random graphs") {
     def expected(es: Seq[(Long, Long)]): Map[Long, Long] = {
       // union-find with parent(maxRoot) = minRoot, so every root is the

@@ -169,4 +169,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"L-row centroid pairing should broadcast:\n$plan")
   }
+
+  test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
+    val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
+    val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
+    assert(nAnti >= 6, s"expected 6 anti joins, got $nAnti:\n$plan")
+    val nBroadcast = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*"""))
+    assert(nBroadcast >= 4, s"dim-edge anti joins should broadcast, got $nBroadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
 }
