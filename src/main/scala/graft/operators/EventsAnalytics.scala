@@ -146,7 +146,20 @@ object EventsAnalytics {
       .orderBy(col("event_type").asc, col("hour_start").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e07 — the STREAMING windowed-count transform, driven in batch mode:
+  // graft.streaming.EventStreams.windowedCounts is one function over both
+  // execution modes (the Structured Streaming model), so the oracle row
+  // exercises the exact code path the incremental query runs — watermark
+  // declaration, window() bucketing, decimal-accumulated totals — with
+  // DuckDB recomputing the tumbling hour windows relationally.
+  // ---------------------------------------------------------------------
+  def e07WindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.windowedCounts(Tables.load(spark, dir, "events"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_windowed_counts" -> e07WindowedCounts _,
     "e01_sessionize" -> e01Sessionize _,
     "e02_props_stats" -> e02PropsStats _,
     "e03_hourly_agg" -> e03HourlyAgg _,
@@ -158,6 +171,14 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e07_windowed_counts" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start,
+         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         |       event_type, count(*) AS n_events,
+         |       $valueSumSql AS total_value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
     "e01_sessionize" ->
       s"""WITH x AS (
          |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL

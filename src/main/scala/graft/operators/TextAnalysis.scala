@@ -244,18 +244,33 @@ object TextAnalysis {
   // countDistinct it approximates. At 100 TB the exact distinct shuffles
   // every distinct value; the HLL sketch is fixed-size mergeable state
   // (kilobytes per group) that partial-aggregates map-side — the only
-  // one-pass way to count distincts over a web corpus. No DuckDB oracle:
-  // DuckDB's approx_distinct is a different estimator, so the driver
-  // records the rows-only check and OperatorSemanticsSpec pins the
-  // relative error instead.
+  // one-pass way to count distincts over a web corpus.
+  //
+  // Oracle shape: DuckDB's approx_distinct is a DIFFERENT estimator, so
+  // the raw HLL value cannot be oracle-compared. Instead the exact
+  // columns are oracle-computed, and the estimate ships as the CLAIM it
+  // exists to make — `hll_within_5pct` — which the oracle asserts TRUE:
+  // an HLL drift past 5% relative error fails the driver row, not just
+  // the (tighter) spec pin in OperatorSemanticsSpec.
   // ---------------------------------------------------------------------
-  def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
+  val SketchTolerance = 0.05
+
+  /** The raw sketch-beside-exact aggregate; OperatorSemanticsSpec pins
+    * the estimate's relative error on this frame directly. */
+  private[graft] def t10Raw(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("exact_distinct_texts"),
         approx_count_distinct(col("text"), 0.01).as("approx_distinct_texts"))
+
+  def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
+    t10Raw(spark, dir)
+      .select(col("source"), col("n_docs"), col("exact_distinct_texts"),
+        (abs(col("approx_distinct_texts") - col("exact_distinct_texts"))
+          .cast("double") / col("exact_distinct_texts") <= SketchTolerance)
+          .as("hll_within_5pct"))
       .orderBy(col("source").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,6 +307,13 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t10_sketch_cardinality" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT text) AS exact_distinct_texts,
+        |       TRUE AS hll_within_5pct
+        |FROM documents GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     "t01_language_id" ->
       """WITH bigrams AS (
         |  SELECT doc_id, lang,

@@ -409,7 +409,7 @@ class OperatorSemanticsSpec extends SparkSpec {
   }
 
   test("t10 sketch cardinality: HLL estimate within 5% of the exact distinct") {
-    val rows = TextAnalysis.t10SketchCardinality(spark, sf).collect()
+    val rows = TextAnalysis.t10Raw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_distinct_texts")
@@ -419,6 +419,9 @@ class OperatorSemanticsSpec extends SparkSpec {
         s"source ${r.getString(0)}: approx $approx vs exact $exact")
       assert(exact <= r.getAs[Long]("n_docs"))
     }
+    // the driver-facing claim column must hold wherever the spec runs too
+    assert(TextAnalysis.t10SketchCardinality(spark, sf).collect()
+      .forall(_.getAs[Boolean]("hll_within_5pct")))
   }
 
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
