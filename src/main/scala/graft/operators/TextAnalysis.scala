@@ -288,22 +288,59 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------------
   // t07 — stratified downsampling (domain mixing): equal docs per
-  // language, chosen deterministically by content-hash rank within each
-  // stratum — the "balance the mixture" step of corpus assembly. The
-  // stratum quota is the smallest language's count (computed in-query);
-  // ranking is a per-stratum window over a hash, so the selection is
-  // reproducible and partition-independent like t05.
+  // language — per stratum, the `quota` docs with the smallest
+  // (content-hash, doc_id) key, so the selection is reproducible and
+  // partition-independent like t05 (quota = smallest language's count,
+  // computed in-query).
+  //
+  // Selection is distributed-selection via a hash histogram, NOT a
+  // per-stratum row_number window: with a handful of languages, a window
+  // partitioned by `lang` funnels corpus/L rows through ONE reducer — a
+  // guaranteed single-task OOM at web scale. Instead:
+  //   1. bucket the hash domain into B ordered slices (monotone in h, so
+  //      bucket order == hash order) and build the (lang, bucket)
+  //      histogram — one map-combinable aggregate, ≤ L×B rows;
+  //   2. a running sum over the histogram (window input bounded by B
+  //      rows per stratum, never by corpus size) finds each stratum's
+  //      boundary bucket and how many docs it still needs from it;
+  //   3. docs in buckets below the boundary are selected outright; the
+  //      exact (h, doc_id) rank runs ONLY inside the boundary bucket —
+  //      ~stratumSize/B rows per stratum, bounded by the bucket width.
+  // The result is bit-identical to the naive rank (bucket order refines
+  // hash order), so the DuckDB oracle keeps the simple row_number form.
   // ---------------------------------------------------------------------
+  val SampleBuckets = 4096
+
   def t07StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n"))).first().getLong(0)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(h31(col("text")).asc, col("doc_id").asc)
-    docs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= quota)
+    // h ∈ [0, P31); bucket = ⌊h·B/P31⌋ ∈ [0, B) is monotone in h and
+    // h·B < 2^43 — no 64-bit overflow
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        h31(col("text")).as("h"))
+      .withColumn("bucket", expr(s"(h * $SampleBuckets) DIV $P31"))
+    val hist = keyed.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("lang")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the unique bucket per stratum where the cumulative count crosses
+    // the quota; `need` = docs still owed from inside it
+    val boundary = hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wc), lit(0L)))
+      .where(col("cum_before") < quota && col("cum_before") + col("c") >= quota)
+      .select(col("lang"), col("bucket").as("b_bucket"),
+        (lit(quota) - col("cum_before")).as("need"))
+    val withB = keyed.join(broadcast(boundary), Seq("lang"))
+    val below = withB.where(col("bucket") < col("b_bucket"))
       .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id").asc)
+    // exact rank only over the boundary bucket's rows (bounded by the
+    // bucket width, not the stratum size)
+    val wb = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    val atBoundary = withB.where(col("bucket") === col("b_bucket"))
+      .withColumn("rk", row_number().over(wb))
+      .where(col("rk") <= col("need"))
+      .select(col("doc_id"), col("lang"), col("source"))
+    below.unionAll(atBoundary).orderBy(col("doc_id").asc)
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -164,6 +164,26 @@ class PlanSpec extends SparkSpec {
       s"approx_count_distinct must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("t07: no window ranks a raw stratum — every window input is histogram- or bucket-bounded") {
+    // the few-key hazard one step past the zero-partition check: a window
+    // partitioned by a bounded-cardinality stratum column (lang) directly
+    // over the corpus puts stratumSize rows on ONE reducer. In t07 every
+    // window must instead consume either an Aggregate (the L×B histogram)
+    // or a Join (the boundary-bucket restriction) — a window whose child
+    // subtree reaches the scan without one of those is the anti-pattern.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val plan = TextAnalysis.t07StratifiedSample(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "t07 should still rank inside the boundary bucket")
+    windows.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case _: Aggregate => (); case _: Join => ()
+      }.isDefined
+      assert(bounded,
+        s"window over an unbounded stratum partition:\n${w.treeString.take(1500)}")
+    }
+  }
+
   test("s06: the label-pair stage broadcasts (no shuffle of the centroid table)") {
     val plan = formatted(Similarity.s06LabelAffinity(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
