@@ -387,8 +387,13 @@ object Dedup {
   // overlap an evaluation set (doc_id % 10 == 0 stands in for the
   // benchmark corpus). The classic train/test-leak check: inverted-index
   // join from eval shingles into the training corpus, scored by overlap
-  // fraction of the eval doc. At 100 TB the eval side is small —
-  // broadcast — and the training side streams through one shuffle.
+  // fraction of the eval doc. At 100 TB the eval side is small — an eval
+  // benchmark is a fixed set, not a corpus fraction — so the hint BELOW
+  // pins the broadcast instead of asserting it in a comment: the train
+  // side streams through the join with NO shuffle at all (PlanSpec
+  // asserts the BroadcastHashJoin). The %10 stand-in makes the eval side
+  // atypically large at bench scale; measured, the broadcast still wins
+  // there (PERF.md), and at real scale it is the only sane plan.
   // ---------------------------------------------------------------------
   val ContaminationThreshold = 0.3
 
@@ -399,7 +404,7 @@ object Dedup {
     val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
     val train = sh.where(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    val overlap = eval_.join(train, Seq("shingle"))
+    val overlap = broadcast(eval_).join(train, Seq("shingle"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val frac = col("shared").cast("double") / col("n_eval")

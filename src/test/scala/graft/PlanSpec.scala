@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d07: the eval-side contamination join is broadcast (train side never shuffles)") {
+    val plan = formatted(Dedup.d07Contamination(spark, sf))
+    assert(plan.linesIterator.exists(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")),
+      s"eval⋈train must broadcast the eval shingles:\n$plan")
+  }
+
   test("d04: banded candidate generation — no cartesian / nested-loop pair join") {
     val plan = formatted(Dedup.d04Simhash(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
