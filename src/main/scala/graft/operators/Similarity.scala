@@ -69,24 +69,96 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
-  // s03 — IVF (inverted-file) ANN: partition the corpus into K cells
-  // around fixed centroid vectors (deterministically the first K vectors,
-  // standing in for trained k-means centroids), then search only the
-  // query's nearest cell. At 100 TB this is the classic two-level index:
-  // the centroid table broadcasts (K rows), cell assignment is one map
-  // pass, and each probe touches 1/K of the corpus via a cell-equi join.
+  // s03 — IVF (inverted-file) ANN over TRAINED centroids: the corpus is
+  // partitioned into K cells around k-means centroids fitted by a fixed
+  // number of deterministic Lloyd iterations (below), then each query
+  // searches only its nearest cell. At 100 TB this is the classic
+  // two-level index: the centroid table broadcasts (K rows), cell
+  // assignment is one map pass, and each probe touches 1/K of the corpus
+  // via a cell-equi join.
   // ---------------------------------------------------------------------
   val IvfCells = 8
+  val IvfIters = 2
+
+  /** Double-precision fold dot for mixed float-array × double-array
+    * inputs (centroid distances): identical left-to-right IEEE summation
+    * to [[dotSql]]'s list_reduce, so training is oracle-mirrorable. Off
+    * the per-pair hot path (corpus×K rows, not corpus×corpus), where the
+    * codegen'd graft_dot matters. */
+  private def ddotMixed(fa: String, da: String): String =
+    s"aggregate(zip_with($fa, $da, (x, y) -> cast(x AS double) * y), " +
+      "cast(0.0 AS double), (acc, q) -> acc + q)"
+
+  /** k-means centroids trained with [[IvfIters]] deterministic Lloyd
+    * iterations: seeded from the first K vectors (cast to double), each
+    * round reassigns every vector to its argmax-cosine centroid
+    * (tiebreak cent_id asc) and recomputes cell means on the exact
+    * integer 1e-9 grid (the s04 quantization contract — floor(x·1e9)
+    * summed in DECIMAL(38,0), one double cast at the end), so both
+    * engines produce bit-identical centroids and the DuckDB oracle
+    * unrolls the loop CTE-for-CTE. A cell that loses every member
+    * vanishes — deterministically on both engines. Scale: each round is
+    * one broadcast-assign map pass plus one (cell, dim) partial
+    * aggregate; nothing is corpus-quadratic, and the fixed unrolled
+    * iteration count keeps plan depth constant (no checkpoint needed). */
+  /** Iteration-0 centroids: the first K vectors, cast to double arrays —
+    * the deterministic seed Lloyd refines (and the spec's untrained
+    * baseline). */
+  private[graft] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir).where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("ce"))
+      .withColumn("cn", sqrt(expr(ddot("ce", "ce"))))
+
+  /** The spherical k-means objective under a centroid set: mean over the
+    * corpus of each vector's best cosine to any centroid. What Lloyd
+    * training exists to increase; OperatorSemanticsSpec asserts trained >
+    * seed (measured 0.187 → 0.255 at sf0.001, monotone per iteration at
+    * every sf — see PERF.md). */
+  private[graft] def ivfObjective(spark: SparkSession, dir: String, cents: DataFrame): Double = {
+    val v = normed(spark, dir)
+    v.join(broadcast(cents))
+      .select(col("vec_id"),
+        (expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))).as("cc"))
+      .groupBy(col("vec_id")).agg(max(col("cc")).as("m"))
+      .agg(avg(col("m"))).first().getDouble(0)
+  }
+
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    var cents = seedCentroids(spark, dir)
+    (1 to IvfIters).foreach { _ =>
+      val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
+      val assigned = v.join(broadcast(cents))
+        .withColumn("cr", row_number().over(wCell))
+        .where(col("cr") === 1)
+        .select(col("cent_id"), col("embedding"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .groupBy(col("cent_id"), col("dim0"))
+        .agg((sum(floor(col("x").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)").as("ce"))
+        .withColumn("cn", sqrt(expr(ddot("ce", "ce"))))
+    }
+    cents
+  }
+
+  /** Corpus rows ranked by trained-centroid cosine (cr = 1 is the home
+    * cell) — the shared assignment stage of s03 (cr = 1 only) and s05
+    * (queries also probe cr ≤ NProbe). */
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
+    v.join(broadcast(trainedCentroids(spark, dir)))
+      .withColumn("cr", row_number().over(wCell))
+  }
 
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
-    val cents = v.where(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val centCos = expr(dotExpr.format("embedding", "ce")) / (col("nrm") * col("cn"))
-    // cell = argmax-cosine centroid, deterministic tiebreak on cent_id
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
-    val assigned = v.join(broadcast(cents))
-      .withColumn("cr", row_number().over(wCell))
+    val assigned = cellRanked(spark, dir)
       .where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
@@ -116,13 +188,7 @@ object Similarity {
   val NProbe = 2
 
   def s05AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
-    val cents = v.where(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val centCos = expr(dotExpr.format("embedding", "ce")) / (col("nrm") * col("cn"))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
-    val ranked = v.join(broadcast(cents))
-      .withColumn("cr", row_number().over(wCell))
+    val ranked = cellRanked(spark, dir)
     val assigned = ranked.where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
@@ -227,6 +293,42 @@ object Similarity {
   private def ddotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** DuckDB mirror of [[trainedCentroids]]: the Lloyd loop unrolled
+    * CTE-for-CTE (seed c0 → assign a_i → exact-grid means m_i → c_i),
+    * ending in `cents(cent_id, ce, cn)`. Shared verbatim by the s03 and
+    * s05 oracles so the two indexes cannot train apart. The VARCHAR
+    * roundtrip on the wide integer sum is the established DuckDB
+    * correct-rounding workaround (see centroidCteSql). */
+  private def lloydCentSql: String = {
+    val seed =
+      s"""c0 AS (
+         |  SELECT vec_id AS cent_id, list_transform(e, x -> x::DOUBLE) AS ce
+         |  FROM v WHERE vec_id < $IvfCells),
+         |c0n AS (SELECT cent_id, ce, sqrt(${ddotSql("ce", "ce")}) AS cn FROM c0)""".stripMargin
+    val iters = (1 to IvfIters).map { i =>
+      val prev = s"c${i - 1}n"
+      s"""a$i AS (
+         |  SELECT cent_id AS cell, e FROM (
+         |    SELECT v.vec_id, v.e, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN $prev c)
+         |  WHERE cr = 1),
+         |ex$i AS (
+         |  SELECT cell, i AS dim0, e[i]::DOUBLE AS x
+         |  FROM a$i, unnest(generate_series(1, len(e))) AS t(i)),
+         |m$i AS (
+         |  SELECT cell AS cent_id, dim0,
+         |         CAST(CAST(sum(floor(x * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
+         |           / count(*) / 1e9 AS c
+         |  FROM ex$i GROUP BY 1, 2),
+         |c$i AS (SELECT cent_id, list(c ORDER BY dim0) AS ce FROM m$i GROUP BY cent_id),
+         |c${i}n AS (SELECT cent_id, ce, sqrt(${ddotSql("ce", "ce")}) AS cn FROM c$i)""".stripMargin
+    }
+    (seed +: iters).mkString(",\n") + s",\ncents AS (SELECT * FROM c${IvfIters}n)"
+  }
+
   /** The exact-integer-grid centroid build shared by the s04 and s06
     * oracles — one definition so a quantization change can't drift
     * between them (mirrors [[centroidArr]] on the Spark side). */
@@ -279,7 +381,7 @@ object Similarity {
 
     "s03_ann_ivf" ->
       s"""WITH $normedSql,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < $IvfCells),
+         |$lloydCentSql,
          |assigned AS (
          |  SELECT vec_id, e, nrm, label, cell FROM (
          |    SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
@@ -304,7 +406,7 @@ object Similarity {
 
     "s05_ann_ivf_multiprobe" ->
       s"""WITH $normedSql,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < $IvfCells),
+         |$lloydCentSql,
          |rankedcells AS (
          |  SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
          |         row_number() OVER (PARTITION BY v.vec_id

@@ -171,6 +171,24 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(r5.values.sum >= r3.values.sum)
   }
 
+  test("Lloyd training strictly improves the spherical k-means objective over the seed index") {
+    // the objective (mean best-cosine to any centroid) is what IVF
+    // training exists to raise: a higher value means vectors sit closer
+    // to their cell centroid, i.e. tighter cells at the same probe cost.
+    // (Top-5 recall on this synthetic near-uniform fixture is flat within
+    // ±1 pair of the 50-pair truth — documented in PERF.md — so recall is
+    // NOT the pinned quantity; the objective is deterministic and moves
+    // decisively: 0.187 → 0.255 at sf0.001.)
+    val seedObj = Similarity.ivfObjective(spark, sf, Similarity.seedCentroids(spark, sf))
+    val trainedObj = Similarity.ivfObjective(spark, sf, Similarity.trainedCentroids(spark, sf))
+    assert(trainedObj > seedObj + 0.01,
+      s"training must improve the k-means objective: seed=$seedObj trained=$trainedObj")
+    // every cell must survive on this fixture and cells stay a partition
+    val cells = Similarity.trainedCentroids(spark, sf).collect()
+    assert(cells.length == Similarity.IvfCells)
+    assert(cells.map(_.getAs[Long]("cent_id")).distinct.length == cells.length)
+  }
+
   test("hash sample is deterministic across runs (content-keyed, not partition-keyed)") {
     // partition independence is covered end-to-end by the local[5] gate;
     // here: repeat runs agree and the predicate is a pure content hash
