@@ -54,6 +54,52 @@ object Multimodal {
     }
   }
 
+  /** The second, REAL decoder proving the plug-point: parses the
+    * uncompressed 24-bpp Windows BMP container (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up rows, 4-byte row alignment) with pure
+    * JVM code — the one raster format decodable without native libs.
+    * Features: [width, height, bpp, meanBlue, meanGreen, meanRed,
+    * valid-flag, pixelCount]. Malformed input yields the all-zero
+    * vector instead of throwing: a 100 TB decode job must quarantine
+    * bad blobs, not die on the first one. Swapping FakeDecoder for this
+    * changes ONE argument of [[extractFeatures]]; MultimodalSpec runs
+    * both through the identical pipeline and plan. */
+  object BmpDecoder extends Decoder {
+    val dim = 8
+    val HeaderBytes = 54
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes.length < HeaderBytes || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+        return out
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = buf.getInt(10)
+      val width = buf.getInt(18)
+      val height = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      if (bpp != 24 || width <= 0 || height <= 0 || dataOffset < HeaderBytes ||
+        dataOffset.toLong + rowBytes.toLong * height > bytes.length) return out
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var y = 0
+      while (y < height) {
+        val base = dataOffset + y * rowBytes
+        var x = 0
+        while (x < width) {
+          sb += bytes(base + 3 * x) & 0xff
+          sg += bytes(base + 3 * x + 1) & 0xff
+          sr += bytes(base + 3 * x + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      out(0) = width.toFloat; out(1) = height.toFloat; out(2) = bpp.toFloat
+      out(3) = sb.toFloat / n; out(4) = sg.toFloat / n; out(5) = sr.toFloat / n
+      out(6) = 1f; out(7) = n.toFloat
+      out
+    }
+  }
+
   /** Synthesize a media-asset Dataset from `documents` (deterministic:
     * the blob is the UTF-8 text — a stand-in for real image bytes). */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

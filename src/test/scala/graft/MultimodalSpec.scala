@@ -70,4 +70,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.m01MediaFeatures(spark, sf).count() > 0)
     assert(Multimodal.m02FrameSample(spark, sf).count() > 0)
   }
+
+  /** Encode a bottom-up 24-bpp BMP the way any real writer does (54-byte
+    * header + 4-byte-aligned rows), so BmpDecoder is exercised against
+    * genuine container bytes, not its own assumptions. */
+  private def bmp(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h; x <- 0 until w) {
+      val y = h - 1 - row // bottom-up storage: file row 0 is image bottom
+      val (r, g, b) = px(x, y)
+      buf.position(54 + row * rowBytes + 3 * x)
+      buf.put(b.toByte).put(g.toByte).put(r.toByte)
+    }
+    buf.array()
+  }
+
+  test("the Decoder plug-point: a second, real decoder (BMP parse) through the same pipeline") {
+    import spark.implicits._
+    val red = bmp(4, 2)((_, _) => (255, 0, 0))
+    val grad = bmp(5, 3)((x, y) => (10 * x, 20 * y, 7))
+    val ds = Seq(
+      MediaAsset(1L, "image", red, MediaMeta("image/bmp", 4, 2, red.length.toLong)),
+      MediaAsset(2L, "image", grad, MediaMeta("image/bmp", 5, 3, grad.length.toLong)),
+      MediaAsset(3L, "image", "not a bmp".getBytes, MediaMeta("image/bmp", 0, 0, 9L))).toDS()
+    val real = extractFeatures(ds, BmpDecoder).collect().map(f => f.asset_id -> f).toMap
+    // asset 1: solid red 4x2 — exact header fields and channel means
+    assert(real(1L).embedding.toSeq === Seq[Float](4f, 2f, 24f, 0f, 0f, 255f, 1f, 8f))
+    // asset 2: means over the gradient, exact integer arithmetic
+    val n = 5 * 3
+    val meanR = (0 until 5).map(10 * _).sum * 3f / n
+    val meanG = (0 until 3).map(20 * _).sum * 5f / n
+    assert(real(2L).embedding.toSeq === Seq[Float](5f, 3f, 24f, 7f, meanG, meanR, 1f, n.toFloat))
+    // asset 3: malformed input quarantines to the zero vector, no throw
+    assert(real(3L).embedding.forall(_ === 0f))
+    // the byte stats come from the shared pipeline, decoder-independent
+    assert(real(1L).n_bytes === red.length.toLong)
+    // same bytes through the FAKE decoder: identical pipeline, different
+    // features — proving extractFeatures is decoder-parametric
+    val fake = extractFeatures(ds, FakeDecoder).collect().map(f => f.asset_id -> f).toMap
+    assert(fake(1L).embedding.toSeq !== real(1L).embedding.toSeq)
+    assert(fake(1L).n_bytes === real(1L).n_bytes && fake(1L).mean_byte === real(1L).mean_byte)
+    // and an identical optimized plan shape (one mapPartitions pipeline)
+    def shape(d: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      d.queryExecution.optimizedPlan.collect { case p => p.nodeName }
+    assert(shape(extractFeatures(ds, BmpDecoder)) === shape(extractFeatures(ds, FakeDecoder)))
+  }
 }
