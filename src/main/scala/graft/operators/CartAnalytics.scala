@@ -91,11 +91,18 @@ object CartAnalytics {
   // l_orderkey partitioning as the pair join (no extra shuffle).
   // ---------------------------------------------------------------------
   /** Lines of abandoned orders — q02's pair-stage input (shared with the
-    * SQL-text parity lock in SqlParitySpec). */
+    * SQL-text parity lock in SqlParitySpec). The join rides
+    * [[graft.plans.Scale.skewAwareJoin]]: a hot order (one key holding
+    * ≥1M line rows) would concentrate the subsequent pair blowup on one
+    * reducer, so the big side salts when the deterministic skew probe
+    * says so — and stays a plain equi-join otherwise (TPC-H-shaped data
+    * tops out at ~7 lines/order, so the bench path never pays the salt
+    * fan-out). Result is branch-independent; the oracle is unchanged. */
   private[graft] def q02AbandonedLines(spark: SparkSession, dir: String): DataFrame =
-    li(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-      .join(ord(spark, dir).where(abandoned).select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"))
+    graft.plans.Scale.skewAwareJoin(
+      li(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+      ord(spark, dir).where(abandoned).select(col("o_orderkey").as("l_orderkey")),
+      "l_orderkey")
       .select(col("l_orderkey"), col("l_partkey"))
 
   /** Canonical co-abandonment pair stage: unordered (a,b) pairs via

@@ -19,6 +19,40 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skew-aware join salts on a skewed fixture, stays plain otherwise, same result") {
+    // 90% of 20k rows share one hot key → the 1/64 row sample must see it
+    val big = spark.range(20000)
+      .select(when($"id" % 10 === 0, $"id").otherwise(lit(7L)).as("k"), $"id".as("payload"))
+    val small = Seq((7L, "hot"), (0L, "a"), (10L, "b"), (20L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select($"k", $"payload", $"name")
+    // threshold below the hot key's ~18k rows → salted branch
+    val skewed = Scale.skewAwareJoin(big, small, "k", rowThreshold = 5000L, salt = 8)
+      .select($"k", $"payload", $"name")
+    assert(skewed.queryExecution.analyzed.toString.contains("__salt"),
+      "the skewed fixture must take the salted branch")
+    assert(skewed.count() === plain.count())
+    assert(skewed.exceptAll(plain).isEmpty && plain.exceptAll(skewed).isEmpty)
+    // threshold above any key's count → plain equi-join, no salt fan-out
+    val unsalted = Scale.skewAwareJoin(big, small, "k", rowThreshold = 100000L, salt = 8)
+    assert(!unsalted.queryExecution.analyzed.toString.contains("__salt"),
+      "an unskewed decision must not pay the salt fan-out")
+    assert(unsalted.select($"k", $"payload", $"name").count() === plain.count())
+  }
+
+  test("q02's production path goes through the skew-aware join (plain branch on TPC-H shape)") {
+    // the deployed site: q02AbandonedLines must produce the same rows as
+    // the direct equi-join it wraps, and on ~7-lines-per-order data the
+    // probe must choose the plain branch (no salt fan-out in the plan)
+    val lines = graft.operators.CartAnalytics.q02AbandonedLines(spark, sf)
+    assert(!lines.queryExecution.analyzed.toString.contains("__salt"))
+    val li = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_partkey")
+    val ab = Tables.load(spark, sf, "orders")
+      .where($"o_orderstatus" === "O").select($"o_orderkey")
+    val direct = li.join(ab, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_partkey")
+    assert(lines.exceptAll(direct).isEmpty && direct.exceptAll(lines).isEmpty)
+  }
+
   test("two-phase top-k per key equals the single-window top-k") {
     val df = spark.range(5000).select(
       ($"id" % 13).as("g"), ($"id" * 2654435761L % 1000003L).as("score"), $"id")
