@@ -20,8 +20,15 @@ object Clean {
     * is renamed aside (not dropped) before staging takes its name, so a
     * crash mid-swap leaves either the original (under `__old`) or both —
     * never zero copies. The `__old` drop is last and best-effort.
+    *
+    * `bucket = Some((key, n))` writes the staging table bucketed+sorted
+    * on `key`: the rewrite is already a full-table write, so hashing the
+    * rows into buckets on the way out is free relative to the IO, and
+    * every later equi-join on `key` against an equally-bucketed table
+    * plans with no exchange (Pipeline's orders⋈lineitem).
     */
-  def rewriteTable(spark: SparkSession, db: String, table: String)(
+  def rewriteTable(spark: SparkSession, db: String, table: String,
+      bucket: Option[(String, Int)] = None)(
       transform: DataFrame => DataFrame): Unit = {
     val fq = s"`$db`.`$table`"
     val staging = s"`$db`.`${table}__staging`"
@@ -30,8 +37,10 @@ object Clean {
     // warehouse dir) from a previous crashed run before writing
     Ingest.dropTableAndLocation(spark, db, s"${table}__staging")
     Ingest.dropTableAndLocation(spark, db, s"${table}__old")
-    transform(spark.table(fq))
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
+    val writer = transform(spark.table(fq))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+    bucket.fold(writer) { case (key, n) => writer.bucketBy(n, key).sortBy(key) }
+      .saveAsTable(staging)
     spark.sql(s"ALTER TABLE $fq RENAME TO $old")
     try spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
     catch {

@@ -28,4 +28,25 @@ class PipelineSpec extends SparkSpec {
     assert(lines.get(0).split("\\|").length === 7)
     assert(lines.size.toLong === res.reportRows + 1)
   }
+
+  test("fact tables are bucketed: orders⋈lineitem plans with no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val report = Files.createTempDirectory("graft-pipe").resolve("report.txt").toString
+    Pipeline.run(spark, sf, "pipedb_b", report)
+    // broadcast disabled so the fact join can't dodge the question — the
+    // co-bucketed layout itself must make the sort-merge join
+    // exchange-free on BOTH sides
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("`pipedb_b`.`lineitem`")
+        .join(spark.table("`pipedb_b`.`orders`"),
+          col("l_orderkey") === col("o_orderkey"), "right_outer")
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge fact join:\n$plan")
+      assert(!plan.linesIterator.exists(_.trim.matches("""\(\d+\) Exchange\b.*""")),
+        s"bucketed fact join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
