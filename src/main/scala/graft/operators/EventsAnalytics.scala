@@ -158,8 +158,20 @@ object EventsAnalytics {
     graft.streaming.EventStreams.windowedCounts(Tables.load(spark, dir, "events"))
       .orderBy(col("window_start").asc, col("event_type").asc)
 
+  // ---------------------------------------------------------------------
+  // e08 — the streaming SLIDING-window transform in batch mode: every
+  // event lands in window/slide = 6 overlapping hour windows. The DuckDB
+  // oracle rebuilds Spark's epoch-aligned window grid relationally (6
+  // slide offsets per event), pinned to plain TIMESTAMP arithmetic off
+  // the day boundary so no timezone type sneaks in.
+  // ---------------------------------------------------------------------
+  def e08SlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.slidingRate(Tables.load(spark, dir, "events"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_windowed_counts" -> e07WindowedCounts _,
+    "e08_sliding_counts" -> e08SlidingCounts _,
     "e01_sessionize" -> e01Sessionize _,
     "e02_props_stats" -> e02PropsStats _,
     "e03_hourly_agg" -> e03HourlyAgg _,
@@ -178,6 +190,17 @@ object EventsAnalytics {
          |       $valueSumSql AS total_value
          |FROM events GROUP BY 1, 2, 3
          |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "e08_sliding_counts" ->
+      """WITH w AS (
+        |  SELECT date_trunc('day', ts)
+        |           + ((floor(epoch(ts - date_trunc('day', ts)))::BIGINT // 600 - k.k) * 600)
+        |             * INTERVAL 1 SECOND AS window_start,
+        |         event_type
+        |  FROM events, (SELECT unnest(generate_series(0, 5)) AS k) k)
+        |SELECT window_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
 
     "e01_sessionize" ->
       s"""WITH x AS (

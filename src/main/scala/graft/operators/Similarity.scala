@@ -206,6 +206,29 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // s07 — IVF cell audit: per-cell population and mean cosine to the
+  // trained centroid — the index-quality report a production ANN
+  // deployment watches (skewed cells → probe-cost imbalance; low mean
+  // cosine → loose cells). Gives the Lloyd TRAINING itself a
+  // driver-visible oracle row: every centroid value, assignment, and
+  // statistic is recomputed by DuckDB through the same unrolled CTEs.
+  // The per-cell cosine total accumulates floor(cos·1e9) integers
+  // (DECIMAL(38,0)), so the mean is order-independent and bit-identical
+  // cross-engine — the s04 quantization contract again.
+  // ---------------------------------------------------------------------
+  def s07IvfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val cos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
+    cellRanked(spark, dir)
+      .where(col("cr") === 1)
+      .select(col("cent_id").as("cell"),
+        floor(cos * lit(1e9)).cast(DecimalType(38, 0)).as("qcos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("qcos")).cast(DoubleType) / count(lit(1)) / lit(1e9)).as("mean_cosine"))
+      .orderBy(col("cell").asc)
+  }
+
+  // ---------------------------------------------------------------------
   // s04 — label-centroid outliers: per-label mean vector, then each
   // vector's squared distance to its own centroid; top-20 farthest are
   // the mislabeled/outlier candidates (embedding-quality audit). The
@@ -287,7 +310,8 @@ object Similarity {
     "s03_ann_ivf" -> s03AnnIvf _,
     "s04_centroid_outliers" -> s04CentroidOutliers _,
     "s05_ann_ivf_multiprobe" -> s05AnnIvfMultiprobe _,
-    "s06_label_affinity" -> s06LabelAffinity _
+    "s06_label_affinity" -> s06LabelAffinity _,
+    "s07_ivf_cell_stats" -> s07IvfCellStats _
   )
 
   private def ddotSql(a: String, b: String): String =
@@ -442,6 +466,24 @@ object Similarity {
          |FROM dist
          |ORDER BY dist2 DESC NULLS LAST, vec_id ASC NULLS FIRST
          |LIMIT $OutlierTopK""".stripMargin,
+
+    "s07_ivf_cell_stats" ->
+      s"""WITH $normedSql,
+         |$lloydCentSql,
+         |asg AS (
+         |  SELECT cell, c FROM (
+         |    SELECT cts.cent_id AS cell,
+         |           ${dotSql("v.e", "cts.ce")} / (v.nrm * cts.cn) AS c,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "cts.ce")} / (v.nrm * cts.cn) DESC,
+         |                      cts.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN cents cts)
+         |  WHERE cr = 1),
+         |q AS (SELECT cell, floor(c * 1e9)::BIGINT AS qcos FROM asg)
+         |SELECT cell, count(*) AS n_vectors,
+         |       CAST(CAST(sum(qcos) AS VARCHAR) AS DOUBLE) / count(*) / 1e9 AS mean_cosine
+         |FROM q GROUP BY cell
+         |ORDER BY cell ASC NULLS FIRST""".stripMargin,
 
     "s06_label_affinity" ->
       s"""WITH $centroidCteSql,

@@ -273,8 +273,53 @@ object TextAnalysis {
           .as("hll_within_5pct"))
       .orderBy(col("source").asc)
 
+  // ---------------------------------------------------------------------
+  // t11 — PII detection + redaction: per-doc counts of email / phone /
+  // long-account-number patterns plus the md5 of the redacted text —
+  // the scrubbing pass every training corpus goes through before
+  // release. The synthetic corpus contains no natural PII, so the query
+  // runs over a deterministically AUGMENTED view (docs with
+  // doc_id % 3 == 0 get a contact sentence synthesized from doc_id —
+  // identical SQL on both engines), proving detection AND redaction
+  // end-to-end with non-zero matches; on a real corpus the same
+  // patterns point at the raw column. Regexes use the Java∩RE2 common
+  // subset (classes, bounded/greedy quantifiers, no alternation or
+  // lookaround) so Spark and DuckDB match byte-identically. Map-only
+  // per-row work — codegen-fused into the scan like t03.
+  // ---------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val AcctRe = "[0-9]{9}"
+
+  /** The PII-augmented text expression — spelled once in SQL that parses
+    * identically on Spark and DuckDB, so the two sides cannot drift. */
+  private val piiAugSql: String =
+    """CASE WHEN doc_id % 3 = 0
+      |THEN concat(text, ' contact user', cast(doc_id AS STRING),
+      |            '@example.org call 202-555-0',
+      |            lpad(cast(doc_id % 1000 AS STRING), 3, '0'),
+      |            ' acct ',
+      |            lpad(cast(doc_id * 271 % 1000000000 AS STRING), 9, '0'))
+      |ELSE text END""".stripMargin.replace("\n", " ")
+
+  def t11PiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val aug = expr(piiAugSql)
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      aug, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+      lit(AcctRe), lit("<ACCT>"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(aug, lit(AcctRe), lit(0))).cast("long").as("n_accts"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_sketch_cardinality" -> t10SketchCardinality _,
+    "t11_pii_scan" -> t11PiiScan _,
     "t01_language_id" -> t01LanguageId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_counts" -> t03TokenCounts _,
@@ -344,6 +389,19 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t11_pii_scan" ->
+      s"""WITH aug AS (SELECT doc_id, lang, $piiAugSql AS a FROM documents)
+         |SELECT doc_id, lang,
+         |       len(regexp_extract_all(a, '$EmailRe'))::BIGINT AS n_emails,
+         |       len(regexp_extract_all(a, '$PhoneRe'))::BIGINT AS n_phones,
+         |       len(regexp_extract_all(a, '$AcctRe'))::BIGINT AS n_accts,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(a,
+         |           '$EmailRe', '<EMAIL>', 'g'),
+         |           '$PhoneRe', '<PHONE>', 'g'),
+         |           '$AcctRe', '<ACCT>', 'g')) AS redacted_hash
+         |FROM aug
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "t10_sketch_cardinality" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT text) AS exact_distinct_texts,

@@ -189,6 +189,27 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(cells.map(_.getAs[Long]("cent_id")).distinct.length == cells.length)
   }
 
+  test("t11 PII scan detects exactly the synthesized PII and redacts it") {
+    val rows = TextAnalysis.t11PiiScan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rawHash = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = if (id % 3 == 0) 1L else 0L
+      assert(r.getAs[Long]("n_emails") === expected, s"doc $id emails")
+      assert(r.getAs[Long]("n_phones") === expected, s"doc $id phones")
+      assert(r.getAs[Long]("n_accts") === expected, s"doc $id accts")
+      if (id % 3 != 0)
+        // untouched docs: redaction is the identity, hash of the raw text
+        assert(r.getAs[String]("redacted_hash") === rawHash(id), s"doc $id hash")
+      else
+        assert(r.getAs[String]("redacted_hash") !== rawHash(id), s"doc $id must be redacted")
+    }
+  }
+
   test("hash sample is deterministic across runs (content-keyed, not partition-keyed)") {
     // partition independence is covered end-to-end by the local[5] gate;
     // here: repeat runs agree and the predicate is a pure content hash
