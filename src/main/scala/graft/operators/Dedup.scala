@@ -429,7 +429,10 @@ object Dedup {
   // The DuckDB oracle mirrors the band joins exactly, so the result is
   // deterministic and oracle-checked despite the probabilistic recall.
   // ---------------------------------------------------------------------
-  def d08LshClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact-verified LSH edge set (jaccard ≥ threshold pairs from
+    * band candidates) — d08's clustering input, shared with d09's apply
+    * step so the two cannot diverge on what counts as a near-dup. */
+  private def lshEdges(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sig = lshSignatures(sh)
     val cand = lshCandidates(sig)
@@ -438,8 +441,36 @@ object Dedup {
       .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("c.doc_a"), col("c.doc_b"))
       .agg(count(lit(1)).as("shared"))
-    val sizes = sig.select(col("doc_id"), col("n"))
-    clusterOutput(minLabelComponents(thresholdEdges(shared, sizes)))
+    thresholdEdges(shared, sig.select(col("doc_id"), col("n")))
+  }
+
+  def d08LshClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterOutput(minLabelComponents(lshEdges(spark, dir)))
+
+  // ---------------------------------------------------------------------
+  // d09 — dedup APPLY: the pipeline's actual output — the corpus that
+  // survives exact dedup (d01: keep the min doc_id per identical text)
+  // AND near-dup clustering (d08: keep each cluster's min member). The
+  // last mile every real dedup run ships: d01-d08 find duplicates; this
+  // materializes the kept corpus. Both filters are (broadcast-friendly)
+  // semi/anti joins on doc_id — no new shuffle shape beyond what the
+  // shared LSH machinery already pays. Exact-dups of a cluster keeper
+  // resolve consistently: identical texts are jaccard-1 pairs, so they
+  // share a cluster and both rules keep the same min doc_id.
+  // ---------------------------------------------------------------------
+  def d09DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val labels = minLabelComponents(lshEdges(spark, dir))
+    val nearDrop = labels.where(col("label") =!= col("doc_id")).select(col("doc_id"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -450,31 +481,38 @@ object Dedup {
     "d03_minhash_lsh" -> d03MinhashLsh _,
     "d04_simhash" -> d04Simhash _,
     "d05_embedding_neardup" -> d05EmbeddingNeardup _,
-    "d08_lsh_clusters" -> d08LshClusters _
+    "d08_lsh_clusters" -> d08LshClusters _,
+    "d09_dedup_apply" -> d09DedupApply _
   )
 
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
   private def sigColsSql: String = (0 until NumHashes)
     .map(i => s"min(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
 
-  /** DuckDB recursive connected-components tail over an `edges(doc_a,
-    * doc_b)` CTE — mirror of [[minLabelComponents]]+[[clusterOutput]],
-    * shared verbatim by the d06 and d08 oracles (the refinement test
-    * assumes both cluster with identical semantics). */
-  private def componentsTailSql: String =
+  /** DuckDB recursive connected-components labels over an `edges(doc_a,
+    * doc_b)` CTE, ending at `labels(doc, cluster_id)` — mirror of
+    * [[minLabelComponents]]; shared by the d06/d08 cluster oracles and
+    * d09's apply oracle. */
+  private def componentsLabelsSql: String =
     """bi AS (SELECT doc_a, doc_b FROM edges
       |       UNION ALL SELECT doc_b, doc_a FROM edges),
       |reach(doc, lab) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.doc = bi.doc_a),
-      |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc),
-      |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
-      |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
-      |       doc = labels.cluster_id AS is_keeper
-      |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
-      |WHERE cluster_size > 1
-      |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin
+      |labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  /** [[componentsLabelsSql]] + the multi-doc cluster report — mirror of
+    * [[clusterOutput]], shared verbatim by the d06 and d08 oracles (the
+    * refinement test assumes both cluster with identical semantics). */
+  private def componentsTailSql: String =
+    s"""$componentsLabelsSql,
+       |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT doc AS doc_id, labels.cluster_id, cluster_size,
+       |       doc = labels.cluster_id AS is_keeper
+       |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
+       |WHERE cluster_size > 1
+       |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[lshCandidates]] (over CTE `sig`).
     * `combinator` must be "UNION" in plain WITH queries; under WITH
@@ -629,6 +667,35 @@ object Dedup {
          |  JOIN sizes sb ON s.doc_b = sb.doc_id
          |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
          |$componentsTailSql""".stripMargin,
+
+    "d09_dedup_apply" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigColsSql
+         |        FROM h GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |${bandJoinsSql("UNION ALL")}
+         |  ) band_hits),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON c.doc_a = a.doc_id
+         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT s.doc_a, s.doc_b FROM shared s
+         |  JOIN sizes sa ON s.doc_a = sa.doc_id
+         |  JOIN sizes sb ON s.doc_b = sb.doc_id
+         |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
+         |$componentsLabelsSql,
+         |exactkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |neardrop AS (SELECT doc AS doc_id FROM labels WHERE doc <> cluster_id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM exactkeep)
+         |  AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "d05_embedding_neardup" ->
       s"""WITH $normedSql

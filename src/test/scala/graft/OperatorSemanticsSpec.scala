@@ -152,6 +152,18 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("d09 dedup apply = exact keepers minus near-dup non-keepers (cross-checked vs d01/d08)") {
+    val kept = Dedup.d09DedupApply(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty)
+    val exactKeepers = Dedup.d01ExactDedup(spark, sf).collect()
+      .map(_.getAs[Long]("keep_doc_id")).toSet
+    val nonKeepers = Dedup.d08LshClusters(spark, sf).collect()
+      .filterNot(_.getAs[Boolean]("is_keeper")).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === (exactKeepers -- nonKeepers),
+      s"apply must compose the two keeper rules: ${kept.size} kept, " +
+        s"${exactKeepers.size} exact keepers, ${nonKeepers.size} near-dup drops")
+  }
+
   test("s05 multi-probe recall >= s03 single-probe recall per query (vs s01 exact truth)") {
     // s05's candidate pool is a superset of s03's (probe cell 1 IS s03's
     // cell), and pool members from the true top-k always outrank
