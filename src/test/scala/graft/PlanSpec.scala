@@ -196,6 +196,28 @@ class PlanSpec extends SparkSpec {
       s"L-row centroid pairing should broadcast:\n$plan")
   }
 
+  test("t11: PII scan is map-only — regex work fuses into the scan, no shuffle before the sort") {
+    val plan = formatted(TextAnalysis.t11PiiScan(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // like t03: only the final ORDER BY's range exchange is allowed
+    assert(exchanges <= 2, s"per-row regex projection must not shuffle:\n$plan")
+  }
+
+  test("d09: apply composes semi + anti joins, no cartesian") {
+    val plan = formatted(Dedup.d09DedupApply(spark, sf))
+    assert(plan.contains("LeftSemi"), s"exact-keeper filter should be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"near-dup drop should be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("s07: cell stats partial-aggregate after the broadcast assignment (no corpus shuffle before agg)") {
+    val plan = formatted(Similarity.s07IvfCellStats(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast to the assignment pass:\n$plan")
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*""")) >= 2,
+      s"expected partial+final aggregate pair over the cells:\n$plan")
+  }
+
   test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
     val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
     val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
