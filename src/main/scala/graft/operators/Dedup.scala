@@ -473,7 +473,60 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // d10 — INCREMENTAL dedup: today's batch (doc_id % 7 == 0 stands in
+  // for the new crawl) checked against the existing corpus — without
+  // re-clustering the corpus. The production shape at 100 TB: the
+  // existing side's signatures are a precomputed index (recomputed
+  // in-query here so the oracle can rebuild identical state; a real
+  // deployment reads the signature table d03 materializes), and the
+  // band joins only ever pair NEW × EXISTING — no new×new or old×old
+  // work, so daily cost scales with the batch, not the corpus. Each
+  // incoming doc gets a verdict: exact_dup (md5 hit), near_dup
+  // (band-candidate pair exact-verified at jaccard ≥ threshold), or
+  // keep; match_id = the smallest matching existing doc.
+  // ---------------------------------------------------------------------
+  val IncrementalMod = 7
+
+  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val incoming = docs.where(col("doc_id") % IncrementalMod === 0)
+    val existing = docs.where(col("doc_id") % IncrementalMod =!= 0)
+    val exactMatch = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("m")), Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("m")).as("exact_match"))
+    val sh = shingles(spark, dir)
+    val sig = lshSignatures(sh)
+    val newSig = sig.where(col("doc_id") % IncrementalMod === 0)
+    val oldSig = sig.where(col("doc_id") % IncrementalMod =!= 0)
+    // band lookups into the existing index only — disjoint sides, so no
+    // doc_a < doc_b canonicalization is needed
+    val cand = (0 until NumBands).map { jb =>
+      newSig.as("x").join(oldSig.as("y"),
+          col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
+            col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }.reduce(_ unionAll _).distinct()
+    val shared = cand.as("c")
+      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val nearMatch = thresholdEdges(shared, sig.select(col("doc_id"), col("n")))
+      .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
+    incoming.select(col("doc_id"))
+      .join(exactMatch, Seq("doc_id"), "left_outer")
+      .join(nearMatch, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_incremental_dedup" -> d10IncrementalDedup _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
     "d07_contamination" -> d07Contamination _,
@@ -527,7 +580,55 @@ object Dedup {
        |   AND x.doc_id < y.doc_id""".stripMargin
   }.mkString(s"\n$combinator\n")
 
+  /** DuckDB mirror of [[d10IncrementalDedup]]'s new×existing band
+    * lookups (over CTEs `newsig`/`oldsig`; plain UNION is safe — no
+    * WITH RECURSIVE in this query). */
+  private def incBandJoinsSql: String = (0 until NumBands).map { jb =>
+    s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM newsig x JOIN oldsig y
+       |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}""".stripMargin
+  }.mkString("\nUNION\n")
+
   val oracleSql: Map[String, String] = Map(
+    "d10_incremental_dedup" ->
+      s"""WITH $shinglesSql,
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigColsSql
+         |        FROM h GROUP BY doc_id),
+         |newsig AS (SELECT * FROM sig WHERE doc_id % $IncrementalMod = 0),
+         |oldsig AS (SELECT * FROM sig WHERE doc_id % $IncrementalMod <> 0),
+         |exactmatch AS (
+         |  SELECT i.doc_id, min(e.doc_id) AS exact_match
+         |  FROM documents i JOIN documents e
+         |    ON md5(i.text) = md5(e.text)
+         |   AND i.doc_id % $IncrementalMod = 0 AND e.doc_id % $IncrementalMod <> 0
+         |  GROUP BY 1),
+         |cand AS (
+         |$incBandJoinsSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON c.doc_a = a.doc_id
+         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |nearmatch AS (
+         |  SELECT s.doc_a AS doc_id, min(s.doc_b) AS near_match
+         |  FROM shared s
+         |  JOIN sizes sa ON s.doc_a = sa.doc_id
+         |  JOIN sizes sb ON s.doc_b = sb.doc_id
+         |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold
+         |  GROUP BY 1)
+         |SELECT i.doc_id,
+         |       CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+         |            WHEN near_match IS NOT NULL THEN 'near_dup'
+         |            ELSE 'keep' END AS verdict,
+         |       coalesce(exact_match, near_match) AS match_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncrementalMod = 0) i
+         |LEFT JOIN exactmatch USING (doc_id)
+         |LEFT JOIN nearmatch USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "d07_contamination" ->
       s"""WITH $shinglesSql,
          |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
