@@ -124,16 +124,37 @@ object Dedup {
           count(lit(1)).as("n"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** LSH band candidates: unordered doc pairs colliding in ≥1 of the 8
-    * two-row bands — O(collisions), never all-pairs. */
-  private def lshCandidates(sig: DataFrame): DataFrame =
+  /** LSH band-collision pairs between two signature tables: (doc_a,
+    * doc_b) agreeing on ≥1 of the 8 two-row bands — O(collisions),
+    * never all-pairs. `canonical = true` is the self-join form
+    * (doc_a < doc_b dedups unordered pairs); `false` pairs two DISJOINT
+    * sides (d10's new×existing index lookups). The one definition of
+    * banding on the Scala side — a band-layout change edits only here
+    * and [[bandJoinsSql]]. */
+  private def bandCandidates(left: DataFrame, right: DataFrame,
+      canonical: Boolean): DataFrame =
     (0 until NumBands).map { jb =>
-      sig.as("x").join(sig.as("y"),
-          col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
-            col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}") &&
-            col("x.doc_id") < col("y.doc_id"))
+      val onBand = col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
+        col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}")
+      val cond = if (canonical) onBand && col("x.doc_id") < col("y.doc_id") else onBand
+      left.as("x").join(right.as("y"), cond)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     }.reduce(_ unionAll _).distinct()
+
+  /** Unordered self-join band candidates (d03/d08/d09). */
+  private def lshCandidates(sig: DataFrame): DataFrame =
+    bandCandidates(sig, sig, canonical = true)
+
+  /** Exact verification counts: shared distinct shingles per candidate
+    * pair — the one definition of the verify stage (d03's estimate path
+    * keeps its own variant over `withest` because it carries the
+    * signature-estimate columns through). */
+  private def sharedCounts(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand.as("c")
+      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count(lit(1)).as("shared"))
 
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
@@ -393,9 +414,20 @@ object Dedup {
   // side streams through the join with NO shuffle at all (PlanSpec
   // asserts the BroadcastHashJoin). The %10 stand-in makes the eval side
   // atypically large at bench scale; measured, the broadcast still wins
-  // there (PERF.md), and at real scale it is the only sane plan.
+  // there (PERF.md). Because a forced hint bypasses Spark's size check
+  // (an oversized build side fails outright at the 8GB broadcast limit
+  // instead of degrading to a shuffle), the hint is gated on the eval
+  // DOC count: above the cap the same join runs unhinted and the
+  // optimizer picks the shuffle plan. The guard count is a parquet-
+  // footer count-star, the d02-guard pattern.
   // ---------------------------------------------------------------------
   val ContaminationThreshold = 0.3
+
+  /** Eval-side doc cap for d07's broadcast hint (env-tunable): ~1M eval
+    * docs × ~100 distinct shingles × ~30 bytes ≈ low-GB build side —
+    * the edge of sane broadcast territory. */
+  val ContaminationBroadcastMaxEvalDocs: Long =
+    sys.env.getOrElse("GRAFT_D07_BROADCAST_MAX_EVAL_DOCS", "1000000").toLong
 
   def d07Contamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
@@ -404,7 +436,11 @@ object Dedup {
     val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
     val train = sh.where(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    val overlap = broadcast(eval_).join(train, Seq("shingle"))
+    val nEvalDocs = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 0).count()
+    val evalSide =
+      if (nEvalDocs <= ContaminationBroadcastMaxEvalDocs) broadcast(eval_) else eval_
+    val overlap = evalSide.join(train, Seq("shingle"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val frac = col("shared").cast("double") / col("n_eval")
@@ -435,13 +471,8 @@ object Dedup {
   private def lshEdges(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sig = lshSignatures(sh)
-    val cand = lshCandidates(sig)
-    val shared = cand.as("c")
-      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("c.doc_a"), col("c.doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    thresholdEdges(shared, sig.select(col("doc_id"), col("n")))
+    thresholdEdges(sharedCounts(lshCandidates(sig), sh),
+      sig.select(col("doc_id"), col("n")))
   }
 
   def d08LshClusters(spark: SparkSession, dir: String): DataFrame =
@@ -497,22 +528,14 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("m")).as("exact_match"))
     val sh = shingles(spark, dir)
     val sig = lshSignatures(sh)
-    val newSig = sig.where(col("doc_id") % IncrementalMod === 0)
-    val oldSig = sig.where(col("doc_id") % IncrementalMod =!= 0)
     // band lookups into the existing index only — disjoint sides, so no
-    // doc_a < doc_b canonicalization is needed
-    val cand = (0 until NumBands).map { jb =>
-      newSig.as("x").join(oldSig.as("y"),
-          col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
-            col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    }.reduce(_ unionAll _).distinct()
-    val shared = cand.as("c")
-      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("c.doc_a"), col("c.doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    val nearMatch = thresholdEdges(shared, sig.select(col("doc_id"), col("n")))
+    // doc_a < doc_b canonicalization
+    val cand = bandCandidates(
+      sig.where(col("doc_id") % IncrementalMod === 0),
+      sig.where(col("doc_id") % IncrementalMod =!= 0),
+      canonical = false)
+    val nearMatch = thresholdEdges(sharedCounts(cand, sh),
+        sig.select(col("doc_id"), col("n")))
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
     incoming.select(col("doc_id"))
       .join(exactMatch, Seq("doc_id"), "left_outer")
@@ -567,27 +590,31 @@ object Dedup {
        |WHERE cluster_size > 1
        |ORDER BY labels.cluster_id ASC NULLS FIRST, doc ASC NULLS FIRST""".stripMargin
 
-  /** DuckDB mirror of [[lshCandidates]] (over CTE `sig`).
+  /** DuckDB mirror of [[bandCandidates]], parameterized the same way
+    * (left/right signature CTEs; `canonical` adds the doc_a < doc_b
+    * self-join dedup) — the one definition of banding on the SQL side.
     * `combinator` must be "UNION" in plain WITH queries; under WITH
     * RECURSIVE a bare top-level UNION chain in a CTE body gets DuckDB's
     * recursive-union treatment and can leave DUPLICATE rows (observed:
     * doubled cand rows doubling `shared` counts) — there, use
     * "UNION ALL" and wrap with an explicit outer SELECT DISTINCT. */
-  private def bandJoinsSql(combinator: String): String = (0 until NumBands).map { jb =>
-    s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM sig x JOIN sig y
-       |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}
-       |   AND x.doc_id < y.doc_id""".stripMargin
-  }.mkString(s"\n$combinator\n")
+  private def bandJoinsSql(combinator: String, leftT: String = "sig",
+      rightT: String = "sig", canonical: Boolean = true): String =
+    (0 until NumBands).map { jb =>
+      val extra = if (canonical) "\n   AND x.doc_id < y.doc_id" else ""
+      s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM $leftT x JOIN $rightT y
+         |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}$extra""".stripMargin
+    }.mkString(s"\n$combinator\n")
 
-  /** DuckDB mirror of [[d10IncrementalDedup]]'s new×existing band
-    * lookups (over CTEs `newsig`/`oldsig`; plain UNION is safe — no
-    * WITH RECURSIVE in this query). */
-  private def incBandJoinsSql: String = (0 until NumBands).map { jb =>
-    s"""  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM newsig x JOIN oldsig y
-       |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}""".stripMargin
-  }.mkString("\nUNION\n")
+  /** DuckDB mirror of [[sharedCounts]] over CTEs `cand` + `sh`. */
+  private def sharedCountsSql: String =
+    """shared AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |  FROM cand c
+      |  JOIN sh a ON c.doc_a = a.doc_id
+      |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+      |  GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d10_incremental_dedup" ->
@@ -604,14 +631,9 @@ object Dedup {
          |   AND i.doc_id % $IncrementalMod = 0 AND e.doc_id % $IncrementalMod <> 0
          |  GROUP BY 1),
          |cand AS (
-         |$incBandJoinsSql),
+         |${bandJoinsSql("UNION", "newsig", "oldsig", canonical = false)}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON c.doc_a = a.doc_id
-         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
-         |  GROUP BY 1, 2),
+         |$sharedCountsSql,
          |nearmatch AS (
          |  SELECT s.doc_a AS doc_id, min(s.doc_b) AS near_match
          |  FROM shared s
@@ -756,12 +778,7 @@ object Dedup {
          |${bandJoinsSql("UNION ALL")}
          |  ) band_hits),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON c.doc_a = a.doc_id
-         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
-         |  GROUP BY 1, 2),
+         |$sharedCountsSql,
          |edges AS (
          |  SELECT s.doc_a, s.doc_b FROM shared s
          |  JOIN sizes sa ON s.doc_a = sa.doc_id
@@ -779,12 +796,7 @@ object Dedup {
          |${bandJoinsSql("UNION ALL")}
          |  ) band_hits),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON c.doc_a = a.doc_id
-         |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
-         |  GROUP BY 1, 2),
+         |$sharedCountsSql,
          |edges AS (
          |  SELECT s.doc_a, s.doc_b FROM shared s
          |  JOIN sizes sa ON s.doc_a = sa.doc_id

@@ -76,13 +76,19 @@ object Multimodal {
       val width = buf.getInt(18)
       val height = buf.getInt(22)
       val bpp = buf.getShort(28).toInt
-      val rowBytes = ((width * 3 + 3) / 4) * 4
+      // Long row math: width*3 wraps Int for widths > 715M, which would
+      // slip a bogus tiny rowBytes past the bounds guard and crash the
+      // pixel loop instead of quarantining (the blob can't hold the
+      // claimed pixels anyway — the Long comparison rejects it)
+      val rowBytes = ((width.toLong * 3 + 3) / 4) * 4
       if (bpp != 24 || width <= 0 || height <= 0 || dataOffset < HeaderBytes ||
-        dataOffset.toLong + rowBytes.toLong * height > bytes.length) return out
+        dataOffset.toLong + rowBytes * height > bytes.length) return out
       var sb = 0L; var sg = 0L; var sr = 0L
       var y = 0
       while (y < height) {
-        val base = dataOffset + y * rowBytes
+        // safe narrowing: the guard proved dataOffset + rowBytes*height
+        // fits in the (Int-length) array
+        val base = (dataOffset + y * rowBytes).toInt
         var x = 0
         while (x < width) {
           sb += bytes(base + 3 * x) & 0xff

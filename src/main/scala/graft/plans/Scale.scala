@@ -34,30 +34,41 @@ object Scale {
   }
 
   /** Inner-join `big ⋈ small` on `key`, salting the big side only when a
-    * deterministic skew probe reports a dominant key — the production
-    * wrapper that puts [[saltedJoin]] behind a data-driven threshold
-    * (used by q02's lines⋈abandoned-orders join). The probe counts rows
-    * per key over a 1-in-64 hash-sample of big's ROWS (sampling rows,
-    * not keys: a key holding p% of sampled rows holds ≈p% of all rows,
-    * so a dominant key cannot hide from the sample) and salts when the
-    * hottest key's scaled estimate reaches `rowThreshold`. Both branches
-    * produce the identical join result (ScaleSpec property-tests the
-    * equivalence AND that the skewed fixture actually takes the salted
-    * branch). Cost of the probe: one map-side-combined aggregate over
-    * ~1.6% of big — cheap insurance against a reducer hotspot; on a real
-    * cluster with fresh table stats, replace the probe with a stats
-    * lookup and keep the same two branches. */
+    * skew probe reports a dominant key — the production wrapper that
+    * puts [[saltedJoin]] behind a data-driven threshold (used by q02's
+    * lines⋈abandoned-orders join). The probe counts rows per key over a
+    * 1-in-64 sample of big's rows taken BY POSITION
+    * (monotonically_increasing_id), not by row content: a content hash
+    * would collapse duplicate rows onto one sample decision, letting a
+    * hot key made of identical rows evade the probe entirely — position
+    * sampling sees ~1/64 of every key's rows regardless of content, so
+    * a dominant key cannot hide. The decision (NOT the join result) may
+    * vary with partitioning; both branches produce the identical join
+    * result (ScaleSpec property-tests the equivalence AND that the
+    * skewed fixture actually takes the salted branch), so correctness
+    * is branch-independent. The probe runs ONE job per distinct
+    * (plan, key, threshold) — memoized, so plan-only inspections and
+    * repeated query constructions don't re-pay it; on a real cluster
+    * with fresh table stats, replace the probe with a stats lookup and
+    * keep the same two branches. */
   def skewAwareJoin(big: DataFrame, small: DataFrame, key: String,
       rowThreshold: Long = 1000000L, salt: Int = 8): DataFrame = {
     val sampleMod = 64
-    val probe = big
-      .where(pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(sampleMod)) === 0)
-      .groupBy(col(key)).count()
-      .agg(max(col("count"))).first()
-    val hottest = if (probe.isNullAt(0)) 0L else probe.getLong(0) * sampleMod
+    val memoKey = (big.queryExecution.analyzed.semanticHash(), key, rowThreshold)
+    val hottest = probeMemo.getOrElseUpdate(memoKey, {
+      val probe = big
+        .where(pmod(monotonically_increasing_id(), lit(sampleMod)) === 0)
+        .groupBy(col(key)).count()
+        .agg(max(col("count"))).first()
+      if (probe.isNullAt(0)) 0L else probe.getLong(0) * sampleMod
+    })
     if (hottest >= rowThreshold) saltedJoin(big, small, key, salt)
     else big.join(small, Seq(key))
   }
+
+  /** Skew-probe results per (big-plan semantic hash, key, threshold). */
+  private val probeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Long]
 
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on

@@ -108,6 +108,13 @@ class MultimodalSpec extends SparkSpec {
     assert(real(2L).embedding.toSeq === Seq[Float](5f, 3f, 24f, 7f, meanG, meanR, 1f, n.toFloat))
     // asset 3: malformed input quarantines to the zero vector, no throw
     assert(real(3L).embedding.forall(_ === 0f))
+    // adversarial header: width large enough that width*3 wraps Int to a
+    // tiny rowBytes — must quarantine (Long row math), not AIOOBE
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+    evil.putInt(40).putInt(0x55555556).putInt(1).putShort(1).putShort(24).putInt(0)
+    assert(BmpDecoder.decode("image", evil.array()).forall(_ === 0f),
+      "overflowing width must be rejected by the bounds guard")
     // the byte stats come from the shared pipeline, decoder-independent
     assert(real(1L).n_bytes === red.length.toLong)
     // same bytes through the FAKE decoder: identical pipeline, different
