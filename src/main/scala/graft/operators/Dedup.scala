@@ -467,8 +467,9 @@ object Dedup {
   // ---------------------------------------------------------------------
   /** The exact-verified LSH edge set (jaccard ≥ threshold pairs from
     * band candidates) — d08's clustering input, shared with d09's apply
-    * step so the two cannot diverge on what counts as a near-dup. */
-  private def lshEdges(spark: SparkSession, dir: String): DataFrame = {
+    * step and s08's cross-modal audit so all three agree on what counts
+    * as a near-dup. */
+  private[operators] def lshEdges(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sig = lshSignatures(sh)
     thresholdEdges(sharedCounts(lshCandidates(sig), sh),
@@ -615,6 +616,25 @@ object Dedup {
       |  JOIN sh a ON c.doc_a = a.doc_id
       |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The full edge-derivation CTE chain (sh → sig → cand → sizes →
+    * shared → edges) for NON-recursive WITH queries — the SQL mirror of
+    * [[lshEdges]], shared with Similarity's s08 oracle so the audited
+    * pair set is definitionally the one d08/d09 cluster on. */
+  private[operators] def lshEdgesSql: String =
+    s"""$shinglesSql,
+       |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $sigColsSql
+       |        FROM h GROUP BY doc_id),
+       |cand AS (
+       |${bandJoinsSql("UNION")}),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |$sharedCountsSql,
+       |edges AS (
+       |  SELECT s.doc_a, s.doc_b FROM shared s
+       |  JOIN sizes sa ON s.doc_a = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d10_incremental_dedup" ->

@@ -229,6 +229,30 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // s08 — cross-modal dedup audit: every LEXICAL near-dup pair (the
+  // exact-verified LSH edge set d08/d09 cluster on) scored by the
+  // EMBEDDING cosine of the two docs' vectors — the "does my embedding
+  // space see the duplication my shingles see" check that gates a
+  // SemDeDup-style semantic-dedup rollout (if lexical dups don't sit
+  // near each other in embedding space, no cosine threshold can be
+  // trusted to find them). The pair set comes from the bucketed LSH
+  // machinery (never all-pairs); the vector lookups are two equi-joins
+  // on the shared doc/vec id domain.
+  // ---------------------------------------------------------------------
+  def s08CrossmodalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = normed(spark, dir)
+    val cos = expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb"))
+    Dedup.lshEdges(spark, dir)
+      .join(v.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("label").as("label_a")), Seq("doc_a"))
+      .join(v.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("label").as("label_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("label_a"), col("label_b"),
+        round(cos, 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  // ---------------------------------------------------------------------
   // s04 — label-centroid outliers: per-label mean vector, then each
   // vector's squared distance to its own centroid; top-20 farthest are
   // the mislabeled/outlier candidates (embedding-quality audit). The
@@ -311,7 +335,8 @@ object Similarity {
     "s04_centroid_outliers" -> s04CentroidOutliers _,
     "s05_ann_ivf_multiprobe" -> s05AnnIvfMultiprobe _,
     "s06_label_affinity" -> s06LabelAffinity _,
-    "s07_ivf_cell_stats" -> s07IvfCellStats _
+    "s07_ivf_cell_stats" -> s07IvfCellStats _,
+    "s08_crossmodal_audit" -> s08CrossmodalAudit _
   )
 
   private def ddotSql(a: String, b: String): String =
@@ -466,6 +491,17 @@ object Similarity {
          |FROM dist
          |ORDER BY dist2 DESC NULLS LAST, vec_id ASC NULLS FIRST
          |LIMIT $OutlierTopK""".stripMargin,
+
+    "s08_crossmodal_audit" ->
+      s"""WITH ${Dedup.lshEdgesSql},
+         |$normedSql
+         |SELECT e.doc_a, e.doc_b, va.label AS label_a, vb.label AS label_b,
+         |       round(${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm), 6) AS cosine
+         |FROM edges e
+         |JOIN v va ON e.doc_a = va.vec_id
+         |JOIN v vb ON e.doc_b = vb.vec_id
+         |ORDER BY cosine DESC NULLS LAST,
+         |         e.doc_a ASC NULLS FIRST, e.doc_b ASC NULLS FIRST""".stripMargin,
 
     "s07_ivf_cell_stats" ->
       s"""WITH $normedSql,

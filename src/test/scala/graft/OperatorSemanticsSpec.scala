@@ -164,6 +164,28 @@ class OperatorSemanticsSpec extends SparkSpec {
         s"${exactKeepers.size} exact keepers, ${nonKeepers.size} near-dup drops")
   }
 
+  test("d10 incremental verdicts: exact_dup iff md5 hit in the existing corpus; keeps never match") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val rows = Dedup.d10IncrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val existingHashes = docs.collect {
+      case (id, h) if id % Dedup.IncrementalMod != 0 => h
+    }.toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % Dedup.IncrementalMod === 0, "only incoming docs may appear")
+      val isExact = r.getAs[String]("verdict") == "exact_dup"
+      assert(isExact === existingHashes.contains(docs(id)),
+        s"doc $id verdict ${r.getAs[String]("verdict")} disagrees with the md5 recompute")
+      if (r.getAs[String]("verdict") == "keep") assert(r.isNullAt(r.fieldIndex("match_id")))
+      else assert(r.getAs[Long]("match_id") % Dedup.IncrementalMod !== 0L,
+        s"doc $id must match an EXISTING doc")
+    }
+  }
+
   test("s05 multi-probe recall >= s03 single-probe recall per query (vs s01 exact truth)") {
     // s05's candidate pool is a superset of s03's (probe cell 1 IS s03's
     // cell), and pool members from the true top-k always outrank
