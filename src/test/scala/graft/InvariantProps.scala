@@ -93,6 +93,25 @@ object InvariantProps extends Properties("graft.invariants") {
       phased == naive
     }
 
+  property("salted join equals the plain inner join for any (data, salt)") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(80, Gen.chooseNum(0L, 6L)),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.alphaStr.map(_.take(4)))),
+      Gen.chooseNum(2, 9)) { (bigKeys, smallRows, salt) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "payload").repartition(5)
+      val small = smallRows.distinct.toDF("k", "name")
+      val plain = big.join(small, Seq("k"))
+        .select($"k", $"payload", $"name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val salted = graft.plans.Scale.saltedJoin(big, small, "k", salt)
+        .select($"k", $"payload", $"name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // multiset equality: duplicates in small must replicate identically
+      salted.groupBy(identity).view.mapValues(_.length).toMap ==
+        plain.groupBy(identity).view.mapValues(_.length).toMap
+    }
+
   property("SimBands pigeonhole: any signature pair within hamming 8 shares a clean band") =
     Prop.forAllNoShrink(
       Gen.chooseNum(Long.MinValue, Long.MaxValue),
