@@ -34,6 +34,20 @@ object Ingest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S2b — JSON-lines scan (beyond the reference surface): one JSON
+    * object per line, schema inferred from the data — the interchange
+    * format crawl/annotation pipelines actually deliver. Multiline
+    * documents should be repacked to JSONL upstream; a distributed scan
+    * needs line-splittable input. */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S2c — ORC scan (beyond the reference surface): the other columnar
+    * container Spark ships a vectorized reader for; same pushdown/
+    * pruning properties as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S3 — zip ingestion: extract a zip archive (driver-side, like the
     * reference's `ZipFile.extractall`) and read the contained parquet.
     * Returns the extraction dir so callers can clean up. */

@@ -31,6 +31,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("S2b: JSON-lines roundtrip infers schema and preserves values") {
+    val dir = tmpDir
+    Files.writeString(Paths.get(dir, "t.jsonl"),
+      """{"id":1,"v":"a","score":0.5}
+        |{"id":2,"v":"b","score":1.25}
+        |""".stripMargin)
+    val df = Ingest.jsonLines(spark, s"$dir/t.jsonl")
+    assert(df.count() === 2)
+    assert(df.schema("id").dataType.typeName === "long")
+    assert(df.schema("score").dataType.typeName === "double")
+    assert(df.where($"v" === "b").select($"score").first().getDouble(0) === 1.25)
+  }
+
+  test("S2c: ORC roundtrip with predicate pushdown into the scan") {
+    val dir = s"$tmpDir/orc"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.orc(dir)
+    val df = Ingest.orc(spark, dir).where($"id" > 1)
+    assert(df.count() === 2)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"),
+      s"id > 1 must reach the ORC scan:\n$plan")
+  }
+
   test("S6b: export honors a custom separator") {
     val target = s"$tmpDir/report.csv"
     Export.asDelimitedFile(Seq((1L, "x")).toDF("id", "v"), target, sep = ",")
