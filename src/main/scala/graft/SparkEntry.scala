@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CartAnalytics.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ EventsAnalytics.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ EventsAnalytics.queries ++ Multimodal.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CartAnalytics.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ EventsAnalytics.oracleSql ++ Multimodal.oracleSql
+      TextAnalysis.oracleSql ++ EventsAnalytics.oracleSql ++ Multimodal.oracleSql ++
+      Curation.oracleSql
 }

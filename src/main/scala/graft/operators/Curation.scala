@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus-curation operators: the composition layer that turns
+  * the individual dedup (d-series) and quality (t-series) primitives into
+  * the two artifacts a training run actually consumes — a per-document
+  * keep/drop ledger with reasons (p01) and a token-budgeted shard
+  * assignment for the kept stream (p02).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // p01 — curation ledger: one row per document with its pipeline fate —
+  // 'near_dup' (a non-keeper member of an exact-verified LSH cluster,
+  // d08's semantics), 'low_quality' (fails t12's rule conjunction), or
+  // 'kept'. Dedup outranks quality (a duplicate is dropped as a
+  // duplicate even if it would also fail quality) so downstream loss
+  // attribution adds up. This is the audit artifact a real pipeline
+  // ships alongside the corpus: the d09 apply step materializes the
+  // survivors, this explains everyone else. Scale: the cluster labels
+  // come from the bucketed LSH machinery (never all-pairs), the quality
+  // flags from per-doc aggregates; the composition itself is two
+  // doc_id-keyed joins.
+  // ---------------------------------------------------------------------
+  def p01CurationLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nearDrop = Dedup.minLabelComponents(Dedup.lshEdges(spark, dir))
+      .where(col("label") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_near_dup"))
+    val quality = TextAnalysis.t12QualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(nearDrop, Seq("doc_id"), "left_outer")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_near_dup"), "near_dup")
+          .when(!col("q_keep"), "low_quality")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // p02 — token-budget shard packing: assign every document a training
+  // shard id by GLOBAL token prefix-sum in doc_id order (shard k holds
+  // the docs whose cumulative token offset falls in
+  // [k·TokensPerShard, (k+1)·TokensPerShard)) — how a loader turns a
+  // corpus into fixed-budget work units without materializing an
+  // intermediate sort.
+  //
+  // The prefix sum is HIERARCHICAL, never a corpus-global window (which
+  // funnels every row through one reducer — the t07 lesson one level
+  // up): doc_id ranges fold into buckets (width 128) and buckets into
+  // supers (4096 buckets each); within-super bucket offsets and
+  // within-bucket doc offsets are windows whose partitions are bounded
+  // by the level width (4096 / 128 rows), and the top level — one row
+  // per super — combines through a broadcast theta-join. Each extra
+  // 4096× of corpus adds one more level of the same shape; every value
+  // is an exact integer so the decomposition is bit-identical to the
+  // naive running sum, which is exactly what the DuckDB oracle computes.
+  // ---------------------------------------------------------------------
+  val TokensPerShard = 4096L
+  val PackBucketWidth = 128L
+  val PackSuperBuckets = 4096L
+
+  def p02ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
+    val keyed = toks
+      .withColumn("bucket", expr(s"doc_id DIV $PackBucketWidth"))
+      .withColumn("sup", expr(s"doc_id DIV ${PackBucketWidth * PackSuperBuckets}"))
+    val bucketTotals = keyed.groupBy(col("sup"), col("bucket"))
+      .agg(sum(col("tokens")).as("bt"))
+    val wSup = Window.partitionBy(col("sup")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = bucketTotals
+      .withColumn("b_off", coalesce(sum(col("bt")).over(wSup), lit(0L)))
+      .select(col("bucket"), col("b_off"))
+    val supTotals = bucketTotals.groupBy(col("sup")).agg(sum(col("bt")).as("st"))
+    val supOff = supTotals.as("a")
+      .join(broadcast(supTotals.as("b")), col("b.sup") < col("a.sup"), "left_outer")
+      .groupBy(col("a.sup").as("sup"))
+      .agg(coalesce(sum(col("b.st")), lit(0L)).as("s_off"))
+    val wBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("d_off", coalesce(sum(col("tokens")).over(wBucket), lit(0L)))
+      .join(broadcast(bucketOff), Seq("bucket"))
+      .join(broadcast(supOff), Seq("sup"))
+      .select(col("doc_id"), col("tokens"),
+        (col("s_off") + col("b_off") + col("d_off")).as("cum_before"))
+      .withColumn("shard_id", expr(s"cum_before DIV $TokensPerShard"))
+      .withColumn("offset_in_shard", expr(s"cum_before % $TokensPerShard"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_ledger" -> p01CurationLedger _,
+    "p02_shard_packing" -> p02ShardPacking _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_curation_ledger" ->
+      s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},
+         |${TextAnalysis.qualityCtesSql},
+         |neardrop AS (SELECT doc AS doc_id FROM labels WHERE doc <> cluster_id),
+         |quality AS (
+         |  SELECT doc_id, ${TextAnalysis.keepPredSql} AS q_keep
+         |  FROM chars JOIN ws USING (doc_id) LEFT JOIN cov USING (doc_id))
+         |SELECT d.doc_id, d.lang, d.source,
+         |       CASE WHEN d.doc_id IN (SELECT doc_id FROM neardrop) THEN 'near_dup'
+         |            WHEN NOT q.q_keep THEN 'low_quality'
+         |            ELSE 'kept' END AS status
+         |FROM documents d JOIN quality q USING (doc_id)
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "p02_shard_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, tokens,
+         |         coalesce(sum(tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |           AS cum_before
+         |  FROM t)
+         |SELECT doc_id, tokens, cum_before,
+         |       cum_before // $TokensPerShard AS shard_id,
+         |       cum_before % $TokensPerShard AS offset_in_shard
+         |FROM c
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

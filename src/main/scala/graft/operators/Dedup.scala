@@ -549,7 +549,41 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // d11 — source-overlap matrix: for every pair of sources, the number of
+  // distinct word-3-gram shingles present in BOTH, with each side's
+  // shingle-set size and the overlap coefficient shared/min(|a|,|b|) —
+  // the "which feeds crawl the same content" audit that decides dedup
+  // order and per-source trust before mixing. Reuses the persisted
+  // doc-shingle frame; the (source, shingle) projection de-dups
+  // map-side, and the self-join expands each shingle by at most
+  // |sources|² — bounded by the source-set size, never by corpus size,
+  // so the matrix costs one shingle-keyed shuffle at any scale.
+  // ---------------------------------------------------------------------
+  def d11SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ss = shingles(spark, dir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ss.as("a")
+      .join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared") / least(col("n_a"), col("n_b"))).as("overlap"))
+      .orderBy(col("n_shared").desc, col("source_a").asc, col("source_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_source_overlap" -> d11SourceOverlap _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
@@ -636,7 +670,50 @@ object Dedup {
        |  JOIN sizes sb ON s.doc_b = sb.doc_id
        |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold)""".stripMargin
 
+  /** The WITH RECURSIVE preamble from raw documents to cluster `labels`
+    * (sh → sig → band cand → verified edges → connected-component
+    * labels) — the recursive-CTE counterpart of [[lshEdgesSql]] +
+    * [[componentsLabelsSql]], shared by the d09 apply oracle and
+    * Curation's p01 pipeline oracle so "near-dup" means exactly one
+    * thing everywhere. (UNION ALL + outer DISTINCT in `cand`: see the
+    * [[bandJoinsSql]] recursive-union caveat.) */
+  private[operators] def recursiveLabelsSql: String =
+    s"""$shinglesSql,
+       |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $sigColsSql
+       |        FROM h GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |${bandJoinsSql("UNION ALL")}
+       |  ) band_hits),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |$sharedCountsSql,
+       |edges AS (
+       |  SELECT s.doc_a, s.doc_b FROM shared s
+       |  JOIN sizes sa ON s.doc_a = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
+       |$componentsLabelsSql""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d11_source_overlap" ->
+      s"""WITH $shinglesSql,
+         |ss AS (
+         |  SELECT DISTINCT d.source, sh.shingle
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         |       n_shared / least(sa.n, sb.n) AS overlap
+         |FROM pairs
+         |JOIN sizes sa ON pairs.source_a = sa.source
+         |JOIN sizes sb ON pairs.source_b = sb.source
+         |ORDER BY n_shared DESC NULLS LAST,
+         |         source_a ASC NULLS FIRST, source_b ASC NULLS FIRST""".stripMargin,
+
     "d10_incremental_dedup" ->
       s"""WITH $shinglesSql,
          |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
@@ -807,22 +884,7 @@ object Dedup {
          |$componentsTailSql""".stripMargin,
 
     "d09_dedup_apply" ->
-      s"""WITH RECURSIVE $shinglesSql,
-         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
-         |sig AS (SELECT doc_id, $sigColsSql
-         |        FROM h GROUP BY doc_id),
-         |cand AS (
-         |  SELECT DISTINCT doc_a, doc_b FROM (
-         |${bandJoinsSql("UNION ALL")}
-         |  ) band_hits),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |$sharedCountsSql,
-         |edges AS (
-         |  SELECT s.doc_a, s.doc_b FROM shared s
-         |  JOIN sizes sa ON s.doc_a = sa.doc_id
-         |  JOIN sizes sb ON s.doc_b = sb.doc_id
-         |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold),
-         |$componentsLabelsSql,
+      s"""WITH RECURSIVE $recursiveLabelsSql,
          |exactkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |neardrop AS (SELECT doc AS doc_id FROM labels WHERE doc <> cluster_id)
          |SELECT doc_id, lang, source, n_chars FROM documents

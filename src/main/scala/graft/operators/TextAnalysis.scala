@@ -317,7 +317,104 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t12 — composable quality-filter rules (Gopher-style): each document
+  // gets one boolean per rule plus the conjunction `keep` — the
+  // rule-by-rule transparency a curation pipeline needs to audit WHY a
+  // document was dropped (and to tune thresholds from the flag marginals)
+  // rather than a single opaque score like t02. Thresholds are calibrated
+  // to the synthetic corpus so every rule fires both ways. All inputs
+  // come from ONE persisted per-(doc, word) count frame: doc shape stats,
+  // the corpus stopword list, and stopword coverage are three aggregates
+  // over it, each map-side combinable; the stop list broadcasts. At
+  // 100 TB nothing here holds corpus-global state — the widest shuffle is
+  // the (doc_id, word) pre-aggregation.
+  // ---------------------------------------------------------------------
+  val MinWords = 25L
+  val MeanLenLo = 4.0
+  val MeanLenHi = 5.0
+  val TopShareMax = 0.125
+  val StopMinDistinct = 7L
+
+  def t12QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // persisted: three consumers (shape stats, stop list, stop coverage)
+    val wc = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = wc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_word_freq"), sum(col("c")).as("n_words"))
+    val stop = wc.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(10).select(col("word"))
+    // wc is one row per (doc, word), so count(*) IS the distinct count
+    val cov = wc.join(broadcast(stop), Seq("word"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop_distinct"))
+    val chars = docs.select(col("doc_id"), col("lang"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("word_chars"))
+    val meanLen = col("word_chars") / col("n_words")
+    val topShare = col("max_word_freq") / col("n_words")
+    val rLen = col("n_words") >= MinWords
+    val rMean = meanLen >= MeanLenLo && meanLen <= MeanLenHi
+    val rTop = topShare <= TopShareMax
+    val rStop = coalesce(col("n_stop_distinct"), lit(0L)) >= StopMinDistinct
+    // raw doubles + comparisons on them: identical IEEE trees both
+    // engines (see the t02 note), so the booleans cannot drift either
+    chars.join(ws, Seq("doc_id"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        meanLen.as("mean_word_len"), topShare.as("top_word_share"),
+        coalesce(col("n_stop_distinct"), lit(0L)).as("n_stop_distinct"),
+        rLen.as("r_len"), rMean.as("r_mean"), rTop.as("r_top"), rStop.as("r_stop"),
+        (rLen && rMean && rTop && rStop).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // t13 — bigram-LM novelty / OOV scoring: train word-bigram counts on
+  // the 80% split (doc_id % 5 != 0), then score EVERY document by its
+  // out-of-vocabulary bigram rate and its mean train-frequency — the
+  // membership/novelty signal a perplexity filter gives, built from
+  // exact integer sums (no transcendental functions, so both engines are
+  // bit-identical by construction: two long sums, one final division).
+  // Scale: the per-(doc, bigram) pre-aggregation bounds the join input,
+  // the join is bigram-keyed equi (the LM table shuffles once), and the
+  // final per-doc aggregate is map-side combinable. Holdout docs
+  // (doc_id % 5 == 0) are where the novelty signal means something;
+  // train docs score near-zero OOV by construction — both ship, since a
+  // real filter scores the whole corpus.
+  // ---------------------------------------------------------------------
+  def t13BigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // persisted: feeds both the train-count build and the scoring join
+    val dbg = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |THEN transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = dbg.where(col("doc_id") % 5 =!= 0)
+      .groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
+    val scored = dbg.join(train, Seq("bg"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("cnt").isNull, col("c")).otherwise(lit(0L))).as("n_oov"),
+        sum(col("c") * coalesce(col("cnt"), lit(0L))).as("sum_train_freq"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_bigrams") > 0, col("n_oov") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("oov_rate"),
+        when(col("n_bigrams") > 0, col("sum_train_freq") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("mean_train_freq"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_quality_filter" -> t12QualityFilter _,
+    "t13_bigram_novelty" -> t13BigramNovelty _,
     "t10_sketch_cardinality" -> t10SketchCardinality _,
     "t11_pii_scan" -> t11PiiScan _,
     "t01_language_id" -> t01LanguageId _,
@@ -388,7 +485,80 @@ object TextAnalysis {
     below.unionAll(atBoundary).orderBy(col("doc_id").asc)
   }
 
+  /** DuckDB CTE chain for the t12 rule inputs, ending at `chars`, `ws`,
+    * `cov` — shared with Curation's p01 oracle so the pipeline's quality
+    * stage is definitionally t12's. */
+  private[operators] val qualityCtesSql: String =
+    """qw AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+      |wc AS (SELECT doc_id, word, count(*) AS c FROM qw GROUP BY 1, 2),
+      |ws AS (
+      |  SELECT doc_id, max(c) AS max_word_freq, sum(c)::BIGINT AS n_words
+      |  FROM wc GROUP BY 1),
+      |stop AS (
+      |  SELECT word FROM (
+      |    SELECT word, sum(c)::BIGINT AS cnt FROM wc GROUP BY 1
+      |    ORDER BY cnt DESC, word ASC LIMIT 10)),
+      |cov AS (
+      |  SELECT doc_id, count(*) AS n_stop_distinct
+      |  FROM wc JOIN stop USING (word) GROUP BY 1),
+      |chars AS (
+      |  SELECT doc_id, lang,
+      |         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars
+      |  FROM documents)""".stripMargin
+
+  /** The t12 `keep` predicate over the [[qualityCtesSql]] columns — one
+    * definition for the t12 and p01 oracles. */
+  private[operators] def keepPredSql: String =
+    s"""n_words >= $MinWords
+       |         AND word_chars / n_words >= $MeanLenLo
+       |         AND word_chars / n_words <= $MeanLenHi
+       |         AND max_word_freq / n_words <= $TopShareMax
+       |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "t12_quality_filter" ->
+      s"""WITH $qualityCtesSql
+         |SELECT doc_id, lang, n_words,
+         |       word_chars / n_words AS mean_word_len,
+         |       max_word_freq / n_words AS top_word_share,
+         |       coalesce(n_stop_distinct, 0) AS n_stop_distinct,
+         |       n_words >= $MinWords AS r_len,
+         |       word_chars / n_words >= $MeanLenLo
+         |         AND word_chars / n_words <= $MeanLenHi AS r_mean,
+         |       max_word_freq / n_words <= $TopShareMax AS r_top,
+         |       coalesce(n_stop_distinct, 0) >= $StopMinDistinct AS r_stop,
+         |       $keepPredSql AS keep
+         |FROM chars JOIN ws USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "t13_bigram_novelty" ->
+      """WITH dbg AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(CASE WHEN len(w) >= 2
+        |             THEN list_transform(generate_series(1, len(w)-1),
+        |                  i -> array_to_string(w[i:i+1], ' '))
+        |             ELSE [] END) AS bg
+        |    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents))
+        |  GROUP BY 1, 2),
+        |train AS (
+        |  SELECT bg, sum(c)::BIGINT AS cnt FROM dbg WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |         sum(CASE WHEN cnt IS NULL THEN c ELSE 0 END)::BIGINT AS n_oov,
+        |         sum(c * coalesce(cnt, 0))::BIGINT AS sum_train_freq
+        |  FROM dbg LEFT JOIN train USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(n_bigrams, 0) AS n_bigrams,
+        |       coalesce(n_oov, 0) AS n_oov,
+        |       CASE WHEN n_bigrams > 0 THEN n_oov / n_bigrams
+        |            ELSE 0.0::DOUBLE END AS oov_rate,
+        |       CASE WHEN n_bigrams > 0 THEN sum_train_freq / n_bigrams
+        |            ELSE 0.0::DOUBLE END AS mean_train_freq
+        |FROM documents d LEFT JOIN scored USING (doc_id)
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
     "t11_pii_scan" ->
       s"""WITH aug AS (SELECT doc_id, lang, $piiAugSql AS a FROM documents)
          |SELECT doc_id, lang,
