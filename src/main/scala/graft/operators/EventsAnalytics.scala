@@ -169,7 +169,50 @@ object EventsAnalytics {
     graft.streaming.EventStreams.slidingRate(Tables.load(spark, dir, "events"))
       .orderBy(col("window_start").asc, col("event_type").asc)
 
+  // ---------------------------------------------------------------------
+  // e09 — AS-OF attribution join: each purchase is attributed to the
+  // LATEST click by the same user at or before it, if within a 1-hour
+  // horizon — the classic as-of join the reference (and vanilla SQL-92)
+  // has no operator for. Composed from primitives Spark executes at
+  // scale: a running max over the per-user event order finds each
+  // purchase's as-of click TIME (one shuffle on user_id, the e01
+  // partition shape — state bounded by per-user activity, not corpus),
+  // and one (user_id, ts) equi-join resolves the click's identity
+  // (ties at the same timestamp break on min event_id, so both engines
+  // agree). No range/theta join anywhere — the naive formulation
+  // (clicks ⋈ purchases ON user AND click_ts BETWEEN …) explodes on
+  // active users; this one never builds a pair that isn't emitted.
+  // ---------------------------------------------------------------------
+  val AttributionHorizonSeconds = 3600L
+
+  def e09AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val purchases = events
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("last_click_ts"))
+    val clicks = events.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .agg(min(col("event_id")).as("click_id"))
+    val gap = col("purchase_ts").cast("long") - col("last_click_ts").cast("long")
+    val attributed = col("last_click_ts").isNotNull && gap <= AttributionHorizonSeconds
+    purchases
+      .join(clicks, col("user_id") === col("c_user_id") &&
+        col("last_click_ts") === col("click_ts"), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        when(attributed, col("click_id")).as("click_id"),
+        when(attributed, gap).as("gap_s"),
+        attributed.as("attributed"))
+      .orderBy(col("purchase_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_asof_attribution" -> e09AsofAttribution _,
     "e07_windowed_counts" -> e07WindowedCounts _,
     "e08_sliding_counts" -> e08SlidingCounts _,
     "e01_sessionize" -> e01Sessionize _,
@@ -183,6 +226,32 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e09_asof_attribution" ->
+      s"""WITH o AS (
+         |  SELECT event_id, user_id, ts, event_type,
+         |         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+         |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+         |  FROM events),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_click_ts
+         |      FROM o WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT purchase_id, p.user_id, purchase_ts,
+         |       CASE WHEN last_click_ts IS NOT NULL
+         |             AND date_diff('second', last_click_ts, purchase_ts)
+         |                   <= $AttributionHorizonSeconds
+         |            THEN click_id END AS click_id,
+         |       CASE WHEN last_click_ts IS NOT NULL
+         |             AND date_diff('second', last_click_ts, purchase_ts)
+         |                   <= $AttributionHorizonSeconds
+         |            THEN date_diff('second', last_click_ts, purchase_ts) END AS gap_s,
+         |       coalesce(last_click_ts IS NOT NULL
+         |             AND date_diff('second', last_click_ts, purchase_ts)
+         |                   <= $AttributionHorizonSeconds, FALSE) AS attributed
+         |FROM p LEFT JOIN c ON p.user_id = c.user_id AND p.last_click_ts = c.click_ts
+         |ORDER BY purchase_id ASC NULLS FIRST""".stripMargin,
+
     "e07_windowed_counts" ->
       s"""SELECT date_trunc('hour', ts) AS window_start,
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

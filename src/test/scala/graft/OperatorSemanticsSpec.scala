@@ -497,6 +497,145 @@ class OperatorSemanticsSpec extends SparkSpec {
       .forall(_.getAs[Boolean]("hll_within_5pct")))
   }
 
+  test("t12 quality flags: keep is the exact rule conjunction and every rule fires both ways") {
+    val rows = TextAnalysis.t12QualityFilter(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val conj = Seq("r_len", "r_mean", "r_top", "r_stop")
+        .forall(r.getAs[Boolean](_))
+      assert(r.getAs[Boolean]("keep") === conj, s"keep != conjunction for $r")
+    }
+    Seq("r_len", "r_mean", "r_top", "r_stop", "keep").foreach { c =>
+      assert(rows.map(_.getAs[Boolean](c)).toSet === Set(true, false),
+        s"rule $c never fires both ways — thresholds miscalibrated for the corpus")
+    }
+  }
+
+  test("t13 novelty: train-split docs are never OOV; counts and rates are consistent") {
+    val rows = TextAnalysis.t13BigramNovelty(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      // a train doc's bigrams are all in the train table by construction
+      if (r.getAs[Long]("doc_id") % 5 != 0)
+        assert(oov === 0L, s"train doc ${r.getAs[Long]("doc_id")} scored OOV")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (n > 0) assert(rate === oov.toDouble / n)
+      // every doc shares SOME bigram mass with the corpus LM here
+      if (n > 0 && oov < n) assert(r.getAs[Double]("mean_train_freq") > 0.0)
+    }
+  }
+
+  test("s09 knn graph: dense ranks, no self edges, cosine non-increasing per vector") {
+    val rows = Similarity.s09KnnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, g) =>
+      assert(g.length <= Similarity.KnnK)
+      val ranked = g.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq === (1 to g.length))
+      ranked.foreach(r => assert(r.getAs[Long]("neighbor_id") !== v))
+      ranked.map(_.getAs[Double]("cosine")).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1) - 1e-9)
+      }
+    }
+  }
+
+  test("d11 source overlap: canonical pairs, shared bounded by the smaller shingle set") {
+    val rows = Dedup.d11SourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val shared = r.getAs[Long]("n_shared")
+      val minN = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(shared >= 1L && shared <= minN)
+      assert(r.getAs[Double]("overlap") === shared.toDouble / minN)
+    }
+  }
+
+  test("p01 ledger: statuses partition the corpus and agree with d08 clusters + t12 keep") {
+    val rows = Curation.p01CurationLedger(spark, sf).collect()
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    val nonKeepers = Dedup.d08LshClusters(spark, sf).collect()
+      .filter(!_.getAs[Boolean]("is_keeper")).map(_.getAs[Long]("doc_id")).toSet
+    val qKeep = TextAnalysis.t12QualityFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(nonKeepers.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected =
+        if (nonKeepers(id)) "near_dup"
+        else if (!qKeep(id)) "low_quality"
+        else "kept"
+      assert(r.getAs[String]("status") === expected, s"doc $id")
+    }
+  }
+
+  test("p02 shard packing: hierarchical prefix sum equals a naive sequential walk") {
+    val rows = Curation.p02ShardPacking(spark, sf).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.length === Tables.load(spark, sf, "documents").count())
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_before") === cum, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("shard_id") === cum / Curation.TokensPerShard)
+      assert(r.getAs[Long]("offset_in_shard") === cum % Curation.TokensPerShard)
+      cum += r.getAs[Long]("tokens")
+    }
+    assert(rows.last.getAs[Long]("shard_id") > 0, "corpus should span multiple shards")
+  }
+
+  test("ivf centroid cache: a cached serve is bit-identical to the cold build") {
+    Similarity.clearIndexCache()
+    def snap() = Similarity.trainedCentroids(spark, sf).collect()
+      .sortBy(_.getAs[Long]("cent_id"))
+      .map(r => (r.getAs[Long]("cent_id"), r.getAs[Seq[Double]]("ce"), r.getAs[Double]("cn")))
+    val cold = snap().toSeq
+    val warm = snap().toSeq // second call must hit the cache
+    assert(cold === warm)
+    assert(cold.length === Similarity.IvfCells)
+  }
+
+  test("e09 as-of attribution matches an independent per-user event walk") {
+    val rows = EventsAnalytics.e09AsofAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("attributed")))
+    assert(rows.exists(!_.getAs[Boolean]("attributed")))
+    // reference semantics, recomputed sequentially per user; order by the
+    // full-precision timestamp (micros) like the query, gap in whole
+    // seconds like the query's cast("long") arithmetic
+    val events = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"ts".cast("long").as("sec"), $"event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("us"), r.getAs[Long]("sec"), r.getAs[String]("event_type")))
+    val byUser = events.groupBy(_._2)
+    val expected = byUser.values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      // (us, sec, event_id) of the latest click, min event_id on exact-ts ties
+      var lastClick: Option[(Long, Long, Long)] = None
+      ordered.flatMap { case (id, _, us, sec, tpe) =>
+        if (tpe == "click" && !lastClick.exists(c => c._1 == us && c._3 <= id))
+          lastClick = Some((us, sec, id))
+        if (tpe == "purchase") {
+          val hit = lastClick.filter(c =>
+            sec - c._2 <= EventsAnalytics.AttributionHorizonSeconds)
+          Some(id -> hit.map(_._3))
+        } else None
+      }
+    }.toMap
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val got = if (r.isNullAt(r.fieldIndex("click_id"))) None
+        else Some(r.getAs[Long]("click_id"))
+      assert(got === expected(pid), s"purchase $pid")
+      assert(r.getAs[Boolean]("attributed") === expected(pid).isDefined)
+    }
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()

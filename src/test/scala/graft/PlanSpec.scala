@@ -218,6 +218,34 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pair over the cells:\n$plan")
   }
 
+  test("s09: knn-graph pairing is bucket-equi with the two-phase rank — never all-pairs") {
+    val plan = formatted(Similarity.s09KnnGraph(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide knn must stay inside LSH buckets:\n$plan")
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"s09 lost the partial (per-partition) rank stage:\n$plan")
+  }
+
+  test("d11: the pair-count joins against the tiny size table broadcast") {
+    val plan = formatted(Dedup.d11SourceOverlap(spark, sf))
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 2,
+      s"per-source size lookups should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("p02: prefix-sum windows are all level-bounded partitions; top level broadcasts") {
+    // the suite-wide zero-partition ban already covers the empty spec;
+    // here pin that each window partitions by a hierarchy level column
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Curation.p02ShardPacking(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size >= 2, "expected the within-super and within-bucket windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty))
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the super-level combine should broadcast the S-row totals:\n$plan")
+  }
+
   test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
     val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
     val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
