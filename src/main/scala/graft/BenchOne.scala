@@ -1,0 +1,27 @@
+package graft
+
+/** Single-query timing harness for plan iteration: run one SparkEntry
+  * query N times against a testdata dir and print each run's seconds
+  * (min is the steady-state plan cost, same convention as [[Bench]]).
+  *
+  * Usage: runMain graft.BenchOne <query_name> [sfDir] [iters]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 3
+    val spark = Session.get("graft-bench-one")
+    val fn = SparkEntry.queries(name)
+    val times = (1 to iters).map { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[bench-one] $name run $i: $s%.3f s ($n rows)")
+      s
+    }
+    println(f"[bench-one] $name min: ${times.min}%.3f s")
+    spark.stop()
+  }
+}

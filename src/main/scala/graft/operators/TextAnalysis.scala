@@ -27,9 +27,12 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   def t01LanguageId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // NOT persisted: measured slower — the explode is codegen-cheap to
-    // recompute for the two consumers, while materializing 3.5M rows
-    // costs serialization + storage (2.3s → 4.6s with persist at sf0.1)
+    // NOT persisted, NOT pre-aggregated: both measured slower — the
+    // explode is codegen-cheap to recompute for the two consumers, while
+    // materializing 3.5M rows costs serialization + storage (2.3s → 4.6s
+    // with persist at sf0.1) and pre-aggregating on (doc_id, lang, bg)
+    // shuffles the full bigram stream on a wide key before either
+    // consumer's own (cheaper) aggregate (2.3s → 3.8s, measured round 5)
     val bigrams = docs.select(col("doc_id"), col("lang"), explode(expr(
         """CASE WHEN length(text) >= 2
           |THEN transform(sequence(1, length(text)-1), i -> substring(text, i, 2))
