@@ -99,12 +99,84 @@ object Curation {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p03 — deterministic train/val/test split assignment, keyed on the
+  // CONTENT hash (not doc_id, not rand()): h(text) mod 10 → 0-7 train,
+  // 8 val, 9 test. Content keying gives the two properties a training
+  // split must have at 100 TB: reproducible across runs / engines /
+  // repartitioning (the t05 contract), and LEAK-FREE under exact
+  // duplication — byte-identical documents land in the same split by
+  // construction, so a dup surviving upstream dedup can never straddle
+  // train and test. Pure map-only projection; codegen fuses it into the
+  // scan.
+  // ---------------------------------------------------------------------
+  def p03SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SharedHash.h31
+    val slot = h31(col("text")) % 10
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), slot.as("slot"),
+        when(slot <= 7, "train").when(slot === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // p04 — mixture / sampling plan: per-source token counts plus the
+  // downsampling rate that equalizes every source to the smallest one —
+  // the "how much of each feed goes into the mix" decision a pretraining
+  // data recipe starts from. One map-combinable aggregate over the
+  // corpus; the corpus-wide minimum joins back as a broadcast scalar
+  // (S8 pattern, kept in-plan via a cross join rather than a driver
+  // fetch). Exact integers everywhere except the two final divisions,
+  // which both engines evaluate bit-identically (t02 contract).
+  // ---------------------------------------------------------------------
+  def p04MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(length(col("text")) / 4.0).cast("long")).as("n_tokens"))
+    val minTok = perSource.agg(min(col("n_tokens")).as("min_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    perSource.crossJoin(broadcast(minTok)).crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("total_tokens")).as("token_share"),
+        (col("min_tokens") / col("n_tokens")).as("sample_rate"),
+        col("min_tokens").as("target_tokens"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p03_split_assign" -> p03SplitAssign _,
+    "p04_mixture_plan" -> p04MixturePlan _,
     "p01_curation_ledger" -> p01CurationLedger _,
     "p02_shard_packing" -> p02ShardPacking _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p03_split_assign" -> {
+      val slot = graft.functions.SharedHash.h31Sql("text")
+      s"""SELECT doc_id, lang, source, $slot % 10 AS slot,
+         |       CASE WHEN $slot % 10 <= 7 THEN 'train'
+         |            WHEN $slot % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    },
+
+    "p04_mixture_plan" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(ceil(length(text) / 4.0)::BIGINT) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT min(n_tokens) AS min_tokens,
+        |             CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       n_tokens / total_tokens AS token_share,
+        |       min_tokens / n_tokens AS sample_rate,
+        |       min_tokens AS target_tokens
+        |FROM s CROSS JOIN m
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     "p01_curation_ledger" ->
       s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},
          |${TextAnalysis.qualityCtesSql},

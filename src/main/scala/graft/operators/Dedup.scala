@@ -582,7 +582,50 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("source_a").asc, col("source_b").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // d12 — cross-document boilerplate spans: per document, the share of
+  // its word-4-gram positions whose 4-gram also appears in ≥
+  // BoilerMinDocs distinct documents — the C4-style "remove spans every
+  // page repeats" signal (nav bars, license headers, templated intros),
+  // complementary to t08 (repetition WITHIN a doc) and d07 (overlap with
+  // a specific eval set). Plan shape is the t09/t14 contract: one
+  // persisted per-(doc, span) count frame feeds both the
+  // document-frequency aggregate and the scoring join; the df table
+  // shuffles once on the span key; every later aggregate keys on doc_id
+  // and is map-side combinable — nothing corpus-quadratic at any scale.
+  // ---------------------------------------------------------------------
+  val SpanWidth = 4
+  val BoilerMinDocs = 3
+
+  def d12BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pd = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $SpanWidth
+           |THEN transform(sequence(1, size(w)-${SpanWidth - 1}),
+           |               i -> concat_ws(' ', slice(w, i, $SpanWidth)))
+           |ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = pd.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val scored = pd.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("df") >= BoilerMinDocs, col("c")).otherwise(lit(0L)))
+          .as("n_boiler_spans"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_boiler_spans"), lit(0L)).as("n_boiler_spans"),
+        // NULL > 0 is NULL → otherwise-branch in both engines (t13 contract)
+        when(col("n_spans") > 0, col("n_boiler_spans") / col("n_spans"))
+          .otherwise(lit(0.0)).as("boiler_share"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_boilerplate_spans" -> d12BoilerplateSpans _,
     "d11_source_overlap" -> d11SourceOverlap _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
     "d01_exact_dedup" -> d01ExactDedup _,
@@ -696,6 +739,27 @@ object Dedup {
        |$componentsLabelsSql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d12_boilerplate_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+         |spans AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+${SpanWidth - 1}], ' ') AS g
+         |  FROM w, unnest(generate_series(1, greatest(len(ws)-${SpanWidth - 1}, 0))) AS t(i)),
+         |pd AS (SELECT doc_id, g, count(*) AS c FROM spans GROUP BY 1, 2),
+         |dfq AS (SELECT g, count(*) AS df FROM pd GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+         |         CAST(sum(CASE WHEN df >= $BoilerMinDocs THEN c ELSE 0 END) AS BIGINT)
+         |           AS n_boiler_spans
+         |  FROM pd JOIN dfq USING (g) GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |       coalesce(sc.n_spans, 0) AS n_spans,
+         |       coalesce(sc.n_boiler_spans, 0) AS n_boiler_spans,
+         |       CASE WHEN sc.n_spans > 0 THEN sc.n_boiler_spans / sc.n_spans
+         |            ELSE 0.0 END AS boiler_share
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
     "d11_source_overlap" ->
       s"""WITH $shinglesSql,
          |ss AS (

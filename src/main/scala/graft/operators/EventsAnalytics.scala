@@ -211,7 +211,59 @@ object EventsAnalytics {
       .orderBy(col("purchase_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e10 — event-transition matrix (first-order Markov model of user
+  // behavior): for every (prev_type → event_type) pair, the transition
+  // count and conditional probability — the session-flow model behind
+  // next-action prediction and bot detection. The per-user lag runs in
+  // the e01 partition shape (user_id is high-cardinality, so no few-key
+  // window hazard); everything after is an aggregate over ≤ |types|²
+  // rows, and the probability is one integer÷integer division both
+  // engines evaluate bit-identically (t02 contract).
+  // ---------------------------------------------------------------------
+  def e10Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.load(spark, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast(DoubleType) / col("tot")).as("p"))
+      .orderBy(col("prev_type").asc, col("event_type").asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // e11 — view→purchase conversion lag: per user with at least one view,
+  // the first view, the first purchase AT OR AFTER that view, and the
+  // lag in seconds — the attribution-latency table a growth pipeline
+  // feeds into LTV models. Two aggregations shuffling on the same
+  // user_id key (AQE reuses the partitioning); no window over the raw
+  // stream is needed at all, so per-task state is one row per user.
+  // ---------------------------------------------------------------------
+  def e11ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val firstView = events.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view_ts"))
+    val firstPurch = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .join(firstView, col("p_user") === col("user_id") &&
+        col("p_ts") >= col("first_view_ts"))
+      .groupBy(col("p_user")).agg(min(col("p_ts")).as("first_purchase_ts"))
+    firstView
+      .join(firstPurch, col("user_id") === col("p_user"), "left_outer")
+      .select(col("user_id"), col("first_view_ts"), col("first_purchase_ts"),
+        (col("first_purchase_ts").cast("long") - col("first_view_ts").cast("long"))
+          .as("lag_s"),
+        col("first_purchase_ts").isNotNull.as("converted"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_transitions" -> e10Transitions _,
+    "e11_conversion_lag" -> e11ConversionLag _,
     "e09_asof_attribution" -> e09AsofAttribution _,
     "e07_windowed_counts" -> e07WindowedCounts _,
     "e08_sliding_counts" -> e08SlidingCounts _,
@@ -226,6 +278,34 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e10_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n
+        |      FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.event_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "e11_conversion_lag" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id AS p_user, min(e.ts) AS first_purchase_ts
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view_ts
+        |  GROUP BY 1)
+        |SELECT user_id, first_view_ts, first_purchase_ts,
+        |       date_diff('second', first_view_ts, first_purchase_ts) AS lag_s,
+        |       first_purchase_ts IS NOT NULL AS converted
+        |FROM fv LEFT JOIN fp ON fv.user_id = fp.p_user
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
     "e09_asof_attribution" ->
       s"""WITH o AS (
          |  SELECT event_id, user_id, ts, event_type,

@@ -382,7 +382,35 @@ object Similarity {
       .orderBy(col("vec_id").asc, col("rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s10 — ANN recall audit: per query, how many of the exact brute-force
+  // top-k (s01, the ground truth) the IVF index (s03) actually returned
+  // — THE quality metric an ANN deployment monitors, and the number that
+  // justifies every approximate index ("95% recall at 1/K the cost").
+  // Composes the two existing chains and joins their (query, neighbor)
+  // sets; the probe set is small by contract (s01's broadcast argument),
+  // so the audit costs one corpus scan per side plus a probe-sized join.
+  // The trained-centroid cache serves the IVF side — same artifact every
+  // other index consumer reads.
+  // ---------------------------------------------------------------------
+  def s10AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = s03AnnIvf(spark, dir)
+      .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+    val hits = truth
+      .join(approx, col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / col("k")).as("recall"))
+      .orderBy(col("query_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_ann_recall" -> s10AnnRecall _,
     "s09_knn_graph" -> s09KnnGraph _,
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh_buckets" -> s02AnnLshBuckets _,
@@ -451,6 +479,48 @@ object Similarity {
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s10_ann_recall" ->
+      s"""WITH $normedSql,
+         |$lloydCentSql,
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN cents c)
+         |  WHERE cr = 1),
+         |iq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+         |       FROM assigned WHERE vec_id < $QuerySet),
+         |iranked AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT iq.query_id, a.vec_id AS neighbor_id,
+         |           ${dotSql("iq.qe", "a.e")} / (iq.qn * a.nrm) AS c
+         |    FROM iq JOIN assigned a ON iq.cell = a.cell AND iq.query_id <> a.vec_id)),
+         |approx AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= $TopK),
+         |bq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+         |       WHERE vec_id < $QuerySet),
+         |branked AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT bq.query_id, v.vec_id AS neighbor_id,
+         |           ${dotSql("bq.qe", "v.e")} / (bq.qn * v.nrm) AS c
+         |    FROM bq JOIN v ON bq.query_id <> v.vec_id)),
+         |truth AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= $TopK),
+         |kk AS (SELECT query_id, count(*) AS k FROM truth GROUP BY 1),
+         |hits AS (
+         |  SELECT t.query_id, count(*) AS n_hits
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT kk.query_id, kk.k, coalesce(h.n_hits, 0) AS n_hits,
+         |       coalesce(h.n_hits, 0) / kk.k AS recall
+         |FROM kk LEFT JOIN hits h USING (query_id)
+         |ORDER BY kk.query_id ASC NULLS FIRST""".stripMargin,
+
     "s09_knn_graph" ->
       s"""WITH $normedSql,
          |vb AS (SELECT *, ${bucketSql("e")} AS bucket FROM v),

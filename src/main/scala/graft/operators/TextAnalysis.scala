@@ -415,7 +415,39 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t14 — token-rarity scoring: per document, the share of tokens whose
+  // word occurs in exactly ONE document corpus-wide (hapax share) and
+  // the mean corpus document-frequency of its tokens — the
+  // perplexity-shaped rarity signal built entirely from exact integer
+  // counts (no logs, so both engines agree bitwise; a high hapax share
+  // flags OCR noise / mojibake, a high mean df flags boilerplate).
+  // Same plan shape as t09: one persisted (doc, word) tf frame feeds
+  // both the df aggregate and the scoring join; the df table shuffles
+  // once on word; the final per-doc aggregate is map-side combinable.
+  // ---------------------------------------------------------------------
+  def t14RarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(when(col("df") === 1, col("tf")).otherwise(lit(0L))).as("n_hapax"),
+        sum(col("tf") * col("df")).as("sum_df"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_hapax"),
+        (col("n_hapax") / col("n_words")).as("hapax_share"),
+        (col("sum_df") / col("n_words")).as("mean_token_df"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_rarity_score" -> t14RarityScore _,
     "t12_quality_filter" -> t12QualityFilter _,
     "t13_bigram_novelty" -> t13BigramNovelty _,
     "t10_sketch_cardinality" -> t10SketchCardinality _,
@@ -520,6 +552,23 @@ object TextAnalysis {
        |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t14_rarity_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(sum(tf) AS BIGINT) AS n_words,
+        |         CAST(sum(CASE WHEN df = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax,
+        |         CAST(sum(tf * df) AS BIGINT) AS sum_df
+        |  FROM tf JOIN dfq USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, s.n_words, s.n_hapax,
+        |       s.n_hapax / s.n_words AS hapax_share,
+        |       s.sum_df / s.n_words AS mean_token_df
+        |FROM documents d JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
     "t12_quality_filter" ->
       s"""WITH $qualityCtesSql
          |SELECT doc_id, lang, n_words,

@@ -636,6 +636,123 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("e10 transitions: per-state probabilities sum to 1 and counts cover all transitions") {
+    val rows = EventsAnalytics.e10Transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getAs[String]("prev_type"))
+    byPrev.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    // total transition count = events − one first-event per user
+    val nEvents = Tables.load(spark, sf, "events").count()
+    val nUsers = Tables.load(spark, sf, "events").select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nEvents - nUsers)
+  }
+
+  test("e11 conversion lag: purchase at/after first view, lag non-negative, converted iff present") {
+    val rows = EventsAnalytics.e11ConversionLag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("converted")))
+    // (at sf0.001 every viewing user happens to convert; sf0.01 has both)
+    rows.foreach { r =>
+      val converted = r.getAs[Boolean]("converted")
+      assert(converted === !r.isNullAt(r.fieldIndex("first_purchase_ts")))
+      if (converted) assert(r.getAs[Long]("lag_s") >= 0L)
+      else assert(r.isNullAt(r.fieldIndex("lag_s")))
+    }
+  }
+
+  test("t14 rarity: per-doc token totals agree with t03; shares bounded; hapax words unique") {
+    val rarity = TextAnalysis.t14RarityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val t03 = TextAnalysis.t03TokenCounts(spark, sf).collect()
+    assert(t03.nonEmpty && rarity.nonEmpty)
+    t03.foreach { r =>
+      assert(rarity(r.getAs[Long]("doc_id")).getAs[Long]("n_words") ===
+        r.getAs[Long]("ws_tokens"))
+    }
+    rarity.values.foreach { r =>
+      val share = r.getAs[Double]("hapax_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("mean_token_df") >= 1.0)
+    }
+  }
+
+  test("d12 boilerplate spans: bounded shares, and exact-dup members are fully boilerplate") {
+    val rows = Dedup.d12BoilerplateSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler_spans") <= r.getAs[Long]("n_spans"))
+      val s = r.getAs[Double]("boiler_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Double]("boiler_share") > 0.0))
+    assert(rows.exists(_.getAs[Double]("boiler_share") < 1.0))
+    // near-dup families in the fixture share their whole text → some
+    // docs must be ENTIRELY boilerplate
+    assert(rows.exists(r => r.getAs[Long]("n_spans") > 0 &&
+      r.getAs[Double]("boiler_share") === 1.0))
+    // independent sequential recomputation over the raw texts
+    val texts = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val spansOf = (t: String) =>
+      t.split("\\s+").sliding(Dedup.SpanWidth).filter(_.length == Dedup.SpanWidth)
+        .map(_.mkString(" ")).toSeq
+    val dfCount = texts.flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (id, t) =>
+      val spans = spansOf(t)
+      val boiler = spans.count(g => dfCount(g) >= Dedup.BoilerMinDocs)
+      assert(byId(id).getAs[Long]("n_spans") === spans.length.toLong, s"doc $id")
+      assert(byId(id).getAs[Long]("n_boiler_spans") === boiler.toLong, s"doc $id")
+    }
+  }
+
+  test("p03 split: exact-duplicate texts never straddle splits; all slots observed") {
+    val df = Curation.p03SplitAssign(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "val", "test"))
+    // leak-freedom under duplication: one distinct split per distinct text
+    val straddlers = Tables.load(spark, sf, "documents")
+      .join(df.select($"doc_id", $"split"), Seq("doc_id"))
+      .groupBy($"text").agg(countDistinct($"split").as("k"))
+      .where($"k" > 1).count()
+    assert(straddlers === 0L)
+    // train share is near 80% by hash uniformity
+    val trainShare = rows.count(_.getAs[String]("split") == "train").toDouble / rows.length
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare")
+  }
+
+  test("p04 mixture plan: shares sum to 1, smallest source keeps rate 1, targets equalized") {
+    val rows = Curation.p04MixturePlan(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    val minTok = rows.map(_.getAs[Long]("n_tokens")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_tokens") === minTok)
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      if (r.getAs[Long]("n_tokens") == minTok) assert(rate === 1.0)
+    }
+  }
+
+  test("s10 recall: agrees with an independent intersection of s01 and s03 outputs") {
+    val truth = Similarity.s01AnnBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.s03AnnIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = Similarity.s10AnnRecall(spark, sf).collect()
+    assert(rows.length === truth.map(_._1).size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expect = truth.filter(_._1 == q).count(approx.contains)
+      assert(r.getAs[Long]("n_hits") === expect, s"query $q")
+      assert(r.getAs[Long]("k") === Similarity.TopK)
+      assert(r.getAs[Double]("recall") === expect.toDouble / Similarity.TopK)
+    }
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()

@@ -246,6 +246,38 @@ class PlanSpec extends SparkSpec {
       s"the super-level combine should broadcast the S-row totals:\n$plan")
   }
 
+  test("e10: transition probabilities join the per-state totals via broadcast") {
+    val plan = formatted(EventsAnalytics.e10Transitions(spark, sf))
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 1,
+      s"the ≤|types| totals table should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("p03: split assignment is map-only — hash fuses into the scan, no shuffle before the sort") {
+    val plan = formatted(Curation.p03SplitAssign(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // like t03/t11: only the final ORDER BY's range exchange is allowed
+    assert(exchanges <= 2, s"per-row hash projection must not shuffle:\n$plan")
+  }
+
+  test("t14/d12: the shared per-(doc, key) count frame is served from cache") {
+    Seq(TextAnalysis.t14RarityScore(spark, sf),
+        Dedup.d12BoilerplateSpans(spark, sf)).foreach { df =>
+      df.count() // materialize caches
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"persisted tf frame not used:\n${plan.take(2000)}")
+    }
+  }
+
+  test("s10: the recall join is hash-equi over the two ranked sets, no extra corpus pass") {
+    val plan = formatted(Similarity.s10AnnRecall(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // both sides keep the two-phase partial rank of their parent chains
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"s10 lost the parents' partial rank stages:\n$plan")
+  }
+
   test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
     val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
     val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
