@@ -29,7 +29,7 @@ object Curation {
   // ---------------------------------------------------------------------
   def p01CurationLedger(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val nearDrop = Dedup.minLabelComponents(Dedup.lshEdges(spark, dir))
+    val nearDrop = Dedup.clusterLabels(spark, dir)
       .where(col("label") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_near_dup"))
     val quality = TextAnalysis.t12QualityFilter(spark, dir)

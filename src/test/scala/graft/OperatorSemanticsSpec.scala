@@ -597,6 +597,17 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(cold.length === Similarity.IvfCells)
   }
 
+  test("cluster-label cache: a cached serve is bit-identical to the cold build") {
+    Dedup.clearLabelsCache()
+    def snap() = Dedup.d08LshClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_keeper"))).toSeq
+    val cold = snap()
+    val warm = snap() // second call must serve from the cached label table
+    assert(cold === warm)
+    assert(cold.nonEmpty)
+  }
+
   test("e09 as-of attribution matches an independent per-user event walk") {
     val rows = EventsAnalytics.e09AsofAttribution(spark, sf).collect()
     assert(rows.nonEmpty)
