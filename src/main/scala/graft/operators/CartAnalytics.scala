@@ -671,7 +671,38 @@ object CartAnalytics {
       .orderBy(col("fk_edge").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // Q25 — RANGE-frame rolling window: per customer, trailing-30-DAY order
+  // count and revenue at each active day — the one window shape the rest
+  // of the suite doesn't exercise (q22's frames are ROWS/unbounded; a
+  // RANGE frame bounds by the ORDER-BY VALUE, so calendar gaps shrink
+  // the window instead of sliding over a fixed row count). Scale: the
+  // (custkey, day) pre-aggregation shrinks the fact table before any
+  // window runs, and the window partitions by the high-cardinality
+  // custkey — per-task state is one customer's active days. Day ordinal
+  // is an exact integer; revenue accumulates in DECIMAL (money
+  // contract) with one double cast at the end.
+  // ---------------------------------------------------------------------
+  val RollingDays = 30
+
+  def q25RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ord(spark, dir)
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("day_rev"))
+      .withColumn("d",
+        datediff(col("order_day"), lit("1992-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d").asc)
+      .rangeBetween(-(RollingDays - 1), Window.currentRow)
+    daily.select(col("o_custkey"), col("order_day"), col("n_orders"),
+        col("day_rev").cast(DoubleType).as("day_revenue"),
+        sum(col("n_orders")).over(w).as("r30_orders"),
+        sum(col("day_rev")).over(w).cast(DoubleType).as("r30_revenue"))
+      .orderBy(col("o_custkey").asc, col("order_day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_rolling_window" -> q25RollingWindow _,
     "q22_window_analytics" -> q22WindowAnalytics _,
     "q23_grouping_sets" -> q23GroupingSets _,
     "q24_integrity_audit" -> q24IntegrityAudit _,
@@ -702,6 +733,23 @@ object CartAnalytics {
     s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q25_rolling_window" ->
+      s"""WITH daily AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+         |         count(*) AS n_orders,
+         |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+         |  FROM orders GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT *, date_diff('day', DATE '1992-01-01', order_day) AS d FROM daily)
+         |SELECT o_custkey, order_day, n_orders,
+         |       CAST(day_rev AS DOUBLE) AS day_revenue,
+         |       CAST(sum(n_orders) OVER w AS BIGINT) AS r30_orders,
+         |       CAST(sum(day_rev) OVER w AS DOUBLE) AS r30_revenue
+         |FROM dd
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d ASC
+         |             RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey ASC NULLS FIRST, order_day ASC NULLS FIRST""".stripMargin,
+
     "q24_integrity_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders->customer' AS fk_edge,

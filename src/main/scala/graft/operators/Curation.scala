@@ -145,7 +145,33 @@ object Curation {
       .orderBy(col("source").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p05 — loss-attribution dataset card: the p01 ledger rolled up to
+  // (source, status) with document AND token counts plus each status's
+  // share of its source's tokens — the one-page answer to "where did my
+  // data go": how much of each feed survived curation, and how much was
+  // lost to duplication vs quality. Reuses the cached cluster-label
+  // table through p01; the rollup itself is one map-combinable
+  // aggregate over ≤ |sources|×|statuses| groups, with the per-source
+  // totals joined back by broadcast.
+  // ---------------------------------------------------------------------
+  def p05LossAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
+    val agg = p01CurationLedger(spark, dir)
+      .select(col("doc_id"), col("source"), col("status"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+    val tot = agg.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    agg.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("status"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("src_tokens")).as("token_share"))
+      .orderBy(col("source").asc, col("status").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_loss_attribution" -> p05LossAttribution _,
     "p03_split_assign" -> p03SplitAssign _,
     "p04_mixture_plan" -> p04MixturePlan _,
     "p01_curation_ledger" -> p01CurationLedger _,
@@ -153,6 +179,31 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p05_loss_attribution" ->
+      s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},
+         |${TextAnalysis.qualityCtesSql},
+         |neardrop AS (SELECT doc AS doc_id FROM labels WHERE doc <> cluster_id),
+         |quality AS (
+         |  SELECT doc_id, ${TextAnalysis.keepPredSql} AS q_keep
+         |  FROM chars JOIN ws USING (doc_id) LEFT JOIN cov USING (doc_id)),
+         |led AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN d.doc_id IN (SELECT doc_id FROM neardrop) THEN 'near_dup'
+         |              WHEN NOT q.q_keep THEN 'low_quality'
+         |              ELSE 'kept' END AS status,
+         |         ceil(length(d.text) / 4.0)::BIGINT AS tokens
+         |  FROM documents d JOIN quality q USING (doc_id)),
+         |agg AS (
+         |  SELECT source, status, count(*) AS n_docs,
+         |         CAST(sum(tokens) AS BIGINT) AS n_tokens
+         |  FROM led GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |        FROM agg GROUP BY 1)
+         |SELECT agg.source, status, n_docs, n_tokens,
+         |       n_tokens / src_tokens AS token_share
+         |FROM agg JOIN tot ON agg.source = tot.source
+         |ORDER BY agg.source ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin,
+
     "p03_split_assign" -> {
       val slot = graft.functions.SharedHash.h31Sql("text")
       s"""SELECT doc_id, lang, source, $slot % 10 AS slot,

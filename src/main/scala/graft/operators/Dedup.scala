@@ -130,16 +130,34 @@ object Dedup {
     * (doc_a < doc_b dedups unordered pairs); `false` pairs two DISJOINT
     * sides (d10's new×existing index lookups). The one definition of
     * banding on the Scala side — a band-layout change edits only here
-    * and [[bandJoinsSql]]. */
+    * and [[bandJoinsSql]].
+    *
+    * Shape: each signature EXPLODES to one (band, k1, k2) row per band
+    * and the collision set is ONE bucket-equi join on that composite
+    * key — not NumBands separate self-joins unioned (the prior form,
+    * measured planning-bound: ~3s per invocation independent of data
+    * size, the d06/d08 lesson again but in plan WIDTH rather than loop
+    * depth). The single join is also the canonical cluster shape: band
+    * rows shuffle once on (band, key) — 8 narrow rows per doc — instead
+    * of 8 full passes over the signature relation. The candidate SET is
+    * identical (same bands, same keys, same doc_a < doc_b dedup), so
+    * the DuckDB oracle keeps the 8-way union form and the results
+    * cannot drift. */
   private def bandCandidates(left: DataFrame, right: DataFrame,
-      canonical: Boolean): DataFrame =
-    (0 until NumBands).map { jb =>
-      val onBand = col(s"x.mh${2 * jb}") === col(s"y.mh${2 * jb}") &&
-        col(s"x.mh${2 * jb + 1}") === col(s"y.mh${2 * jb + 1}")
-      val cond = if (canonical) onBand && col("x.doc_id") < col("y.doc_id") else onBand
-      left.as("x").join(right.as("y"), cond)
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    }.reduce(_ unionAll _).distinct()
+      canonical: Boolean): DataFrame = {
+    def bandRows(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"), explode(array((0 until NumBands).map(jb =>
+          struct(lit(jb).as("band"), col(s"mh${2 * jb}").as("k1"),
+            col(s"mh${2 * jb + 1}").as("k2"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.k1").as("k1"), col("b.k2").as("k2"))
+    val onBand = col("x.band") === col("y.band") &&
+      col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2")
+    val cond = if (canonical) onBand && col("x.doc_id") < col("y.doc_id") else onBand
+    bandRows(left).as("x").join(bandRows(right).as("y"), cond)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** Unordered self-join band candidates (d03/d08/d09). */
   private def lshCandidates(sig: DataFrame): DataFrame =
@@ -226,23 +244,32 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), word("s").as("sh1"), word("t").as("sh2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the hamming check runs INLINE in each band join (both signatures are
+    // the hamming check runs INLINE in the band join (both signatures are
     // already on the joined row), so only qualifying pairs reach the
-    // cross-band distinct — candidates never materialize, and no
-    // verification join back to sigs is needed
+    // distinct — candidates never materialize, and no verification join
+    // back to sigs is needed. Like bandCandidates, the 9 pigeonhole
+    // bands collide through ONE bucket-equi join over exploded
+    // (band, key) rows, not 9 unioned self-joins (the planning-bound
+    // anti-shape); the collision set is identical, and the oracle keeps
+    // the unioned form.
     val ham = bit_count(col("a.sh1").bitwiseXOR(col("b.sh1"))) +
       bit_count(col("a.sh2").bitwiseXOR(col("b.sh2")))
-    SimBands.map { case (wd, off, w) =>
-      def band(side: String) =
-        shiftright(col(s"$side.sh$wd"), off).bitwiseAND(lit((1L << w) - 1))
-      sigs.as("a").join(sigs.as("b"),
-          band("a") === band("b") && col("a.doc_id") < col("b.doc_id"))
-        .where(ham <= HammingMax)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh1").as("simhash_a1"), col("a.sh2").as("simhash_a2"),
-          col("b.sh1").as("simhash_b1"), col("b.sh2").as("simhash_b2"),
-          ham.cast("int").as("hamming"))
-    }.reduce(_ unionAll _).distinct()
+    val bandRows = sigs.select(col("doc_id"), col("sh1"), col("sh2"),
+        explode(array(SimBands.zipWithIndex.map { case ((wd, off, w), i) =>
+          struct(lit(i).as("band"),
+            shiftright(col(s"sh$wd"), off).bitwiseAND(lit((1L << w) - 1)).as("k"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sh1"), col("sh2"),
+        col("b.band").as("band"), col("b.k").as("k"))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(ham <= HammingMax)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh1").as("simhash_a1"), col("a.sh2").as("simhash_a2"),
+        col("b.sh1").as("simhash_b1"), col("b.sh2").as("simhash_b2"),
+        ham.cast("int").as("hamming"))
+      .distinct()
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(200)
   }
@@ -393,7 +420,7 @@ object Dedup {
 
   /** (doc_id, cluster_id, cluster_size, is_keeper) rows for multi-doc
     * clusters, keeper = min member. */
-  private def clusterOutput(labels: DataFrame): DataFrame =
+  private[graft] def clusterOutput(labels: DataFrame): DataFrame =
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -409,7 +409,30 @@ object Similarity {
       .orderBy(col("query_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s11 — connected components over the mutualized kNN graph: s09's
+  // bucket-local top-k edges, undirected, clustered by the same
+  // min-label propagation d06/d08 use — embedding-space community
+  // detection (semantic dedup at the cluster grain, the grouping a
+  // diversity-aware sampler consumes). Reuses the engine's two scale
+  // primitives end-to-end: the kNN build is bucket-equi (never
+  // all-pairs) and the propagation loop is O(diameter) checkpointed
+  // rounds over only the docs that touch an edge. The DuckDB oracle
+  // rebuilds the identical graph and clusters it with a recursive CTE.
+  // ---------------------------------------------------------------------
+  def s11KnnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = s09KnnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    Dedup.clusterOutput(Dedup.minLabelComponents(edges))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_keeper"))
+      .orderBy(col("cluster_id").asc, col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_components" -> s11KnnComponents _,
     "s10_ann_recall" -> s10AnnRecall _,
     "s09_knn_graph" -> s09KnnGraph _,
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
@@ -479,6 +502,35 @@ object Similarity {
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s11_knn_components" ->
+      s"""WITH RECURSIVE $normedSql,
+         |vb AS (SELECT *, ${bucketSql("e")} AS bucket FROM v),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS c
+         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY c DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |edges AS (
+         |  SELECT DISTINCT least(vec_id, neighbor_id) AS doc_a,
+         |                  greatest(vec_id, neighbor_id) AS doc_b
+         |  FROM ranked WHERE rank <= $KnnK),
+         |bi AS (SELECT doc_a, doc_b FROM edges
+         |       UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(nd, lab) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT bi.doc_b, reach.lab FROM reach JOIN bi ON reach.nd = bi.doc_a),
+         |labels AS (SELECT nd, min(lab) AS cluster_id FROM reach GROUP BY nd),
+         |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT nd AS vec_id, labels.cluster_id, cluster_size,
+         |       nd = labels.cluster_id AS is_keeper
+         |FROM labels JOIN csize ON labels.cluster_id = csize.cluster_id
+         |WHERE cluster_size > 1
+         |ORDER BY labels.cluster_id ASC NULLS FIRST, nd ASC NULLS FIRST""".stripMargin,
+
     "s10_ann_recall" ->
       s"""WITH $normedSql,
          |$lloydCentSql,

@@ -446,7 +446,31 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t15 — per-source vocabulary-growth audit: token count, type count
+  // (distinct words), hapax count (words seen once in the source),
+  // type-token ratio and hapax share — the Heaps/Zipf-shape numbers that
+  // tell a tokenizer team whether a source is natural text (hapax-heavy
+  // tail) or templated spam (tiny closed vocabulary). One
+  // (source, word) pre-aggregation — map-side combinable — then a
+  // per-source rollup of exact integers; the two ratios are single IEEE
+  // divisions (t02 contract).
+  // ---------------------------------------------------------------------
+  def t15VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types") / col("n_tokens")).as("type_token_ratio"),
+        (col("n_hapax") / col("n_types")).as("hapax_share"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_vocab_growth" -> t15VocabGrowth _,
     "t14_rarity_score" -> t14RarityScore _,
     "t12_quality_filter" -> t12QualityFilter _,
     "t13_bigram_novelty" -> t13BigramNovelty _,
@@ -552,6 +576,23 @@ object TextAnalysis {
        |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t15_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |sw AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_types,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM sw GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |       n_types / n_tokens AS type_token_ratio,
+        |       n_hapax / n_types AS hapax_share
+        |FROM agg
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     "t14_rarity_score" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),

@@ -764,6 +764,93 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q25 rolling window matches an independent per-customer day walk") {
+    val rows = CartAnalytics.q25RollingWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the RANGE frame sequentially from the daily grain
+    case class Day(cust: Long, d: Long, n: Long, rev: BigDecimal)
+    def epochDay(r: Row): Long = r.getAs[AnyRef]("order_day") match {
+      case ld: java.time.LocalDate => ld.toEpochDay
+      case sd: java.sql.Date => sd.toLocalDate.toEpochDay
+    }
+    val daily = rows.map { r =>
+      Day(r.getAs[Long]("o_custkey"), epochDay(r), r.getAs[Long]("n_orders"),
+        BigDecimal(r.getAs[Double]("day_revenue")))
+    }
+    val byCust = daily.groupBy(_.cust)
+    rows.foreach { r =>
+      val cust = r.getAs[Long]("o_custkey")
+      val d = epochDay(r)
+      val inFrame = byCust(cust)
+        .filter(x => x.d <= d && x.d > d - CartAnalytics.RollingDays)
+      assert(r.getAs[Long]("r30_orders") === inFrame.map(_.n).sum, s"cust $cust day $d")
+      assert(math.abs(r.getAs[Double]("r30_revenue") -
+        inFrame.map(_.rev).sum.toDouble) < 1e-6, s"cust $cust day $d")
+    }
+    // the RANGE frame must actually exclude something (gaps > 30 days exist)
+    val partials = rows.filter { r =>
+      val cust = r.getAs[Long]("o_custkey")
+      r.getAs[Long]("r30_orders") < byCust(cust).map(_.n).sum
+    }
+    assert(partials.nonEmpty, "fixture should have customers spanning > 30 days")
+  }
+
+  test("s11 knn components: edges never straddle clusters, keeper is the min member") {
+    val edges = Similarity.s09KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    val rows = Similarity.s11KnnComponents(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val label = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    edges.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b), s"edge ($a,$b) outside clusters")
+      assert(label(a) === label(b), s"edge ($a,$b) straddles clusters")
+    }
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min === cid)
+      members.foreach { m =>
+        assert(m.getAs[Boolean]("is_keeper") === (m.getAs[Long]("vec_id") == cid))
+        assert(m.getAs[Long]("cluster_size") === members.length.toLong)
+      }
+      assert(members.length > 1)
+    }
+  }
+
+  test("t15 vocab growth: totals reconcile with t03 and an independent per-source count") {
+    val rows = TextAnalysis.t15VocabGrowth(spark, sf).collect()
+    assert(rows.length > 1)
+    val t03Total = TextAnalysis.t03TokenCounts(spark, sf).collect()
+      .map(_.getAs[Long]("ws_tokens")).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === t03Total)
+    // independent recount for one source
+    val src = rows.head.getAs[String]("source")
+    val words = Tables.load(spark, sf, "documents").where($"source" === src)
+      .collect().flatMap(_.getAs[String]("text").split("\\s+"))
+    val counts = words.groupBy(identity).view.mapValues(_.length)
+    assert(rows.head.getAs[Long]("n_tokens") === words.length.toLong)
+    assert(rows.head.getAs[Long]("n_types") === counts.size.toLong)
+    assert(rows.head.getAs[Long]("n_hapax") === counts.count(_._2 == 1).toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("p05 loss attribution reconciles with the p01 ledger; shares sum to 1 per source") {
+    val rows = Curation.p05LossAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ledger = Curation.p01CurationLedger(spark, sf).collect()
+    val docCounts = ledger.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[String]("status"))).view.mapValues(_.length)
+    assert(rows.length === docCounts.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("status"))
+      assert(r.getAs[Long]("n_docs") === docCounts(k).toLong, s"$k")
+    }
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()

@@ -278,6 +278,28 @@ class PlanSpec extends SparkSpec {
       s"s10 lost the parents' partial rank stages:\n$plan")
   }
 
+  test("q25: the fact table pre-aggregates to the daily grain before the RANGE window") {
+    val plan = formatted(CartAnalytics.q25RollingWindow(spark, sf))
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*""")) >= 2,
+      s"expected partial+final daily aggregate below the window:\n$plan")
+    assert(plan.contains("Window"), s"expected a window node:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("t15: vocab growth is two partial-aggregated rollups, no window") {
+    val plan = formatted(TextAnalysis.t15VocabGrowth(spark, sf))
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*""")) >= 3,
+      s"expected partial+final aggregate pairs:\n$plan")
+    assert(!plan.contains("Window"), s"no window should be needed:\n$plan")
+  }
+
+  test("p05: the per-source totals join back via broadcast") {
+    val plan = formatted(Curation.p05LossAttribution(spark, sf))
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 1,
+      s"the ≤|sources| totals table should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
     val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
     val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
