@@ -170,7 +170,41 @@ object Curation {
       .orderBy(col("source").asc, col("status").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p06 — data-constrained epoch plan: per source, how many passes
+  // (epochs) over its unique tokens the mix should take to pull every
+  // feed up toward the LARGEST feed's token count, with repetition
+  // capped at MaxEpochs (past ~4 epochs repeated data stops buying loss
+  // — the data-constrained-scaling recipe), and the shortfall the cap
+  // leaves unfilled. The complement of p04 (which downsamples every
+  // feed to the smallest): together they bracket the mixing decision.
+  // Exact BIGINT arithmetic end-to-end — ceil division is
+  // (target + n - 1) DIV n, no doubles — over one map-combinable
+  // per-source aggregate plus a broadcast scalar (S8 in-plan pattern).
+  // ---------------------------------------------------------------------
+  val MaxEpochs = 4L
+
+  def p06EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(length(col("text")) / 4.0).cast("long")).as("n_tokens"))
+    val target = perSource.agg(max(col("n_tokens")).as("target_tokens"))
+    perSource.crossJoin(broadcast(target))
+      .withColumn("epochs",
+        least(expr("(target_tokens + n_tokens - 1) DIV n_tokens"), lit(MaxEpochs)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        col("epochs"),
+        least(col("epochs") * col("n_tokens"), col("target_tokens"))
+          .as("planned_tokens"),
+        (col("target_tokens") -
+          least(col("epochs") * col("n_tokens"), col("target_tokens")))
+          .as("shortfall"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_epoch_plan" -> p06EpochPlan _,
     "p05_loss_attribution" -> p05LossAttribution _,
     "p03_split_assign" -> p03SplitAssign _,
     "p04_mixture_plan" -> p04MixturePlan _,
@@ -179,6 +213,22 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p06_epoch_plan" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(ceil(length(text) / 4.0)::BIGINT) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT max(n_tokens) AS target_tokens FROM s),
+         |e AS (
+         |  SELECT source, n_docs, n_tokens, target_tokens,
+         |         least((target_tokens + n_tokens - 1) // n_tokens, $MaxEpochs) AS epochs
+         |  FROM s CROSS JOIN m)
+         |SELECT source, n_docs, n_tokens, target_tokens, epochs,
+         |       least(epochs * n_tokens, target_tokens) AS planned_tokens,
+         |       target_tokens - least(epochs * n_tokens, target_tokens) AS shortfall
+         |FROM e
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     "p05_loss_attribution" ->
       s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},
          |${TextAnalysis.qualityCtesSql},

@@ -672,7 +672,47 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // d13 — canonicalization dedup: exact dedup AFTER text normalization
+  // (lowercase, strip non-alphanumerics, collapse runs of whitespace) —
+  // the "same page, different casing/punctuation" tier between d01
+  // (byte-exact) and d02/d03 (fuzzy). The corpus has no natural casing
+  // variants, so the query runs over a deterministically AUGMENTED view
+  // (the t11 pattern): docs with doc_id % 7 == 0 get a noisy reupload
+  // (id + 1e6, upper-cased, padded, trailing '!!') that normalization
+  // must collapse back onto its original — so every group the query
+  // emits is a normalization catch that byte-exact d01 provably misses
+  // (n_exact_variants > 1 in every row). Same plan family as d01: one
+  // map-side-combinable hash-groupBy on md5(canonical); the normalize
+  // chain is codegen'd string ops fused into the scan.
+  // ---------------------------------------------------------------------
+  /** The noisy-reupload augmentation, spelled once in SQL that parses
+    * identically on Spark and DuckDB (t11 contract). */
+  private val noisyAugSql: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, concat('  ', upper(text), '  !!')
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  def d13CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !!")).as("text")))
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    aug
+      .groupBy(md5(canon).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"),
+        countDistinct(md5(col("text"))).as("n_exact_variants"))
+      .where(col("dup_count") > 1)
+      .orderBy(col("keep_doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_canonical_dedup" -> d13CanonicalDedup _,
     "d12_boilerplate_spans" -> d12BoilerplateSpans _,
     "d11_source_overlap" -> d11SourceOverlap _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
@@ -787,6 +827,20 @@ object Dedup {
        |$componentsLabelsSql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d13_canonical_dedup" ->
+      s"""WITH $noisyAugSql,
+         |c AS (
+         |  SELECT doc_id, text,
+         |         trim(regexp_replace(regexp_replace(lower(text),
+         |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+         |  FROM aug)
+         |SELECT md5(canon) AS canon_hash, min(doc_id) AS keep_doc_id,
+         |       count(*) AS dup_count,
+         |       count(DISTINCT md5(text)) AS n_exact_variants
+         |FROM c GROUP BY md5(canon)
+         |HAVING count(*) > 1
+         |ORDER BY keep_doc_id ASC NULLS FIRST""".stripMargin,
+
     "d12_boilerplate_spans" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),

@@ -261,7 +261,45 @@ object EventsAnalytics {
       .orderBy(col("user_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e12 — user behavior profile + bot screen: per-user volume, event-type
+  // diversity, top-type concentration, and peak-hour burst, with a
+  // rule-based bot flag (superhuman burst, or extreme concentration with
+  // enough volume to mean something) — the abuse/automation filter an
+  // events feed goes through before it becomes training data. Every
+  // aggregate keys on user_id (high cardinality — no few-key reducer):
+  // two partial-aggregated trees, (user, type) → user and (user, hour) →
+  // user, joined on user_id. The flag compares exact BIGINTs
+  // (top_n·3 ≥ n_events, not a double ≥ 1/3) so it cannot drift
+  // cross-engine; top_share divides once at the end for reporting (t02
+  // contract: same BIGINT inputs → bit-identical double).
+  // ---------------------------------------------------------------------
+  val BotBurstPerHour = 3L
+  val BotMinEvents = 20L
+
+  def e12UserProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val perUser = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+        max(col("n")).as("top_n"))
+    val burst = ev.groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("nh"))
+      .groupBy(col("user_id"))
+      .agg(max(col("nh")).as("max_hour_events"))
+    perUser.join(burst, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("top_n").cast(DoubleType) / col("n_events")).as("top_share"),
+        col("max_hour_events"),
+        (col("max_hour_events") >= BotBurstPerHour ||
+          (col("top_n") * 3 >= col("n_events") && col("n_events") >= BotMinEvents))
+          .as("is_bot"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_user_profile" -> e12UserProfile _,
     "e10_transitions" -> e10Transitions _,
     "e11_conversion_lag" -> e11ConversionLag _,
     "e09_asof_attribution" -> e09AsofAttribution _,
@@ -278,6 +316,25 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e12_user_profile" ->
+      s"""WITH bt AS (
+         |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+         |pu AS (
+         |  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         |         count(*) AS n_types, CAST(max(n) AS BIGINT) AS top_n
+         |  FROM bt GROUP BY 1),
+         |bh AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS nh
+         |  FROM events GROUP BY 1, 2),
+         |mh AS (SELECT user_id, CAST(max(nh) AS BIGINT) AS max_hour_events
+         |       FROM bh GROUP BY 1)
+         |SELECT pu.user_id, n_events, n_types,
+         |       CAST(top_n AS DOUBLE) / n_events AS top_share, max_hour_events,
+         |       max_hour_events >= $BotBurstPerHour
+         |         OR (top_n * 3 >= n_events AND n_events >= $BotMinEvents) AS is_bot
+         |FROM pu JOIN mh ON pu.user_id = mh.user_id
+         |ORDER BY pu.user_id ASC NULLS FIRST""".stripMargin,
+
     "e10_transitions" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

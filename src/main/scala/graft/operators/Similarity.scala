@@ -431,7 +431,44 @@ object Similarity {
       .orderBy(col("cluster_id").asc, col("vec_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s12 — SemDeDup semantic pruning: within each trained IVF cell, a
+  // vector is PRUNED when a lower-id cellmate sits within cosine ≥
+  // SemTau of it (keeper = the smallest such cellmate id) — the
+  // published SemDeDup recipe (Abbas et al. 2023: k-means-cluster the
+  // corpus, pairwise-compare only inside each cluster, keep one vector
+  // per ε-ball). The within-cell pair join is the algorithm's actual
+  // contract, not a shortcut: cost is Σ cell², and a deployment grows K
+  // with the corpus so cells stay bounded — never corpus-quadratic.
+  // Cross-cell near-dups are the documented recall trade (the same one
+  // s02/s09 accept), and the s08 crossmodal audit is the gate that
+  // justifies the threshold. Serves from the cached index build; the
+  // keep-lowest rule makes the output deterministic and
+  // layout-independent (no dependence on comparison order), so the
+  // DuckDB oracle reproduces the prune set exactly.
+  // ---------------------------------------------------------------------
+  val SemTau = 0.4
+
+  def s12Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = cellRanked(spark, dir).where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    val pruned = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= SemTau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("kept_by"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("kept_by").isNotNull, "pruned").otherwise("kept").as("status"),
+        col("kept_by"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_semdedup" -> s12Semdedup _,
     "s11_knn_components" -> s11KnnComponents _,
     "s10_ann_recall" -> s10AnnRecall _,
     "s09_knn_graph" -> s09KnnGraph _,
@@ -502,6 +539,29 @@ object Similarity {
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s12_semdedup" ->
+      s"""WITH $normedSql,
+         |$lloydCentSql,
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN cents c)
+         |  WHERE cr = 1),
+         |pruned AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS kept_by
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= $SemTau
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell,
+         |       CASE WHEN p.kept_by IS NOT NULL THEN 'pruned' ELSE 'kept' END AS status,
+         |       p.kept_by
+         |FROM assigned s LEFT JOIN pruned p USING (vec_id)
+         |ORDER BY s.vec_id ASC NULLS FIRST""".stripMargin,
+
     "s11_knn_components" ->
       s"""WITH RECURSIVE $normedSql,
          |vb AS (SELECT *, ${bucketSql("e")} AS bucket FROM v),

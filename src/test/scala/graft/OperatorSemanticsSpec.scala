@@ -851,6 +851,90 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("s12 semdedup: prune rule recomputed pair-for-pair within cells") {
+    val out = Similarity.s12Semdedup(spark, sf).collect()
+    assert(out.length === Tables.load(spark, sf, "embeddings").count().toInt)
+    assert(out.exists(_.getAs[String]("status") == "pruned"), "threshold should fire")
+    val cell = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    // soundness: every pruned row names a LOWER-id cellmate within tau
+    out.filter(_.getAs[String]("status") == "pruned").foreach { r =>
+      val (v, k) = (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))
+      assert(k < v && cell(k) === cell(v))
+      assert(cos(k, v) >= Similarity.SemTau - 1e-9)
+    }
+    // completeness: every within-cell pair within tau prunes the higher id
+    val pruned = out.filter(_.getAs[String]("status") == "pruned")
+      .map(_.getAs[Long]("vec_id")).toSet
+    for (a <- cell.keys; b <- cell.keys
+         if a < b && cell(a) == cell(b) && cos(a, b) >= Similarity.SemTau + 1e-9)
+      assert(pruned.contains(b), s"pair ($a,$b) should prune $b")
+  }
+
+  test("e12 user profile: aggregates and bot rule recomputed user-for-user") {
+    val out = EventsAnalytics.e12UserProfile(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_type", date_trunc("HOUR", $"ts").as("h")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h")))
+    val byUser = ev.groupBy(_._1)
+    assert(out.length === byUser.size)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val rows = byUser(u)
+      val typeCounts = rows.groupBy(_._2).view.mapValues(_.length)
+      val maxHour = rows.groupBy(_._3).values.map(_.length).max
+      assert(r.getAs[Long]("n_events") === rows.length.toLong)
+      assert(r.getAs[Long]("n_types") === typeCounts.size.toLong)
+      assert(r.getAs[Long]("max_hour_events") === maxHour.toLong)
+      val topN = typeCounts.values.max
+      assert(r.getAs[Boolean]("is_bot") ===
+        (maxHour >= EventsAnalytics.BotBurstPerHour ||
+          (topN * 3 >= rows.length && rows.length >= EventsAnalytics.BotMinEvents)))
+    }
+  }
+
+  test("d13 canonical dedup: exactly the noisy reuploads collapse, none byte-exact") {
+    val rows = Dedup.d13CanonicalDedup(spark, sf).collect()
+    val nNoisy = Tables.load(spark, sf, "documents").where($"doc_id" % 7 === 0).count()
+    assert(rows.length === nNoisy.toInt && nNoisy > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_count") === 2L)
+      // 2 exact variants per group = byte-exact d01 would NOT merge them
+      assert(r.getAs[Long]("n_exact_variants") === 2L)
+      // the keeper is always the original (augmented copies live at +1e6)
+      val keep = r.getAs[Long]("keep_doc_id")
+      assert(keep < 1000000L && keep % 7 === 0L)
+    }
+  }
+
+  test("p06 epoch plan: cap semantics — shortfall iff capped; largest source runs once") {
+    val rows = Curation.p06EpochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val target = rows.map(_.getAs[Long]("target_tokens")).distinct
+    assert(target.length === 1)
+    assert(rows.map(_.getAs[Long]("n_tokens")).max === target.head)
+    rows.foreach { r =>
+      val (n, e, p, s) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("planned_tokens"), r.getAs[Long]("shortfall"))
+      assert(e >= 1L && e <= Curation.MaxEpochs)
+      assert(p === math.min(e * n, target.head))
+      assert(s === target.head - p)
+      // uncapped sources reach the target exactly; shortfall only at the cap
+      if (e < Curation.MaxEpochs) assert(s === 0L)
+      if (n === target.head) assert(e === 1L)
+    }
+    assert(rows.exists(_.getAs[Long]("epochs") > 1L), "some source should repeat")
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()
