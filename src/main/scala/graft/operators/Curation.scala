@@ -203,7 +203,48 @@ object Curation {
       .orderBy(col("source").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p07 — quality-curriculum plan: sources ranked by mean document
+  // quality (t02's score) and assigned to three training phases,
+  // highest-quality third last — the quality-ascending curriculum /
+  // annealing recipe ("finish on your cleanest data"). The per-source
+  // mean accumulates floor(score·1e9) integers in DECIMAL(38,0) (the
+  // s04/s07 quantization contract) so the mean — and therefore the
+  // rank — is layout-independent and bit-identical cross-engine. The
+  // rank itself is a broadcast theta-join over the ≤|sources| rollup
+  // rows (the t06 idiom), with (mean desc, source asc) as a total
+  // order; phases are exact-integer terciles of the rank.
+  // ---------------------------------------------------------------------
+  val CurriculumPhases = 3L
+
+  def p07CurriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val scored = TextAnalysis.t02QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val perSource = docs.join(scored, Seq("doc_id"))
+      .select(col("source"),
+        floor(col("quality_score") * lit(1e9)).cast(DecimalType(38, 0)).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("q")).cast(DoubleType) / count(lit(1)) / lit(1e9)).as("mean_quality"))
+    val outranks = col("b.mean_quality") > col("a.mean_quality") ||
+      (col("b.mean_quality") === col("a.mean_quality") && col("b.source") < col("a.source"))
+    val nSources = perSource.agg(count(lit(1)).as("ns"))
+    perSource.as("a")
+      .join(broadcast(perSource.select(col("source"), col("mean_quality")).as("b")),
+        outranks, "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.n_docs").as("n_docs"),
+        col("a.mean_quality").as("mean_quality"))
+      .agg((count(col("b.source")) + 1).as("q_rank"))
+      .crossJoin(broadcast(nSources))
+      .select(col("source"), col("n_docs"), col("mean_quality"), col("q_rank"),
+        (expr(s"(q_rank - 1) * $CurriculumPhases DIV ns") + 1).as("phase"))
+      .orderBy(col("q_rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_curriculum_plan" -> p07CurriculumPlan _,
     "p06_epoch_plan" -> p06EpochPlan _,
     "p05_loss_attribution" -> p05LossAttribution _,
     "p03_split_assign" -> p03SplitAssign _,
@@ -213,6 +254,31 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p07_curriculum_plan" ->
+      s"""WITH ${TextAnalysis.scoreBaseCtesSql},
+         |qs AS (
+         |  SELECT doc_id, ${TextAnalysis.scoreExprSql} AS s
+         |  FROM base LEFT JOIN stophits USING (doc_id)),
+         |dq AS (
+         |  SELECT d.source, floor(qs.s * 1e9)::BIGINT AS q
+         |  FROM documents d JOIN qs USING (doc_id)),
+         |ps AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / count(*) / 1e9
+         |           AS mean_quality
+         |  FROM dq GROUP BY 1),
+         |r AS (
+         |  SELECT a.source, a.n_docs, a.mean_quality,
+         |         1 + count(b.source) AS q_rank
+         |  FROM ps a LEFT JOIN ps b ON b.mean_quality > a.mean_quality
+         |    OR (b.mean_quality = a.mean_quality AND b.source < a.source)
+         |  GROUP BY 1, 2, 3),
+         |n AS (SELECT count(*) AS ns FROM ps)
+         |SELECT source, n_docs, mean_quality, q_rank,
+         |       (q_rank - 1) * $CurriculumPhases // ns + 1 AS phase
+         |FROM r CROSS JOIN n
+         |ORDER BY q_rank ASC NULLS FIRST""".stripMargin,
+
     "p06_epoch_plan" ->
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs,

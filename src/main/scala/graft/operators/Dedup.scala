@@ -711,7 +711,42 @@ object Dedup {
       .orderBy(col("keep_doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // d14 — dedup threshold sweep: the exact-Jaccard histogram over the
+  // LSH candidate pairs, with the cumulative pair count at or above
+  // each bucket — the tuning curve behind ClusterThreshold ("how many
+  // more pairs does lowering tau to 0.5 merge?"). Runs on the SAME
+  // candidate derivation d03/d08 verify (lshSharedSql on the oracle
+  // side), so the sweep describes exactly the pair population the
+  // production threshold acts on; cost is the d03 verify stage plus a
+  // ≤ SweepBuckets+1-row rollup. The cumulative tail is a broadcast
+  // theta-join over those ≤21 bucket rows (the t06 idiom), not a
+  // zero-partition window.
+  // ---------------------------------------------------------------------
+  val SweepBuckets = 20
+
+  def d14ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val j = col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))
+    val buckets = sharedCounts(lshCandidates(lshSignatures(sh)), sh)
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(floor(j * SweepBuckets).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    buckets.as("a")
+      .join(broadcast(buckets.as("b")), col("b.bucket") >= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"), col("a.n_pairs").as("n_pairs"))
+      .agg(sum(col("b.n_pairs")).as("n_pairs_ge"))
+      .select(col("bucket"), (col("bucket").cast("double") / SweepBuckets).as("tau_lo"),
+        col("n_pairs"), col("n_pairs_ge"))
+      .orderBy(col("bucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_threshold_sweep" -> d14ThresholdSweep _,
     "d13_canonical_dedup" -> d13CanonicalDedup _,
     "d12_boilerplate_spans" -> d12BoilerplateSpans _,
     "d11_source_overlap" -> d11SourceOverlap _,
@@ -782,11 +817,12 @@ object Dedup {
       |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** The full edge-derivation CTE chain (sh → sig → cand → sizes →
-    * shared → edges) for NON-recursive WITH queries — the SQL mirror of
-    * [[lshEdges]], shared with Similarity's s08 oracle so the audited
-    * pair set is definitionally the one d08/d09 cluster on. */
-  private[operators] def lshEdgesSql: String =
+  /** The candidate-derivation CTE chain (sh → sig → cand → sizes →
+    * shared) for NON-recursive WITH queries — the un-thresholded prefix
+    * of [[lshEdgesSql]], shared with d14's sweep oracle so "candidate
+    * pair" means the same thing whether it is being thresholded or
+    * histogrammed. */
+  private[operators] def lshSharedSql: String =
     s"""$shinglesSql,
        |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id, $sigColsSql
@@ -794,7 +830,14 @@ object Dedup {
        |cand AS (
        |${bandJoinsSql("UNION")}),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |$sharedCountsSql,
+       |$sharedCountsSql""".stripMargin
+
+  /** The full edge-derivation CTE chain (sh → sig → cand → sizes →
+    * shared → edges) for NON-recursive WITH queries — the SQL mirror of
+    * [[lshEdges]], shared with Similarity's s08 oracle so the audited
+    * pair set is definitionally the one d08/d09 cluster on. */
+  private[operators] def lshEdgesSql: String =
+    s"""$lshSharedSql,
        |edges AS (
        |  SELECT s.doc_a, s.doc_b FROM shared s
        |  JOIN sizes sa ON s.doc_a = sa.doc_id
@@ -827,6 +870,21 @@ object Dedup {
        |$componentsLabelsSql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d14_threshold_sweep" ->
+      s"""WITH $lshSharedSql,
+         |jac AS (
+         |  SELECT CAST(floor(s.shared / (sa.n + sb.n - s.shared) * $SweepBuckets)
+         |    AS BIGINT) AS bucket
+         |  FROM shared s
+         |  JOIN sizes sa ON s.doc_a = sa.doc_id
+         |  JOIN sizes sb ON s.doc_b = sb.doc_id),
+         |b AS (SELECT bucket, count(*) AS n_pairs FROM jac GROUP BY 1)
+         |SELECT a.bucket, a.bucket::DOUBLE / $SweepBuckets AS tau_lo, a.n_pairs,
+         |       CAST(sum(b2.n_pairs) AS BIGINT) AS n_pairs_ge
+         |FROM b a JOIN b b2 ON b2.bucket >= a.bucket
+         |GROUP BY a.bucket, a.n_pairs
+         |ORDER BY a.bucket ASC NULLS FIRST""".stripMargin,
+
     "d13_canonical_dedup" ->
       s"""WITH $noisyAugSql,
          |c AS (

@@ -188,7 +188,30 @@ object Multimodal {
         sum(length(col("frame_bytes"))).as("sampled_bytes"))
       .orderBy(col("asset_id").asc)
 
+  /** m03 — modality mixture card: per media kind, asset/byte totals and
+    * each kind's share of the corpus bytes — the p04 mixing decision at
+    * the modality grain (how much of the training budget is image vs
+    * audio vs video bytes). One map-combinable aggregate over the typed
+    * asset Dataset (3 groups); the corpus byte total rejoins as a
+    * broadcast scalar (S8 in-plan pattern). Exact BIGINT sums; the two
+    * ratios divide once at the end (t02 contract). */
+  def m03ModalityCard(spark: SparkSession, dir: String): DataFrame = {
+    val perKind = assets(spark, dir).toDF()
+      .select(col("kind"), col("meta.nBytes").as("n_bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
+    val tot = perKind.agg(sum(col("total_bytes")).as("corpus_bytes"))
+    perKind.crossJoin(broadcast(tot))
+      .select(col("kind"), col("n_assets"), col("total_bytes"),
+        col("min_bytes"), col("max_bytes"),
+        (col("total_bytes").cast("double") / col("n_assets")).as("mean_bytes"),
+        (col("total_bytes").cast("double") / col("corpus_bytes")).as("bytes_share"))
+      .orderBy(col("kind").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m03_modality_card" -> m03ModalityCard _,
     "m01_media_features" -> m01MediaFeatures _,
     "m02_frame_sample" -> m02FrameSample _
   )
@@ -198,6 +221,24 @@ object Multimodal {
     * reduce to SQL over character codes — DuckDB recomputes what the
     * typed-Dataset pipeline produced, end to end. */
   val oracleSql: Map[String, String] = Map(
+    "m03_modality_card" ->
+      """WITH a AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |k AS (
+        |  SELECT kind, count(*) AS n_assets,
+        |         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |         min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+        |  FROM a GROUP BY 1),
+        |t AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS corpus_bytes FROM k)
+        |SELECT kind, n_assets, total_bytes, min_bytes, max_bytes,
+        |       CAST(total_bytes AS DOUBLE) / n_assets AS mean_bytes,
+        |       CAST(total_bytes AS DOUBLE) / corpus_bytes AS bytes_share
+        |FROM k CROSS JOIN t
+        |ORDER BY kind ASC NULLS FIRST""".stripMargin,
+
     "m01_media_features" ->
       """WITH bytes AS (
         |  SELECT doc_id, ascii(substring(text, i, 1)) AS b

@@ -469,7 +469,35 @@ object TextAnalysis {
         (col("n_hapax") / col("n_types")).as("hapax_share"))
       .orderBy(col("source").asc)
 
+  // ---------------------------------------------------------------------
+  // t16 — corpus length card: per (source, decimal magnitude of
+  // n_chars) doc/token counts with each magnitude's share of its
+  // source — the length-distribution page of a dataset card, where
+  // truncation cliffs and boilerplate spikes show up as magnitude
+  // anomalies. The magnitude bucket is the DIGIT COUNT of n_chars
+  // (length of its decimal rendering) — an exact integer log10, immune
+  // to the floor(log(x)) float-boundary hazard of a transcendental
+  // bucket. One map-combinable aggregate over ≤ sources×magnitudes
+  // groups; per-source totals rejoin by broadcast (the p05 shape).
+  // ---------------------------------------------------------------------
+  def t16LengthCard(spark: SparkSession, dir: String): DataFrame = {
+    val byMag = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        length(col("n_chars").cast("string")).as("magnitude"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+      .groupBy(col("source"), col("magnitude"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val totals = byMag.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
+    byMag.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("magnitude"), col("n_docs"), col("n_tokens"),
+        col("min_chars"), col("max_chars"),
+        (col("n_docs").cast("double") / col("src_docs")).as("doc_share"))
+      .orderBy(col("source").asc, col("magnitude").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_length_card" -> t16LengthCard _,
     "t15_vocab_growth" -> t15VocabGrowth _,
     "t14_rarity_score" -> t14RarityScore _,
     "t12_quality_filter" -> t12QualityFilter _,
@@ -547,6 +575,31 @@ object TextAnalysis {
   /** DuckDB CTE chain for the t12 rule inputs, ending at `chars`, `ws`,
     * `cov` — shared with Curation's p01 oracle so the pipeline's quality
     * stage is definitionally t12's. */
+  /** The t02 score-derivation CTEs (words → stop-list → stop-hit counts
+    * → per-doc shape columns) — ONE definition shared by the t02 oracle
+    * and every pipeline oracle that consumes the quality score (p07), so
+    * the score cannot drift between its producer and its consumers. */
+  private[operators] val scoreBaseCtesSql: String =
+    """words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+      |stop AS (
+      |  SELECT word FROM (
+      |    SELECT word, count(*) AS cnt FROM words GROUP BY word
+      |    ORDER BY cnt DESC, word ASC LIMIT 10)),
+      |stophits AS (
+      |  SELECT doc_id, count(*) AS stop_hits FROM words JOIN stop USING (word) GROUP BY 1),
+      |base AS (
+      |  SELECT doc_id, lang,
+      |         len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_words,
+      |         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars
+      |  FROM documents)""".stripMargin
+
+  /** t02's exact score expression over `base LEFT JOIN stophits` columns. */
+  private[operators] val scoreExprSql: String =
+    """0.4::DOUBLE * least(1.0::DOUBLE, n_words / 100.0::DOUBLE) +
+      |       0.3::DOUBLE * (1.0::DOUBLE - coalesce(stop_hits, 0) / n_words) +
+      |       0.3::DOUBLE * least(1.0::DOUBLE, (word_chars / n_words) / 8.0::DOUBLE)""".stripMargin
+
   private[operators] val qualityCtesSql: String =
     """qw AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
@@ -576,6 +629,20 @@ object TextAnalysis {
        |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t16_length_card" ->
+      """WITH m AS (
+        |  SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER) AS magnitude,
+        |         count(*) AS n_docs,
+        |         CAST(sum(ceil(n_chars / 4.0)::BIGINT) AS BIGINT) AS n_tokens,
+        |         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+        |      FROM m GROUP BY 1)
+        |SELECT m.source, magnitude, n_docs, n_tokens, min_chars, max_chars,
+        |       CAST(n_docs AS DOUBLE) / src_docs AS doc_share
+        |FROM m JOIN t ON m.source = t.source
+        |ORDER BY m.source ASC NULLS FIRST, magnitude ASC NULLS FIRST""".stripMargin,
+
     "t15_vocab_growth" ->
       """WITH w AS (
         |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS word
@@ -698,28 +765,13 @@ object TextAnalysis {
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "t02_quality_score" ->
-      """WITH words AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
-        |stop AS (
-        |  SELECT word FROM (
-        |    SELECT word, count(*) AS cnt FROM words GROUP BY word
-        |    ORDER BY cnt DESC, word ASC LIMIT 10)),
-        |stophits AS (
-        |  SELECT doc_id, count(*) AS stop_hits FROM words JOIN stop USING (word) GROUP BY 1),
-        |base AS (
-        |  SELECT doc_id, lang,
-        |         len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_words,
-        |         length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars
-        |  FROM documents)
-        |SELECT doc_id, lang, n_words,
-        |       word_chars / n_words AS mean_word_len,
-        |       coalesce(stop_hits, 0) / n_words AS stop_ratio,
-        |       0.4::DOUBLE * least(1.0::DOUBLE, n_words / 100.0::DOUBLE) +
-        |       0.3::DOUBLE * (1.0::DOUBLE - coalesce(stop_hits, 0) / n_words) +
-        |       0.3::DOUBLE * least(1.0::DOUBLE, (word_chars / n_words) / 8.0::DOUBLE)
-        |         AS quality_score
-        |FROM base LEFT JOIN stophits USING (doc_id)
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+      s"""WITH $scoreBaseCtesSql
+         |SELECT doc_id, lang, n_words,
+         |       word_chars / n_words AS mean_word_len,
+         |       coalesce(stop_hits, 0) / n_words AS stop_ratio,
+         |       $scoreExprSql AS quality_score
+         |FROM base LEFT JOIN stophits USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "t03_token_counts" ->
       s"""SELECT doc_id, lang, source,

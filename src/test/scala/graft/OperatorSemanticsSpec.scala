@@ -935,6 +935,66 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("epochs") > 1L), "some source should repeat")
   }
 
+  test("d14 threshold sweep: cumulative curve is monotone and reconciles with d03's pair population") {
+    val rows = Dedup.d14ThresholdSweep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // histogram buckets partition the candidate set: sum(n_pairs) = max cumulative
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(rows.map(_.getAs[Long]("n_pairs_ge")).max === total)
+    // descending cumulative: n_pairs_ge at bucket b = sum of n_pairs at buckets >= b
+    val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_pairs")).toMap
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_pairs_ge") ===
+        byBucket.collect { case (k, v) if k >= b => v }.sum)
+      assert(r.getAs[Double]("tau_lo") === b.toDouble / Dedup.SweepBuckets)
+    }
+  }
+
+  test("t16 length card: magnitudes are digit counts; shares sum to 1 per source") {
+    val rows = TextAnalysis.t16LengthCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, m) = (r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"),
+        r.getAs[Int]("magnitude"))
+      assert(lo.toString.length === m && hi.toString.length === m)
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    }
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+  }
+
+  test("p07 curriculum plan: ranks are a permutation ordered by mean quality; phases are terciles") {
+    val rows = Curation.p07CurriculumPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("q_rank")).sorted.toSeq === (1L to n).toSeq)
+    // rank order = (mean_quality desc, source asc)
+    val sorted = rows.sortBy(r => (-r.getAs[Double]("mean_quality"), r.getAs[String]("source")))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("q_rank") === i + 1L)
+      assert(r.getAs[Long]("phase") === (i.toLong * Curation.CurriculumPhases) / n + 1)
+    }
+    // phases are contiguous rank blocks covering 1..CurriculumPhases
+    assert(rows.map(_.getAs[Long]("phase")).toSet === (1L to Curation.CurriculumPhases).toSet)
+  }
+
+  test("m03 modality card: kinds partition the assets; byte shares sum to 1") {
+    val rows = Multimodal.m03ModalityCard(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("kind")).sorted.toSeq === Seq("audio", "image", "video"))
+    val nAssets = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === nAssets)
+    assert(math.abs(rows.map(_.getAs[Double]("bytes_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_bytes") <= r.getAs[Long]("max_bytes"))
+      val mean = r.getAs[Double]("mean_bytes")
+      assert(mean >= r.getAs[Long]("min_bytes") && mean <= r.getAs[Long]("max_bytes"))
+    }
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()

@@ -300,6 +300,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("s12: semdedup pair stage is a cell-equi join — no cartesian, no nested loop over the corpus") {
+    val plan = formatted(Similarity.s12Semdedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"within-cell pairing must be equi:\n$plan")
+    // the only nested-loop joins allowed are the K-row centroid
+    // broadcasts — one per cellRanked reference (a-side, b-side, base)
+    val bnl = plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl <= 3, s"corpus-side nested loop joins:\n$plan")
+    // the pair stage itself must be an equi join on cell
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"cell join lost its equi key:\n$plan")
+  }
+
+  test("e12: user profile is two user-keyed aggregate trees — no window over the raw stream") {
+    val plan = formatted(EventsAnalytics.e12UserProfile(spark, sf))
+    assert(!plan.contains("Window"), s"no window should be needed:\n$plan")
+    assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*""")) >= 4,
+      s"expected partial+final pairs for both trees:\n$plan")
+  }
+
+  test("d13: canonical dedup is one hash aggregate over the augmented union — no join, no window") {
+    val plan = formatted(Dedup.d13CanonicalDedup(spark, sf))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"expected a pure aggregate plan:\n$plan")
+    assert(plan.contains("Union"), s"augmented view should be a union:\n$plan")
+  }
+
+  test("d14: sweep cumulative is a broadcast theta-join over bucket rows, not a zero-partition window") {
+    val plan = formatted(Dedup.d14ThresholdSweep(spark, sf))
+    assert(!plan.contains("Window"), s"bounded cumulative must not window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"bucket rollup should broadcast:\n$plan")
+  }
+
   test("q24: all six edges are anti joins, dims broadcast, no cartesian") {
     val plan = formatted(CartAnalytics.q24IntegrityAudit(spark, sf))
     val nAnti = plan.linesIterator.count(_.contains("LeftAnti"))
