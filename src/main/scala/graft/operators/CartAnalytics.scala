@@ -701,7 +701,23 @@ object CartAnalytics {
       .orderBy(col("o_custkey").asc, col("order_day").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // Q26 — UNPIVOT (§2: the generator/table-function surface): melt q20's
+  // wide month×status matrix back to long form with `stack` — the
+  // inverse round-trip of the pivot operator. Non-trivial vs a plain
+  // GROUP BY: the zero-filled cells the pivot materialized become
+  // explicit (month, status, 0) rows that a direct aggregation of the
+  // fact table would never emit. stack is a codegen'd generator (one
+  // output row per listed column, no shuffle of its own).
+  // ---------------------------------------------------------------------
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q20PivotMatrix(spark, dir)
+      .selectExpr("month_start",
+        "stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (o_orderstatus, n_orders)")
+      .orderBy(col("month_start").asc, col("o_orderstatus").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_unpivot" -> q26Unpivot _,
     "q25_rolling_window" -> q25RollingWindow _,
     "q22_window_analytics" -> q22WindowAnalytics _,
     "q23_grouping_sets" -> q23GroupingSets _,
@@ -733,6 +749,19 @@ object CartAnalytics {
     s"coalesce(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "q26_unpivot" ->
+      """WITH p AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start, o_orderstatus, n_orders FROM (
+        |  SELECT month_start, 'F' AS o_orderstatus, n_f AS n_orders FROM p
+        |  UNION ALL SELECT month_start, 'O', n_o FROM p
+        |  UNION ALL SELECT month_start, 'P', n_p FROM p)
+        |ORDER BY month_start ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
     "q25_rolling_window" ->
       s"""WITH daily AS (
          |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,

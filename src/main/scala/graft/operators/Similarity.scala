@@ -467,7 +467,23 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s13 — semantic-dedup APPLY: the embedding corpus that survives s12's
+  // SemDeDup pruning, with each survivor's home cell and label — the
+  // d09-for-embeddings last mile (s12 decides, this materializes the
+  // served corpus). One doc-keyed filter over the s12 verdicts plus a
+  // vec_id-equi label join; serves from the same cached index build.
+  // ---------------------------------------------------------------------
+  def s13SemanticApply(spark: SparkSession, dir: String): DataFrame = {
+    val kept = s12Semdedup(spark, dir).where(col("status") === "kept")
+      .select(col("vec_id"), col("cell"))
+    kept.join(graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label")), Seq("vec_id"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_semantic_apply" -> s13SemanticApply _,
     "s12_semdedup" -> s12Semdedup _,
     "s11_knn_components" -> s11KnnComponents _,
     "s10_ann_recall" -> s10AnnRecall _,
@@ -539,6 +555,28 @@ object Similarity {
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s13_semantic_apply" ->
+      s"""WITH $normedSql,
+         |$lloydCentSql,
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, label, cell FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id ASC) AS cr
+         |    FROM v CROSS JOIN cents c)
+         |  WHERE cr = 1),
+         |pruned AS (
+         |  SELECT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= $SemTau
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell, s.label
+         |FROM assigned s LEFT JOIN pruned p USING (vec_id)
+         |WHERE p.vec_id IS NULL
+         |ORDER BY s.vec_id ASC NULLS FIRST""".stripMargin,
+
     "s12_semdedup" ->
       s"""WITH $normedSql,
          |$lloydCentSql,

@@ -496,7 +496,35 @@ object TextAnalysis {
       .orderBy(col("source").asc, col("magnitude").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // t17 — encoding / non-printable audit: per document, the count and
+  // share of characters outside printable ASCII ([ -~]) with a suspect
+  // flag — the mojibake/binary-contamination screen a web-scraped corpus
+  // passes before tokenization. The corpus is clean by construction, so
+  // (t11 pattern) the query runs over a deterministically AUGMENTED view
+  // — docs with doc_id % 11 == 0 get control bytes (BEL, DEL via chr())
+  // appended, so detection provably fires both ways. Map-only per-row
+  // regex work in the Java∩RE2 class subset, codegen-fused like t03.
+  // ---------------------------------------------------------------------
+  /** The control-byte augmentation — one SQL string both engines parse
+    * identically (chr() exists on both; code points < 128 dodge any
+    * extended-charset ambiguity). */
+  private val encAugSql: String =
+    "CASE WHEN doc_id % 11 = 0 THEN concat(text, chr(7), 'x', chr(127)) ELSE text END"
+
+  def t17EncodingAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), expr(encAugSql).as("t"))
+      .select(col("doc_id"), col("source"),
+        length(col("t")).cast("long").as("n_chars"),
+        length(regexp_replace(col("t"), "[ -~]", "")).cast("long").as("n_nonprintable"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_nonprintable"),
+        (col("n_nonprintable") / col("n_chars")).as("nonprintable_share"),
+        (col("n_nonprintable") > 0).as("is_suspect"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_encoding_audit" -> t17EncodingAudit _,
     "t16_length_card" -> t16LengthCard _,
     "t15_vocab_growth" -> t15VocabGrowth _,
     "t14_rarity_score" -> t14RarityScore _,
@@ -629,6 +657,20 @@ object TextAnalysis {
        |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t17_encoding_audit" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, source, $encAugSql AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         length(t)::BIGINT AS n_chars,
+         |         length(regexp_replace(t, '[ -~]', '', 'g'))::BIGINT AS n_nonprintable
+         |  FROM a)
+         |SELECT doc_id, source, n_chars, n_nonprintable,
+         |       n_nonprintable / n_chars AS nonprintable_share,
+         |       n_nonprintable > 0 AS is_suspect
+         |FROM c
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "t16_length_card" ->
       """WITH m AS (
         |  SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER) AS magnitude,
