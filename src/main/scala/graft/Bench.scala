@@ -4,39 +4,85 @@ package graft
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
   * Uses [[Session]] so conf (AQE, shuffle partitions, nanos-parquet
   * compat for `events`) matches the Verify/correctness path exactly.
+  *
+  * Hardened against host contention (the BENCH_r05 failure mode: two
+  * contended runs produced a confident-looking wrong number with
+  * nothing in the output to distinguish "slow plan" from "busy host"):
+  *   - 3 timed runs per query, min reported ("queries" stays
+  *     name→seconds for the driver contract);
+  *   - every individual run's wall-clock is recorded under "runs";
+  *   - /proc/loadavg is sampled before the suite, after the suite, and
+  *     before each query's timing block ("loadavg") so a contended run
+  *     is visibly contended;
+  *   - a query whose min still exceeds OutlierSec (the single-digit
+  *     contract is ~3× any steady-state row in PERF.md) gets up to two
+  *     extra runs — contention passes, a genuinely slow plan stays slow;
+  *   - per-query row counts under "rows" so a silently-empty result can
+  *     never bench fast.
   */
 object Bench {
+  /** Min above this triggers extra runs: every PERF.md steady-state row
+    * is ≤ ~3s at sf0.1, so 3× steady-state is within single digits. */
+  private val OutlierSec = 4.0
+  private val ExtraRuns = 2
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "n/a" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get("graft-bench")
+    val loadBefore = loadavg()
     // untimed warm-up at the smallest sf: JIT + codegen-cache + catalog
     // warm, so timed numbers reflect steady-state per-query cost
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
-    // min of 2 timed runs per query: host-load noise on shared hardware
-    // is ±40%; the minimum is the steady-state cost of the plan. Failed
-    // runs must not contribute a (fast) failure time — only successful
-    // runs count, and a query with no successful run reports -1.
+    // Failed runs must not contribute a (fast) failure time — only
+    // successful runs count, and a query with no successful run
+    // reports -1 (excluded from the suite total below).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val loadAtStart = loadavg()
+      var rows = -1L
+      def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          rows = fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
       }
+      var times = (1 to 3).flatMap(_ => timedRun()).toVector
+      // contention retry: a busy-host spike inflates all three runs at
+      // once; extra runs after the spike clears recover the real min
+      var retries = 0
+      while (times.nonEmpty && times.min > OutlierSec && retries < ExtraRuns) {
+        times = times ++ timedRun()
+        retries += 1
+      }
       spark.catalog.clearCache() // drop per-query persists between timings
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      (name, if (times.nonEmpty) times.min else -1.0, times, rows, loadAtStart)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    def jnum(v: Double) = if (v == v.floor && v.abs < 1e15) v.toString else f"$v%.4f"
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ts, _, _) =>
+      "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rows = results.map { case (k, _, _, n, _) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val perQLoad = results.map { case (k, _, _, _, l) =>
+      "\"" + k + "\":\"" + l + "\""
+    }.mkString("{", ",", "}")
     // -1 failure sentinels must not subtract from the suite total
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}""")
     spark.stop()
   }
 }

@@ -33,8 +33,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS dump the full oracle map, even in filtered mode: a filtered
+    // json next to parquet outputs left by a previous full run would make
+    // the driver silently skip verifying those results. With the full
+    // map, stale outputs are verified (they were genuine dumps) and a
+    // missing output fails loudly instead of masking.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

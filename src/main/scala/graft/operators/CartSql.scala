@@ -68,6 +68,40 @@ object CartSql {
       |GROUP BY launch_month
       |ORDER BY launch_month ASC""".stripMargin)
 
+  /** q10 as SQL: the reference's first table-materializing query
+    * (py:449-515 shape) — calendar spine from a bounds CTE, two
+    * aggregated fact subqueries at different grains LEFT JOINed onto the
+    * spine, GROUP BY on a select alias, multi-key ORDER BY on aliases. */
+  def q10Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """WITH bounds AS (
+      |  SELECT CAST(date_format(min(o_orderdate), 'yyyy-MM-01') AS DATE) AS lo,
+      |         CAST(date_format(max(o_orderdate), 'yyyy-MM-01') AS DATE) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT explode(sequence(lo, hi, interval 1 month)) AS month_start FROM bounds),
+      |o_agg AS (
+      |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
+      |         count(DISTINCT o_orderkey) AS o_cnt,
+      |         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS o_val
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |  GROUP BY month_start),
+      |i_agg AS (
+      |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
+      |         coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS i_cnt,
+      |         coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS i_val
+      |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY month_start)
+      |SELECT concat(CAST(year(month_start) AS STRING), '-',
+      |              right(concat('0', CAST(month(month_start) AS STRING)), 2)) AS year_month,
+      |       coalesce(o_cnt, 0) AS total_abandoned_orders,
+      |       coalesce(o_val, 0.0) AS total_value_orders,
+      |       coalesce(i_cnt, 0.0) AS total_abandoned_items,
+      |       coalesce(i_val, 0.0) AS total_value_items
+      |FROM spine LEFT JOIN o_agg USING (month_start)
+      |           LEFT JOIN i_agg USING (month_start)
+      |ORDER BY year_month ASC, total_abandoned_orders DESC""".stripMargin)
+
   /** q12 as SQL: the 6-way mixed-outer export join (py:531-543 shape). */
   def q12Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
     """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -54,50 +54,96 @@ object Curation {
   //
   // The prefix sum is HIERARCHICAL, never a corpus-global window (which
   // funnels every row through one reducer — the t07 lesson one level
-  // up): doc_id ranges fold into buckets (width 128) and buckets into
-  // supers (4096 buckets each); within-super bucket offsets and
-  // within-bucket doc offsets are windows whose partitions are bounded
-  // by the level width (4096 / 128 rows), and the top level — one row
-  // per super — combines through a broadcast theta-join. Each extra
-  // 4096× of corpus adds one more level of the same shape; every value
-  // is an exact integer so the decomposition is bit-identical to the
-  // naive running sum, which is exactly what the DuckDB oracle computes.
+  // up): doc_id ranges fold into buckets (width 128), buckets into
+  // supers (4096 buckets each), and supers into further 4096-wide levels
+  // RECURSIVELY until one level fits a single fan-out. Every window's
+  // partition is bounded by the level width (4096 / 128 rows); only the
+  // top level — guaranteed ≤ 4096 rows — combines through a broadcast
+  // theta-join. The depth comes from the corpus's max doc_id (one
+  // memoized scalar probe per (dir, layout), the skew-probe pattern), so
+  // each extra 4096× of corpus really does add one more bounded level —
+  // the top theta-join can never go quadratic in corpus size. Every
+  // value is an exact integer so the decomposition is bit-identical to
+  // the naive running sum, which is exactly what the DuckDB oracle
+  // computes.
   // ---------------------------------------------------------------------
   val TokensPerShard = 4096L
   val PackBucketWidth = 128L
   val PackSuperBuckets = 4096L
 
-  def p02ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+  /** Level-offset frames above this many rows join back by key instead
+    * of broadcasting (a 100 TB corpus has ~2e8 buckets — a legitimate
+    * shuffle join; the frames 4096× up are KBs and broadcast). */
+  val PackBroadcastMaxRows = 1L << 22
+
+  def p02ShardPacking(spark: SparkSession, dir: String): DataFrame =
+    shardPacking(spark, dir, PackBucketWidth, PackSuperBuckets)
+
+  /** Parameterized core of p02 (specs shrink the layout to force deep
+    * recursion). `bucketWidth` = docs per leaf window partition;
+    * `fanout` = keys folded per level above the leaves. */
+  def shardPacking(spark: SparkSession, dir: String,
+      bucketWidth: Long, fanout: Long): DataFrame = {
+    require(bucketWidth > 0 && fanout > 1, "degenerate packing layout")
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
-    val keyed = toks
-      .withColumn("bucket", expr(s"doc_id DIV $PackBucketWidth"))
-      .withColumn("sup", expr(s"doc_id DIV ${PackBucketWidth * PackSuperBuckets}"))
-    val bucketTotals = keyed.groupBy(col("sup"), col("bucket"))
-      .agg(sum(col("tokens")).as("bt"))
-    val wSup = Window.partitionBy(col("sup")).orderBy(col("bucket").asc)
+    // largest key the leaf level can hold — decides the recursion depth
+    // statically at plan time (memoized: one probe job per corpus+layout
+    // per JVM, like the skew probe / anchor date)
+    val maxId = packMaxIdMemo.getOrElseUpdate(dir, {
+      val r = toks.agg(max(col("doc_id"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+    val keyed = toks.withColumn("__k0", expr(s"doc_id DIV $bucketWidth"))
+    val wDoc = Window.partitionBy(col("__k0")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = bucketTotals
-      .withColumn("b_off", coalesce(sum(col("bt")).over(wSup), lit(0L)))
-      .select(col("bucket"), col("b_off"))
-    val supTotals = bucketTotals.groupBy(col("sup")).agg(sum(col("bt")).as("st"))
-    val supOff = supTotals.as("a")
-      .join(broadcast(supTotals.as("b")), col("b.sup") < col("a.sup"), "left_outer")
-      .groupBy(col("a.sup").as("sup"))
-      .agg(coalesce(sum(col("b.st")), lit(0L)).as("s_off"))
-    val wBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    keyed
-      .withColumn("d_off", coalesce(sum(col("tokens")).over(wBucket), lit(0L)))
-      .join(broadcast(bucketOff), Seq("bucket"))
-      .join(broadcast(supOff), Seq("sup"))
+    var out = keyed
+      .withColumn("d_off", coalesce(sum(col("tokens")).over(wDoc), lit(0L)))
+    // fold levels: offsets of level-i keys within their level-(i+1)
+    // parent via a fanout-bounded window, then recurse on parent totals.
+    // At least one fold always runs (the bucket-within-super window);
+    // more are added while the current level could outgrow one fan-out.
+    var totals = keyed.groupBy(col("__k0").as("k")).agg(sum(col("tokens")).as("t"))
+    var maxKey = maxId / bucketWidth
+    var width = bucketWidth // doc_id divisor producing the current level's key
+    var offCols = Seq(col("d_off"))
+    var first = true
+    while (first || maxKey + 1 > fanout) {
+      first = false
+      val withP = totals.withColumn("p", expr(s"k DIV $fanout"))
+      val wLvl = Window.partitionBy(col("p")).orderBy(col("k").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = withP
+        .withColumn("off", coalesce(sum(col("t")).over(wLvl), lit(0L)))
+        .select(col("k"), col("off"))
+      val keyCol = s"__k_$width" // unique per level; leaf key is __k0
+      val offNamed = off.select(col("k").as(keyCol), col("off").as(s"off_$width"))
+      val rhs = if (maxKey + 1 <= PackBroadcastMaxRows) broadcast(offNamed) else offNamed
+      out = out.withColumn(keyCol, expr(s"doc_id DIV $width")).join(rhs, Seq(keyCol))
+      offCols :+= col(s"off_$width")
+      totals = withP.groupBy(col("p").as("k")).agg(sum(col("t")).as("t"))
+      maxKey = maxKey / fanout
+      width = width * fanout
+    }
+    // top level: ≤ fanout rows by construction — broadcast theta-join
+    val topOff = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.k") < col("a.k"), "left_outer")
+      .groupBy(col("a.k").as("tk"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("top_off"))
+    out
+      .withColumn("tk", expr(s"doc_id DIV $width"))
+      .join(broadcast(topOff), Seq("tk"))
       .select(col("doc_id"), col("tokens"),
-        (col("s_off") + col("b_off") + col("d_off")).as("cum_before"))
+        (offCols :+ col("top_off")).reduce(_ + _).as("cum_before"))
       .withColumn("shard_id", expr(s"cum_before DIV $TokensPerShard"))
       .withColumn("offset_in_shard", expr(s"cum_before % $TokensPerShard"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Max doc_id per corpus dir — one probe job per (dir, JVM). */
+  private val packMaxIdMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   // ---------------------------------------------------------------------
   // p03 — deterministic train/val/test split assignment, keyed on the

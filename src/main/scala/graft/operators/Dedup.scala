@@ -215,34 +215,83 @@ object Dedup {
   //
   // Scale note: guaranteed-recall banding needs ≥ HammingMax+1 disjoint
   // segments, so per-band selectivity is 2^(bits/9); keeping collision
-  // work near-linear as the corpus grows means widening the signature
-  // (band width ≈ log2(n) — a third word from a salted md5 follows the
-  // same pattern), or relaxing to d03-style probabilistic-recall bands.
+  // work near-linear as the corpus grows means widening the signature —
+  // the banding below is ADAPTIVE: the word count comes from a memoized
+  // corpus-count probe (band width ≈ log2(n)), with the third 60-bit
+  // word drawn from a SALTED md5 (the first two exhaust md5's 30 usable
+  // hex chars). More hamming bits = a stricter metric, so the width is
+  // part of the operator's scale contract, not a tuning knob: every
+  // driver sf sits in the 2-word regime and verifies against the static
+  // 2-word oracle text below.
   // ---------------------------------------------------------------------
   val SimBits = 60 // per signature word
   val HammingMax = 8
-  /** (word 1|2, bit offset, width): nine disjoint segments covering all
-    * 120 bits — four 15-bit over word 1, five 12-bit over word 2. Wider
-    * segments only raise selectivity (2^15 / 2^12 buckets); recall stays
-    * guaranteed by pigeonhole as long as the 9 segments are disjoint. */
-  val SimBands: Seq[(Int, Int, Int)] = Seq(
-    (1, 0, 15), (1, 15, 15), (1, 30, 15), (1, 45, 15),
-    (2, 0, 12), (2, 12, 12), (2, 24, 12), (2, 36, 12), (2, 48, 12))
 
-  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Pigeonhole minimum — and optimum: HammingMax+1 disjoint segments.
+    * Fewer breaks guaranteed recall; more only narrows each segment
+    * (coarser buckets, more collisions). */
+  val SimSegments: Int = HammingMax + 1
+
+  /** Adaptive signature width in words: stay at 2 while the per-segment
+    * width (2·60/9 = 13 bits) still covers log2(corpus) — i.e. to ~8k
+    * docs per band bucket load of ~1 — and move to 3 words (20-bit
+    * segments, good to ~2^20-bucket selectivity) beyond. */
+  private[graft] def simWordsFor(nDocs: Long): Int =
+    if (nDocs <= (1L << (2 * SimBits / SimSegments))) 2 else 3
+
+  /** Disjoint segments tiling `words`×60 bits into [[SimSegments]] bands:
+    * (word, bit offset, width). Any disjoint cover is result-identical
+    * (pigeonhole recall does not depend on the layout). */
+  private[graft] def simBands(words: Int): Seq[(Int, Int, Int)] = {
+    val base = SimSegments / words
+    val extra = SimSegments % words
+    (1 to words).flatMap { w =>
+      val s = base + (if (w <= extra) 1 else 0)
+      val width = SimBits / s
+      (0 until s).map(i => (w, i * width, width))
+    }
+  }
+
+  /** The 2-word (120-bit) layout — the regime of every driver sf; the
+    * static oracle text mirrors exactly this. */
+  val SimBands: Seq[(Int, Int, Int)] = simBands(2)
+
+  /** Corpus doc count per dir — one memoized probe job per (dir, JVM),
+    * the anchor/skew-probe pattern; decides the signature width. */
+  private val docCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def docCount(spark: SparkSession, dir: String): Long =
+    docCountMemo.getOrElseUpdate(dir,
+      Tables.load(spark, dir, "documents").count())
+
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, simWordsFor(docCount(spark, dir)))
+
+  /** Per-doc SimHash signature at a given width: one row per doc with
+    * sh1..sh`words` (60 bits each). Word 3+ salts the token before
+    * hashing — independent bits at one extra md5. */
+  private[graft] def simSignatures(spark: SparkSession, dir: String, words: Int): DataFrame = {
+    val hashes = Seq(hash60(col("tok")), hash60b(col("tok"))) ++
+      (3 to words).map(w => hash60(concat(col("tok"), lit(s"#w$w"))))
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .select(col("doc_id"), hash60(col("tok")).as("h1"), hash60b(col("tok")).as("h2"))
+      .select(col("doc_id") +: hashes.zipWithIndex.map { case (h, i) => h.as(s"h${i + 1}") }: _*)
     def voteCols(h: String, p: String) = (0 until SimBits).map(b =>
       sum(shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"$p$b"))
     def word(p: String) = (0 until SimBits)
       .map(b => when(col(s"$p$b") > 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
-    val votes = voteCols("h1", "s") ++ voteCols("h2", "t")
-    // persisted: nine band self-joins read this one-row-per-doc table
-    val sigs = toks.groupBy(col("doc_id"))
+    val prefixes = (1 to words).map(w => s"w$w")
+    val votes = prefixes.zipWithIndex.flatMap { case (p, i) => voteCols(s"h${i + 1}", p) }
+    toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), word("s").as("sh1"), word("t").as("sh2"))
+      .select(col("doc_id") +:
+        prefixes.zipWithIndex.map { case (p, i) => word(p).as(s"sh${i + 1}") }: _*)
+  }
+
+  private[graft] def simhashPairs(spark: SparkSession, dir: String, words: Int): DataFrame = {
+    // persisted: the band self-join reads this one-row-per-doc table
+    val sigs = simSignatures(spark, dir, words)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hamming check runs INLINE in the band join (both signatures are
     // already on the joined row), so only qualifying pairs reach the
@@ -252,23 +301,25 @@ object Dedup {
     // (band, key) rows, not 9 unioned self-joins (the planning-bound
     // anti-shape); the collision set is identical, and the oracle keeps
     // the unioned form.
-    val ham = bit_count(col("a.sh1").bitwiseXOR(col("b.sh1"))) +
-      bit_count(col("a.sh2").bitwiseXOR(col("b.sh2")))
-    val bandRows = sigs.select(col("doc_id"), col("sh1"), col("sh2"),
-        explode(array(SimBands.zipWithIndex.map { case ((wd, off, w), i) =>
+    val shCols = (1 to words).map(w => col(s"sh$w"))
+    val ham = (1 to words)
+      .map(w => bit_count(col(s"a.sh$w").bitwiseXOR(col(s"b.sh$w"))))
+      .reduce(_ + _)
+    val bandRows = sigs.select((col("doc_id") +: shCols) :+
+        explode(array(simBands(words).zipWithIndex.map { case ((wd, off, w), i) =>
           struct(lit(i).as("band"),
             shiftright(col(s"sh$wd"), off).bitwiseAND(lit((1L << w) - 1)).as("k"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("sh1"), col("sh2"),
-        col("b.band").as("band"), col("b.k").as("k"))
+        }: _*)).as("b"): _*)
+      .select((col("doc_id") +: shCols) ++
+        Seq(col("b.band").as("band"), col("b.k").as("k")): _*)
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
           col("a.doc_id") < col("b.doc_id"))
       .where(ham <= HammingMax)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh1").as("simhash_a1"), col("a.sh2").as("simhash_a2"),
-        col("b.sh1").as("simhash_b1"), col("b.sh2").as("simhash_b2"),
-        ham.cast("int").as("hamming"))
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+        (1 to words).map(w => col(s"a.sh$w").as(s"simhash_a$w")) ++
+        (1 to words).map(w => col(s"b.sh$w").as(s"simhash_b$w")) :+
+        ham.cast("int").as("hamming"): _*)
       .distinct()
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(200)
@@ -503,26 +554,31 @@ object Dedup {
       sig.select(col("doc_id"), col("n")))
   }
 
-  /** Cluster-label cache, keyed by corpus dir — the dedup counterpart of
-    * Similarity's trained-centroid cache: a real pipeline materializes
-    * the near-dup label table ONCE (d08 is that build) and every
-    * consumer (d09 apply, p01 ledger) reads the artifact instead of
-    * re-running the band joins + propagation loop. The cached frame is
-    * the localCheckpoint'd output of [[minLabelComponents]] — data
-    * already materialized on executors with lineage truncated, which at
-    * 100 TB stands in for the labels parquet table a deployment writes.
-    * Serving from it is bit-identical to recomputing (the loop is
-    * deterministic; spec-pinned cold ≡ warm), and the DuckDB oracle
-    * still re-derives the full recursive clustering per query. */
-  private val labelsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Cluster-label table name for a corpus — keyed by the corpus dir AND
+    * the semantic hash of the edge derivation, so a changed LSH layout or
+    * threshold can never serve a stale artifact. */
+  private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
+    "labels_" + graft.sources.Artifacts.key(dir,
+      lshEdges(spark, dir).queryExecution.analyzed.semanticHash())
 
+  /** The near-dup label table, served as a PERSISTED CATALOG ARTIFACT —
+    * the dedup counterpart of Similarity's trained-centroid table: a real
+    * pipeline materializes the labels ONCE (d08 is that build) and every
+    * consumer (d09 apply, p01 ledger, and every later SESSION — the
+    * artifact outlives the JVM) reads the parquet table instead of
+    * re-running the band joins + propagation loop. Serving is
+    * bit-identical to recomputing (the loop is deterministic; spec-pinned
+    * cold ≡ warm ≡ cross-session), and the DuckDB oracle still re-derives
+    * the full recursive clustering per query. */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelsCache.computeIfAbsent(dir,
-      _ => minLabelComponents(lshEdges(spark, dir)))
+    graft.sources.Artifacts.servePersisted(spark, labelsArtifactName(spark, dir)) {
+      minLabelComponents(lshEdges(spark, dir))
+    }
 
-  /** Test hook: drop cached label tables (e.g. to time a cold build). */
-  private[graft] def clearLabelsCache(): Unit = labelsCache.clear()
+  /** Test hook: drop the persisted label artifact (entry + files) to
+    * force a truly cold rebuild. */
+  private[graft] def clearLabelsCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, labelsArtifactName(spark, dir))
 
   def d08LshClusters(spark: SparkSession, dir: String): DataFrame =
     clusterOutput(clusterLabels(spark, dir))
@@ -679,7 +735,9 @@ object Dedup {
   // (byte-exact) and d02/d03 (fuzzy). The corpus has no natural casing
   // variants, so the query runs over a deterministically AUGMENTED view
   // (the t11 pattern): docs with doc_id % 7 == 0 get a noisy reupload
-  // (id + 1e6, upper-cased, padded, trailing '!!') that normalization
+  // (id -doc_id-1 — provably disjoint from ANY non-negative real id, so
+  // a 100TB corpus with ids past 1e6 can't collide a synthetic with a
+  // real doc; upper-cased, padded, trailing '!!') that normalization
   // must collapse back onto its original — so every group the query
   // emits is a normalization catch that byte-exact d01 provably misses
   // (n_exact_variants > 1 in every row). Same plan family as d01: one
@@ -692,20 +750,24 @@ object Dedup {
     """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, concat('  ', upper(text), '  !!')
+      |  SELECT -doc_id - 1, concat('  ', upper(text), '  !!')
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   def d13CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val aug = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("  "), upper(col("text")), lit("  !!")).as("text")))
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     aug
       .groupBy(md5(canon).as("canon_hash"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"),
+      // keeper = smallest ORIGINAL id: synthetics live at negative ids,
+      // so min() over the non-negatives (min skips NULLs on both
+      // engines; every group contains its original, so never NULL)
+      .agg(min(when(col("doc_id") >= 0, col("doc_id"))).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"),
         countDistinct(md5(col("text"))).as("n_exact_variants"))
       .where(col("dup_count") > 1)
       .orderBy(col("keep_doc_id").asc)
@@ -892,7 +954,8 @@ object Dedup {
          |         trim(regexp_replace(regexp_replace(lower(text),
          |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
          |  FROM aug)
-         |SELECT md5(canon) AS canon_hash, min(doc_id) AS keep_doc_id,
+         |SELECT md5(canon) AS canon_hash,
+         |       min(CASE WHEN doc_id >= 0 THEN doc_id END) AS keep_doc_id,
          |       count(*) AS dup_count,
          |       count(DISTINCT md5(text)) AS n_exact_variants
          |FROM c GROUP BY md5(canon)

@@ -264,10 +264,16 @@ object EventsAnalytics {
   // ---------------------------------------------------------------------
   // e12 — user behavior profile + bot screen: per-user volume, event-type
   // diversity, top-type concentration, and peak-hour burst, with a
-  // rule-based bot flag (superhuman burst, or extreme concentration with
-  // enough volume to mean something) — the abuse/automation filter an
-  // events feed goes through before it becomes training data. Every
-  // aggregate keys on user_id (high cardinality — no few-key reducer):
+  // rule-based bot flag (hourly burst, or type concentration with enough
+  // volume to mean something) — the abuse/automation filter an events
+  // feed goes through before it becomes training data. NOTE on the
+  // constants: BotBurstPerHour=3 and the ≥1/3-concentration rule are NOT
+  // plausible production thresholds (a real screen would use hundreds of
+  // events/hour and concentration ≫ 1/3) — they are tuned down solely so
+  // BOTH flag branches fire on the small synthetic test corpus and the
+  // oracle compare exercises the whole CASE tree; a deployment sets them
+  // per feed. Every aggregate keys on user_id (high cardinality — no
+  // few-key reducer):
   // two partial-aggregated trees, (user, type) → user and (user, hour) →
   // user, joined on user_id. The flag compares exact BIGINTs
   // (top_n·3 ≥ n_events, not a double ≥ 1/3) so it cannot drift

@@ -124,28 +124,28 @@ object Similarity {
       .agg(avg(col("m"))).first().getDouble(0)
   }
 
-  /** Trained-centroid cache, keyed by corpus dir: an IVF deployment
-    * builds its index ONCE per corpus and serves every query from it —
-    * retraining per query would be like rebuilding a B-tree per lookup.
-    * The cached artifact is K collected rows (cent_id, 64 doubles, norm)
-    * — kilobytes, the same driver-side footprint as an S8 scalar anchor —
-    * rebroadcast into each consuming plan. s03/s05/s07/s09 all serve from
-    * the same build; results are identical to retraining because the
+  /** Centroid table name for a corpus — keyed by the corpus dir AND the
+    * semantic hash of the (unrolled, lazy) training plan, so a changed K,
+    * iteration count, or seed rule can never serve a stale index. */
+  private[graft] def centroidsArtifactName(spark: SparkSession, dir: String): String =
+    "cents_" + graft.sources.Artifacts.key(dir,
+      computeTrainedCentroids(spark, dir).queryExecution.analyzed.semanticHash())
+
+  /** Trained IVF centroids, served as a PERSISTED CATALOG ARTIFACT: an
+    * IVF deployment builds its index ONCE per corpus and serves every
+    * query — in this session or any later one; the artifact outlives the
+    * JVM — from the K-row parquet table (kilobytes; each consumer
+    * broadcasts it). Results are identical to retraining because the
     * Lloyd loop is deterministic (exact integer-grid means, fixed
-    * iteration count). */
-  private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+    * iteration count) and doubles round-trip parquet bit-exactly. */
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, centroidsArtifactName(spark, dir))(
+      computeTrainedCentroids(spark, dir))
 
-  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = centCache.computeIfAbsent(dir, { _ =>
-      val df = computeTrainedCentroids(spark, dir)
-      (df.collect(), df.schema)
-    })
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
-
-  /** Test hook: drop cached indexes (e.g. to time a cold build). */
-  private[graft] def clearIndexCache(): Unit = centCache.clear()
+  /** Test hook: drop the persisted index artifact (entry + files) to
+    * force a truly cold rebuild. */
+  private[graft] def clearIndexCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, centroidsArtifactName(spark, dir))
 
   private def computeTrainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)

@@ -519,7 +519,10 @@ object TextAnalysis {
         length(col("t")).cast("long").as("n_chars"),
         length(regexp_replace(col("t"), "[ -~]", "")).cast("long").as("n_nonprintable"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("n_nonprintable"),
-        (col("n_nonprintable") / col("n_chars")).as("nonprintable_share"),
+        // zero guard: an empty doc is 0/0 — NULL on Spark but
+        // version-dependent in DuckDB; pin 0.0 identically in both
+        when(col("n_chars") > 0, col("n_nonprintable") / col("n_chars"))
+          .otherwise(lit(0.0)).as("nonprintable_share"),
         (col("n_nonprintable") > 0).as("is_suspect"))
       .orderBy(col("doc_id").asc)
 
@@ -666,7 +669,8 @@ object TextAnalysis {
          |         length(regexp_replace(t, '[ -~]', '', 'g'))::BIGINT AS n_nonprintable
          |  FROM a)
          |SELECT doc_id, source, n_chars, n_nonprintable,
-         |       n_nonprintable / n_chars AS nonprintable_share,
+         |       CASE WHEN n_chars > 0 THEN n_nonprintable / n_chars
+         |            ELSE 0.0 END AS nonprintable_share,
          |       n_nonprintable > 0 AS is_suspect
          |FROM c
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,

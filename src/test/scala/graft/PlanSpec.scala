@@ -246,6 +246,20 @@ class PlanSpec extends SparkSpec {
       s"the super-level combine should broadcast the S-row totals:\n$plan")
   }
 
+  test("p02 recursion: every added fold level is a bounded-partition window; top still broadcasts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // (4,4) on 500 docs forces three fold levels above the doc window —
+    // each must partition by its level key (never a zero-partition
+    // corpus-global window), and the ≤fanout-row top must broadcast
+    val df = Curation.shardPacking(spark, sf, 4L, 4L)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size >= 4, s"expected doc window + 3 fold levels, got ${windows.size}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty))
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"top-level combine should broadcast:\n$plan")
+  }
+
   test("e10: transition probabilities join the per-state totals via broadcast") {
     val plan = formatted(EventsAnalytics.e10Transitions(spark, sf))
     assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 1,

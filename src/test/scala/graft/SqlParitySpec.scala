@@ -33,6 +33,11 @@ class SqlParitySpec extends SparkSpec {
     sameRows(CartAnalytics.q08LaunchCohorts(spark, sf), CartSql.q08Sql(spark, sf))
   }
 
+  test("q10 SQL text (spine gapfill, GROUP BY alias, multi-key ORDER BY on aliases) " +
+      "== DataFrame builder") {
+    sameRows(CartAnalytics.q10MonthlyGapfill(spark, sf), CartSql.q10Sql(spark, sf))
+  }
+
   test("q12 SQL text (6-way mixed outer export join) == DataFrame builder") {
     sameRows(CartAnalytics.q12ExportJoin(spark, sf), CartSql.q12Sql(spark, sf))
   }
