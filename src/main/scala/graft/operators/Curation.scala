@@ -289,7 +289,37 @@ object Curation {
       .orderBy(col("q_rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p08 — split-leakage audit: p03's content-hash split is leak-free
+  // under EXACT duplication (byte-identical docs share a hash, hence a
+  // split) — but near-dups hash differently, so an LSH cluster can
+  // straddle train/test and leak paraphrased eval content into
+  // training. This is the audit a pipeline runs before shipping a
+  // split: every near-dup cluster (the d08 label artifact, served from
+  // the catalog) joined to its members' split assignments; clusters
+  // spanning >1 split are emitted with their per-split breakdown. The
+  // remediation (reassign whole clusters by min-member hash) is a
+  // policy choice; the audit is the engine's job. Scale: one doc_id
+  // equi-join of the label table against the map-only split projection,
+  // then a label-keyed aggregate — nothing beyond the artifacts that
+  // already exist.
+  // ---------------------------------------------------------------------
+  def p08SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clusterLabels(spark, dir)
+    val splits = p03SplitAssign(spark, dir).select(col("doc_id"), col("split"))
+    labels.join(splits, Seq("doc_id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .where(col("n_splits") > 1)
+      .orderBy(col("cluster_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_split_leakage" -> p08SplitLeakage _,
     "p07_curriculum_plan" -> p07CurriculumPlan _,
     "p06_epoch_plan" -> p06EpochPlan _,
     "p05_loss_attribution" -> p05LossAttribution _,
@@ -300,6 +330,26 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p08_split_leakage" -> {
+      val slot = graft.functions.SharedHash.h31Sql("text")
+      s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $slot % 10 <= 7 THEN 'train'
+         |              WHEN $slot % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT l.cluster_id, count(*) AS n_docs,
+         |       count(DISTINCT split) AS n_splits,
+         |       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |FROM labels l JOIN sp ON l.doc = sp.doc_id
+         |GROUP BY l.cluster_id
+         |HAVING count(DISTINCT split) > 1
+         |ORDER BY l.cluster_id ASC NULLS FIRST""".stripMargin
+    },
+
     "p07_curriculum_plan" ->
       s"""WITH ${TextAnalysis.scoreBaseCtesSql},
          |qs AS (

@@ -490,6 +490,40 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("min-label components are partition-layout independent") {
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (10L, 11L), (3L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 30L))
+    def run(parts: Int) =
+      Dedup.minLabelComponents(es.toDF("doc_a", "doc_b").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === run(13), "labels must not depend on the edge layout")
+  }
+
+  test("p08 split leakage matches an independent cluster × split recompute") {
+    val rows = Curation.p08SplitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty, "near-dup clusters straddle content-hash splits with high probability")
+    val clusters = Dedup.d08LshClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val split = Curation.p03SplitAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = clusters.groupBy(_._2).flatMap { case (cid, members) =>
+      val sp = members.map(m => split(m._1))
+      if (sp.distinct.length > 1)
+        Some((cid, members.length.toLong, sp.distinct.length.toLong,
+          sp.count(_ == "train").toLong, sp.count(_ == "val").toLong,
+          sp.count(_ == "test").toLong))
+      else None
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_splits"), r.getAs[Long]("n_train"), r.getAs[Long]("n_val"),
+      r.getAs[Long]("n_test"))).toSet
+    assert(got === expected)
+    // every leaky cluster's counts add up and span >1 split
+    got.foreach { case (_, n, ns, tr, va, te) =>
+      assert(tr + va + te === n && ns > 1)
+    }
+  }
+
   test("s06 label affinity matches an independent centroid-cosine computation") {
     val rows = Similarity.s06LabelAffinity(spark, sf).collect()
     val emb = Tables.load(spark, sf, "embeddings").select("label", "embedding").collect()
