@@ -558,8 +558,7 @@ object Dedup {
     * the semantic hash of the edge derivation, so a changed LSH layout or
     * threshold can never serve a stale artifact. */
   private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
-    "labels_" + graft.sources.Artifacts.key(dir,
-      lshEdges(spark, dir).queryExecution.analyzed.semanticHash())
+    "labels_" + graft.sources.Artifacts.key(dir, lshEdges(spark, dir))
 
   /** The near-dup label table, served as a PERSISTED CATALOG ARTIFACT —
     * the dedup counterpart of Similarity's trained-centroid table: a real

@@ -64,10 +64,17 @@ object Artifacts {
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(table)}")
 
   /** Deterministic table-name key: corpus-dir digest + defining-plan
-    * semantic hash (both stable across JVMs). */
-  def key(dir: String, definingPlanHash: Int): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
-    f"${h}_${definingPlanHash & 0xffffffffL}%08x"
-  }
+    * digest. The plan digest hashes the CANONICALIZED plan's string form,
+    * NOT `semanticHash()` — canonicalized expression ids print as stable
+    * ordinals (#0, #1, …) while `ExprId.hashCode` mixes in
+    * `NamedExpression.jvmId`, a per-JVM random UUID, which would give
+    * every fresh JVM a different key and silently defeat cross-JVM
+    * artifact reuse (observed: five labels_* tables for one corpus). */
+  def key(dir: String, defining: DataFrame): String =
+    s"${md5hex(dir).take(10)}_" +
+      md5hex(defining.queryExecution.analyzed.canonicalized.toString).take(8)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -260,6 +260,17 @@ class PlanSpec extends SparkSpec {
       s"top-level combine should broadcast:\n$plan")
   }
 
+  test("p08: leakage audit is one doc_id equi-join over the served label artifact — no cartesian") {
+    val df = Curation.p08SplitLeakage(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected pair blowup:\n$plan")
+    // the split side stays a map-only projection fused into its scan:
+    // no aggregate before the doc_id join on that branch
+    assert(df.queryExecution.executedPlan.toString.contains(graft.sources.Artifacts.Db),
+      "labels must come from the persisted artifact table")
+  }
+
   test("e10: transition probabilities join the per-state totals via broadcast") {
     val plan = formatted(EventsAnalytics.e10Transitions(spark, sf))
     assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 1,
