@@ -112,34 +112,36 @@ object InvariantProps extends Properties("graft.invariants") {
         plain.groupBy(identity).view.mapValues(_.length).toMap
     }
 
-  property("SimBands pigeonhole: any signature pair within hamming 8 shares a clean band") =
+  property("simBands pigeonhole at EVERY width: hamming-8 pair shares a clean band") =
     Prop.forAllNoShrink(
-      Gen.chooseNum(Long.MinValue, Long.MaxValue),
-      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(2, 3),
+      Gen.listOfN(3, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
       Gen.chooseNum(0, graft.operators.Dedup.HammingMax),
-      Gen.listOfN(8, Gen.chooseNum(0, 119))) { (r1, r2, k, flipPool) =>
-      import graft.operators.Dedup.{SimBands, HammingMax}
+      Gen.listOfN(8, Gen.chooseNum(0, 179))) { (words, rs, k, flipPool) =>
+      import graft.operators.Dedup.{simBands, SimSegments, HammingMax}
+      val bands = simBands(words)
       // structural invariants: >= HammingMax+1 segments, disjoint per word,
       // inside the 60-bit words — the preconditions of the recall proof
-      val structural = SimBands.length >= HammingMax + 1 &&
-        SimBands.forall { case (wd, off, w) => (wd == 1 || wd == 2) && off >= 0 && off + w <= 60 } &&
-        Seq(1, 2).forall { wd =>
-          val covered = SimBands.filter(_._1 == wd)
+      val structural = bands.length == SimSegments && SimSegments >= HammingMax + 1 &&
+        bands.forall { case (wd, off, w) =>
+          wd >= 1 && wd <= words && off >= 0 && off + w <= 60
+        } &&
+        (1 to words).forall { wd =>
+          val covered = bands.filter(_._1 == wd)
             .flatMap { case (_, off, w) => off until (off + w) }
           covered.distinct.length == covered.length
         }
-      // behavioral: flip <= HammingMax distinct bits of a random 120-bit
-      // signature; some band must still match exactly
+      // behavioral: flip <= HammingMax distinct bits of a random
+      // words×60-bit signature; some band must still match exactly
       val mask60 = (1L << 60) - 1
-      val a1 = r1 & mask60; val a2 = r2 & mask60
-      val flips = flipPool.distinct.take(k)
-      val (b1, b2) = flips.foldLeft((a1, a2)) { case ((x1, x2), bit) =>
-        if (bit < 60) (x1 ^ (1L << bit), x2) else (x1, x2 ^ (1L << (bit - 60)))
+      val a = rs.take(words).map(_ & mask60).toArray
+      val b = a.clone()
+      flipPool.distinct.take(k).map(_ % (words * 60)).distinct.foreach { bit =>
+        b(bit / 60) ^= 1L << (bit % 60)
       }
       def band(word: Long, off: Int, w: Int): Long = (word >>> off) & ((1L << w) - 1)
-      val clean = SimBands.exists { case (wd, off, w) =>
-        val (xa, xb) = if (wd == 1) (a1, b1) else (a2, b2)
-        band(xa, off, w) == band(xb, off, w)
+      val clean = bands.exists { case (wd, off, w) =>
+        band(a(wd - 1), off, w) == band(b(wd - 1), off, w)
       }
       structural && clean
     }
