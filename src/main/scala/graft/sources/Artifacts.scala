@@ -33,22 +33,31 @@ object Artifacts {
   /** Serve `table` from the catalog; on a catalog miss re-register the
     * existing warehouse files, and only if those are absent too run
     * `build` and persist its result. The served frame is always the
-    * parquet table — cold and warm reads are byte-identical. */
+    * parquet table — cold and warm reads are byte-identical.
+    *
+    * The miss path is serialized per JVM (parallel test suites — or any
+    * two threads constructing plans over the same corpus — must not race
+    * one build), and registration is IF-NOT-EXISTS so losing a race to
+    * another session over the shared in-memory catalog stays benign. */
   def servePersisted(spark: SparkSession, table: String)(build: => DataFrame): DataFrame = {
-    if (!spark.catalog.tableExists(s"$Db.$table")) {
-      Ingest.ensureDatabase(spark, Db)
-      val loc = location(spark, table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // _SUCCESS gates on a COMPLETE prior write — a crashed build's
-      // partial directory is overwritten, never served
-      if (!fs.exists(new Path(loc, "_SUCCESS"))) {
-        build.write.mode(SaveMode.Overwrite).parquet(loc.toString)
+    if (!spark.catalog.tableExists(s"$Db.$table")) buildLock.synchronized {
+      if (!spark.catalog.tableExists(s"$Db.$table")) {
+        Ingest.ensureDatabase(spark, Db)
+        val loc = location(spark, table)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // _SUCCESS gates on a COMPLETE prior write — a crashed build's
+        // partial directory is overwritten, never served
+        if (!fs.exists(new Path(loc, "_SUCCESS"))) {
+          build.write.mode(SaveMode.Overwrite).parquet(loc.toString)
+        }
+        spark.sql(s"CREATE TABLE IF NOT EXISTS ${qualified(table)} USING parquet " +
+          s"LOCATION '${fs.makeQualified(loc).toString}'")
       }
-      spark.sql(s"CREATE TABLE ${qualified(table)} USING parquet " +
-        s"LOCATION '${fs.makeQualified(loc).toString}'")
     }
     spark.table(qualified(table))
   }
+
+  private object buildLock
 
   /** Drop catalog entry AND files — force a truly cold rebuild. */
   def dropArtifact(spark: SparkSession, table: String): Unit = {

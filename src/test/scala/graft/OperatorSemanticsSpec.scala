@@ -490,6 +490,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q20 pivot values are a real parameter: subset list fixes schema and zero-fills") {
+    val full = CartAnalytics.q20PivotMatrix(spark, sf).collect()
+    val sub = CartAnalytics.q20PivotMatrix(spark, sf, Seq("F", "O")).collect()
+    assert(sub.head.schema.fieldNames.toSeq === Seq("month_start", "n_f", "n_o"))
+    // the named columns agree with the default-value run month-for-month
+    val fullBy = full.map(r => r.getAs[java.sql.Date]("month_start") ->
+      (r.getAs[Long]("n_f"), r.getAs[Long]("n_o"))).toMap
+    sub.foreach { r =>
+      assert(fullBy(r.getAs[java.sql.Date]("month_start")) ===
+        ((r.getAs[Long]("n_f"), r.getAs[Long]("n_o"))))
+    }
+    assert(sub.length === full.length)
+  }
+
   test("min-label components are partition-layout independent") {
     val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (10L, 11L), (3L, 20L),
       (30L, 31L), (31L, 32L), (32L, 30L))
