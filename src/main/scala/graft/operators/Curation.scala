@@ -318,7 +318,39 @@ object Curation {
       .orderBy(col("cluster_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p09 — mixture APPLY: materialize the corpus that p04 plans — each
+  // source hash-downsampled at exactly its sample_rate (min_tokens /
+  // n_tokens), so every feed contributes ≈ the smallest feed's token
+  // mass. Planning's apply twin (p04 decides the rates; this ships the
+  // mix). The keep gate is pure 64-bit integer arithmetic —
+  //   (h31(text) % M) * n_tokens < min_tokens * M,   M = 10000
+  // — never the double rate, so the selection is bit-identical across
+  // engines, runs, and partitionings (t05's content-hash contract), and
+  // the rate resolution is 0.01%. Overflow headroom: the product stays
+  // under 2^63 up to ~9·10^14 tokens (~3.7 PB of text) per source.
+  // Scale: one map-combinable per-source aggregate, a ≤|sources|-row
+  // broadcast of the rates, and a map-only filter — no shuffle of the
+  // corpus itself.
+  // ---------------------------------------------------------------------
+  val MixtureHashMod = 10000L
+
+  def p09MixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SharedHash.h31
+    val docs = Tables.load(spark, dir, "documents")
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(ceil(length(col("text")) / 4.0).cast("long")).as("n_tokens"))
+    val minTok = perSource.agg(min(col("n_tokens")).as("min_tokens"))
+    val rates = perSource.crossJoin(broadcast(minTok))
+    docs.join(broadcast(rates), Seq("source"))
+      .where((h31(col("text")) % MixtureHashMod) * col("n_tokens")
+        < col("min_tokens") * MixtureHashMod)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_mixture_apply" -> p09MixtureApply _,
     "p08_split_leakage" -> p08SplitLeakage _,
     "p07_curriculum_plan" -> p07CurriculumPlan _,
     "p06_epoch_plan" -> p06EpochPlan _,
@@ -330,6 +362,19 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p09_mixture_apply" -> {
+      val h = graft.functions.SharedHash.h31Sql("d.text")
+      s"""WITH s AS (
+         |  SELECT source,
+         |         CAST(sum(ceil(length(text) / 4.0)::BIGINT) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT min(n_tokens) AS min_tokens FROM s)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN s ON d.source = s.source CROSS JOIN m
+         |WHERE ($h % $MixtureHashMod) * s.n_tokens < m.min_tokens * $MixtureHashMod
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+    },
+
     "p08_split_leakage" -> {
       val slot = graft.functions.SharedHash.h31Sql("text")
       s"""WITH RECURSIVE ${Dedup.recursiveLabelsSql},

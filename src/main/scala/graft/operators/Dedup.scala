@@ -507,7 +507,10 @@ object Dedup {
   val ContaminationBroadcastMaxEvalDocs: Long =
     sys.env.getOrElse("GRAFT_D07_BROADCAST_MAX_EVAL_DOCS", "1000000").toLong
 
-  def d07Contamination(spark: SparkSession, dir: String): DataFrame = {
+  /** Qualifying (eval, train) contamination pairs — d07's pre-top-k
+    * derivation, shared with d15's removal step so detection and apply
+    * cannot disagree on what counts as contaminated. */
+  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val eval_ = sh.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
@@ -525,9 +528,31 @@ object Dedup {
     overlap.join(evalSizes, Seq("eval_id"))
       .where(frac >= ContaminationThreshold)
       .select(col("eval_id"), col("train_id"), col("shared"), col("n_eval"))
+  }
+
+  def d07Contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationPairs(spark, dir)
       .orderBy((col("shared").cast("double") / col("n_eval")).desc,
         col("eval_id").asc, col("train_id").asc)
       .limit(200)
+
+  // ---------------------------------------------------------------------
+  // d15 — decontamination APPLY: the train corpus minus every doc that
+  // d07 flags as overlapping an eval document — detection's apply twin
+  // (d07 finds the leak; this ships the corpus that does not have it).
+  // Exactly d09's last-mile shape: the flagged ids come from the shared
+  // pair derivation (same broadcast-gated join), the removal is one
+  // doc_id anti-join — no new shuffle shape, and removal can never
+  // disagree with detection because both read the same pairs.
+  // ---------------------------------------------------------------------
+  def d15DecontaminateApply(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = contaminationPairs(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 0)
+      .join(dirty, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
   }
 
   // ---------------------------------------------------------------------
@@ -820,7 +845,8 @@ object Dedup {
     "d04_simhash" -> d04Simhash _,
     "d05_embedding_neardup" -> d05EmbeddingNeardup _,
     "d08_lsh_clusters" -> d08LshClusters _,
-    "d09_dedup_apply" -> d09DedupApply _
+    "d09_dedup_apply" -> d09DedupApply _,
+    "d15_decontaminate_apply" -> d15DecontaminateApply _
   )
 
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
@@ -1049,6 +1075,25 @@ object Dedup {
          |ORDER BY shared::DOUBLE / n_eval DESC NULLS LAST,
          |         eval_id ASC NULLS FIRST, train_id ASC NULLS FIRST
          |LIMIT 200""".stripMargin,
+
+    "d15_decontaminate_apply" ->
+      s"""WITH $shinglesSql,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |evsizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |overlap AS (
+         |  SELECT eval_id, train_id, count(*) AS shared
+         |  FROM ev JOIN tr USING (shingle)
+         |  GROUP BY 1, 2),
+         |dirty AS (
+         |  SELECT DISTINCT train_id
+         |  FROM overlap JOIN evsizes USING (eval_id)
+         |  WHERE shared::DOUBLE / n_eval >= $ContaminationThreshold)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id % 10 <> 0
+         |  AND doc_id NOT IN (SELECT train_id FROM dirty)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,

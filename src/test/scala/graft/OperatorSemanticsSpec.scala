@@ -198,6 +198,21 @@ class OperatorSemanticsSpec extends SparkSpec {
         s"${exactKeepers.size} exact keepers, ${nonKeepers.size} near-dup drops")
   }
 
+  test("d15 decontaminate apply = train corpus minus exactly d07's flagged train ids") {
+    val d07 = Dedup.d07Contamination(spark, sf).collect()
+    assert(d07.length < 200,
+      "fixture must flag fewer pairs than d07's top-k limit so the flag set is complete")
+    val flagged = d07.map(_.getAs[Long]("train_id")).toSet
+    val train = Tables.load(spark, sf, "documents").collect()
+      .map(_.getAs[Long]("doc_id")).filter(_ % 10 != 0).toSet
+    val kept = Dedup.d15DecontaminateApply(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.nonEmpty, "fixture must contain contamination for the test to bite")
+    assert(kept === (train -- flagged),
+      s"apply must remove exactly the detected ids: ${kept.size} kept, " +
+        s"${train.size} train, ${flagged.size} flagged")
+  }
+
   test("d10 incremental verdicts: exact_dup iff md5 hit in the existing corpus; keeps never match") {
     import org.apache.spark.sql.functions.{col, md5}
     val rows = Dedup.d10IncrementalDedup(spark, sf).collect()
@@ -887,6 +902,36 @@ class OperatorSemanticsSpec extends SparkSpec {
       assert(rate > 0.0 && rate <= 1.0)
       if (r.getAs[Long]("n_tokens") == minTok) assert(rate === 1.0)
     }
+  }
+
+  test("p09 mixture apply: keep set matches an independent JVM md5 gate; smallest source keeps all") {
+    // Independent recomputation of the keep gate — java.security MD5, not
+    // Spark's md5 — so a regression in SharedHash.h31 cannot self-confirm.
+    def h31jvm(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % graft.functions.SharedHash.P31
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokens = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.map(d => math.ceil(d._3.length / 4.0).toLong).sum
+    }
+    val minTok = tokens.values.min
+    val expect = docs.collect {
+      case (id, src, text)
+        if (h31jvm(text) % Curation.MixtureHashMod) * tokens(src)
+          < minTok * Curation.MixtureHashMod => id
+    }.toSet
+    val kept = Curation.p09MixtureApply(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === expect, s"${kept.size} kept vs ${expect.size} expected")
+    // the rate-1.0 source (p04's contract) must survive in full
+    val smallest = tokens.minBy(t => (t._2, t._1))._1
+    val smallestIds = docs.filter(_._2 == smallest).map(_._1).toSet
+    assert(smallestIds.subsetOf(kept), "smallest source must keep every doc")
+    assert(kept.size < docs.length, "larger sources must actually downsample")
   }
 
   test("s10 recall: agrees with an independent intersection of s01 and s03 outputs") {

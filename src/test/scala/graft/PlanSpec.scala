@@ -78,6 +78,14 @@ class PlanSpec extends SparkSpec {
       s"signature/shingle caches not used:\n${plan.take(2000)}")
   }
 
+  test("p09: mixture apply broadcasts the rate table — the corpus is never shuffled") {
+    val plan = formatted(Curation.p09MixtureApply(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join would move the whole corpus at 100 TB:\n$plan")
+  }
+
   test("s01: brute-force ANN broadcasts the probe set") {
     val plan = formatted(Similarity.s01AnnBruteforce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
