@@ -349,7 +349,38 @@ object Curation {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // p10 — context-window packing manifest: where each document lands
+  // when the token stream is concatenated in doc_id order and chunked
+  // into fixed-length training sequences (the standard concat-and-chunk
+  // loader). Per doc: its first/last sequence, how many sequences it
+  // spans, its offset inside the first one, and whether a window
+  // boundary splits it — the stats a curriculum or attention-masking
+  // decision needs before training. Everything derives in CLOSED FORM
+  // from p02's hierarchical prefix sum (cum_before): no new shuffle, no
+  // new window — the level-bounded machinery is reused as-is, so the
+  // operator inherits p02's scale contract (no corpus-global window at
+  // any level). Zero-token docs (possible only if the generator emitted
+  // empty text) pin to a single boundary point via greatest(tokens, 1)
+  // identically on both engines.
+  // ---------------------------------------------------------------------
+  val SeqTokens = 512L
+
+  def p10SequencePack(spark: SparkSession, dir: String): DataFrame =
+    p02ShardPacking(spark, dir)
+      .select(col("doc_id"), col("tokens"), col("cum_before"))
+      .withColumn("seq_first", expr(s"cum_before DIV $SeqTokens"))
+      .withColumn("seq_last",
+        expr(s"(cum_before + greatest(tokens, 1) - 1) DIV $SeqTokens"))
+      .select(col("doc_id"), col("tokens"), col("cum_before"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1).as("n_seqs"),
+        expr(s"cum_before % $SeqTokens").as("offset_in_seq"),
+        when(col("seq_last") > col("seq_first"), 1L).otherwise(0L).as("is_split"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_sequence_pack" -> p10SequencePack _,
     "p09_mixture_apply" -> p09MixtureApply _,
     "p08_split_leakage" -> p08SplitLeakage _,
     "p07_curriculum_plan" -> p07CurriculumPlan _,
@@ -362,6 +393,27 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p10_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, tokens,
+         |         coalesce(sum(tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |           AS cum_before
+         |  FROM t)
+         |SELECT doc_id, tokens, cum_before,
+         |       cum_before // $SeqTokens AS seq_first,
+         |       (cum_before + greatest(tokens, 1) - 1) // $SeqTokens AS seq_last,
+         |       (cum_before + greatest(tokens, 1) - 1) // $SeqTokens
+         |         - cum_before // $SeqTokens + 1 AS n_seqs,
+         |       cum_before % $SeqTokens AS offset_in_seq,
+         |       CAST(CASE WHEN (cum_before + greatest(tokens, 1) - 1) // $SeqTokens
+         |                      > cum_before // $SeqTokens
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_split
+         |FROM c
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "p09_mixture_apply" -> {
       val h = graft.functions.SharedHash.h31Sql("d.text")
       s"""WITH s AS (

@@ -44,7 +44,12 @@ object Dedup {
     * re-scanning and re-exploding the corpus. MEMORY_AND_DISK: at 100 TB
     * this spills per-executor rather than failing. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    shinglesOf(Tables.load(spark, dir, "documents"))
+
+  /** The shingle transform over an arbitrary (doc_id, text) frame —
+    * d16 runs it over an augmented view rather than raw documents. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -53,12 +58,15 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private val shinglesSql: String =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(generate_series(1, len(w)-2),
-      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
-      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents))""".stripMargin
+  /** DuckDB mirror of [[shinglesOf]] as a `sh` CTE over `src`. */
+  private def shinglesSqlOver(src: String): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(w)-2),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM $src))""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlOver("documents")
 
   // ---------------------------------------------------------------------
   // d01 — exact dedup: hash-groupBy on md5(text), keep the min doc_id.
@@ -556,6 +564,59 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d16 — CONTAINMENT audit: resemblance (Jaccard) under-reports the
+  // doc-inside-doc duplicate — an excerpt fully contained in a longer
+  // page scores shared/union ≈ |excerpt|/|page|, far below any near-dup
+  // threshold, while containment shared/min(|a|,|b|) is 1.0. This audit
+  // scores band-collision candidates on BOTH metrics and flags the pairs
+  // resemblance would have missed (containment ≥ threshold, Jaccard
+  // below the d03/d06 cluster threshold). Excerpt-vs-page has no natural
+  // occurrence in the synthetic corpus, so the query runs over a
+  // deterministically AUGMENTED view (the t11/d13 pattern): docs with
+  // doc_id % 17 == 0 get a 15-word-prefix excerpt at the provably
+  // disjoint id -doc_id-1 — every surfaced (excerpt, page) pair is a
+  // containment catch with Jaccard ≈ 13/|page| « threshold.
+  //
+  // Scale honesty: candidates come from the SAME minhash band join as
+  // d03 (one bucket-equi join, O(collisions)), and minhash bands
+  // guarantee recall by RESEMBLANCE, not containment — a pair at
+  // containment 1.0 but Jaccard j band-collides with prob
+  // 1-(1-j^2)^8, so low-Jaccard containment pairs are surfaced
+  // best-effort (deterministic given the hashes, ~63% at j=0.34). An
+  // exhaustive containment pass needs a size-reweighted sketch (Broder,
+  // "On the resemblance and containment of documents", 1997) — the
+  // audit reports what the deployed candidate stream actually sees.
+  // ---------------------------------------------------------------------
+  val ContainmentThreshold = 0.9
+
+  def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text")))
+    val sh = shinglesOf(aug)
+    val sig = lshSignatures(sh)
+    val cand = lshCandidates(sig)
+    val sz = sig.select(col("doc_id"), col("n"))
+    val scored = sharedCounts(cand, sh)
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"), col("shared"))
+    val containment = col("shared").cast("double") / least(col("n_a"), col("n_b"))
+    val jaccard = col("shared").cast("double") /
+      (col("n_a") + col("n_b") - col("shared"))
+    scored
+      .where(containment >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("shared"),
+        round(containment, 6).as("containment"),
+        round(jaccard, 6).as("jaccard"),
+        when(jaccard < ClusterThreshold, 1L).otherwise(0L).as("resemblance_missed"))
+      .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  // ---------------------------------------------------------------------
   // d08 — near-dup clusters at scale: d06's semantics with the edge set
   // built from d03's LSH band candidates instead of the exact
   // inverted-index self-join (which is quadratic in per-shingle doc
@@ -846,7 +907,8 @@ object Dedup {
     "d05_embedding_neardup" -> d05EmbeddingNeardup _,
     "d08_lsh_clusters" -> d08LshClusters _,
     "d09_dedup_apply" -> d09DedupApply _,
-    "d15_decontaminate_apply" -> d15DecontaminateApply _
+    "d15_decontaminate_apply" -> d15DecontaminateApply _,
+    "d16_containment_audit" -> d16ContainmentAudit _
   )
 
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
@@ -1094,6 +1156,33 @@ object Dedup {
          |WHERE doc_id % 10 <> 0
          |  AND doc_id NOT IN (SELECT train_id FROM dirty)
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "d16_containment_audit" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT -doc_id - 1,
+         |         array_to_string((regexp_split_to_array(text, '\\s+'))[1:15], ' ')
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |${shinglesSqlOver("aug")},
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigColsSql
+         |        FROM h GROUP BY doc_id),
+         |cand AS (
+         |${bandJoinsSql("UNION")}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |$sharedCountsSql
+         |SELECT s.doc_a, s.doc_b, sa.n AS n_a, sb.n AS n_b, s.shared,
+         |       round(s.shared / least(sa.n, sb.n), 6) AS containment,
+         |       round(s.shared / (sa.n + sb.n - s.shared), 6) AS jaccard,
+         |       CAST(CASE WHEN s.shared / (sa.n + sb.n - s.shared) < $ClusterThreshold
+         |            THEN 1 ELSE 0 END AS BIGINT) AS resemblance_missed
+         |FROM shared s
+         |JOIN sizes sa ON s.doc_a = sa.doc_id
+         |JOIN sizes sb ON s.doc_b = sb.doc_id
+         |WHERE s.shared / least(sa.n, sb.n) >= $ContainmentThreshold
+         |ORDER BY round(s.shared / least(sa.n, sb.n), 6) DESC NULLS LAST,
+         |         s.doc_a ASC NULLS FIRST, s.doc_b ASC NULLS FIRST""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,

@@ -304,7 +304,41 @@ object EventsAnalytics {
       .orderBy(col("user_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e13 — replay/at-least-once dedup: collapse duplicate deliveries of
+  // the same event_id to their FIRST arrival, counting arrivals — the
+  // batch twin of [[graft.streaming.EventStreams.dedupStream]]'s
+  // watermark-bounded dropDuplicatesWithinWatermark (StreamingSpec
+  // asserts stream ≡ this on the same augmented feed). The synthetic
+  // events table is delivered exactly-once by construction, so (t11
+  // pattern) the query runs over a deterministically AUGMENTED view:
+  // events with event_id % 13 == 0 get a replayed copy 7 minutes later,
+  // so suppression provably fires (n_arrivals = 2 on exactly those ids,
+  // ts_first = the original delivery). Deterministic by construction —
+  // min(ts) per id, not "whichever row a partition saw first". Scale:
+  // one map-combinable hash aggregate keyed on event_id; no window, no
+  // join.
+  // ---------------------------------------------------------------------
+  val ReplayEveryNthEvent = 13L
+
+  def e13ReplayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val aug = ev.unionAll(
+      ev.where(col("event_id") % ReplayEveryNthEvent === 0)
+        .select(col("event_id"), expr("ts + INTERVAL 7 MINUTE").as("ts"),
+          col("user_id"), col("event_type")))
+    // group on the FULL delivery identity (a replay is a byte-identical
+    // redelivery, so payload is part of the key): string columns as
+    // grouping KEYS stay inside HashAggregate, whereas min(string) as an
+    // aggregate forces a SortAggregate with two extra sorts
+    aug.groupBy(col("event_id"), col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("ts_first"), count(lit(1)).as("n_arrivals"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_replay_dedup" -> e13ReplayDedup _,
     "e12_user_profile" -> e12UserProfile _,
     "e10_transitions" -> e10Transitions _,
     "e11_conversion_lag" -> e11ConversionLag _,
@@ -322,6 +356,17 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e13_replay_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT event_id, ts, user_id, event_type FROM events
+         |  UNION ALL
+         |  SELECT event_id, ts + INTERVAL 7 MINUTE, user_id, event_type
+         |  FROM events WHERE event_id % $ReplayEveryNthEvent = 0)
+         |SELECT event_id, user_id, event_type,
+         |       min(ts) AS ts_first, count(*) AS n_arrivals
+         |FROM aug GROUP BY event_id, user_id, event_type
+         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
     "e12_user_profile" ->
       s"""WITH bt AS (
          |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),

@@ -526,7 +526,40 @@ object TextAnalysis {
         (col("n_nonprintable") > 0).as("is_suspect"))
       .orderBy(col("doc_id").asc)
 
+  // ---------------------------------------------------------------------
+  // t18 — Good-Turing frequency spectrum: the counts-of-counts table
+  // N_r = |{words seen exactly r times}| per language, with the
+  // Good-Turing adjusted count r* = (r+1)·N_{r+1}/N_r (Gale & Sampson's
+  // raw estimator before smoothing). The spectrum is the standard input
+  // to coverage estimation (how much probability mass the unseen tail
+  // holds: N_1/N) and corpus-health checks (a templated corpus collapses
+  // the spectrum to a few spikes). All counts are exact integers and the
+  // one r* division happens per OUTPUT row — no cross-engine fp
+  // summation anywhere. Scale: the (lang, word) aggregate is map-side
+  // combinable and vocab-bounded, the spectrum aggregate is
+  // spectrum-bounded (≤ distinct frequency values), and the N_{r+1}
+  // lookup is a broadcast self-join of the tiny spectrum — the corpus is
+  // read exactly once.
+  // ---------------------------------------------------------------------
+  def t18FreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("lang"), col("freq")).agg(count(lit(1)).as("n_types"))
+    val next = spectrum.select(col("lang").as("lang2"),
+      col("freq").as("freq2"), col("n_types").as("n_next"))
+    spectrum
+      .join(broadcast(next),
+        col("lang") === col("lang2") && col("freq2") === col("freq") + 1,
+        "left_outer")
+      .select(col("lang"), col("freq"), col("n_types"),
+        round((col("freq") + 1).cast("double") *
+          coalesce(col("n_next"), lit(0L)) / col("n_types"), 6).as("r_star"))
+      .orderBy(col("lang").asc, col("freq").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_freq_spectrum" -> t18FreqSpectrum _,
     "t17_encoding_audit" -> t17EncodingAudit _,
     "t16_length_card" -> t16LengthCard _,
     "t15_vocab_growth" -> t15VocabGrowth _,
@@ -660,6 +693,20 @@ object TextAnalysis {
        |         AND coalesce(n_stop_distinct, 0) >= $StopMinDistinct""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t18_freq_spectrum" ->
+      """WITH wc AS (
+        |  SELECT lang, word, count(*) AS freq
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |spec AS (SELECT lang, freq, count(*) AS n_types FROM wc GROUP BY 1, 2)
+        |SELECT s.lang, s.freq, s.n_types,
+        |       round((s.freq + 1)::DOUBLE * coalesce(n2.n_types, 0) / s.n_types, 6)
+        |         AS r_star
+        |FROM spec s
+        |LEFT JOIN spec n2 ON n2.lang = s.lang AND n2.freq = s.freq + 1
+        |ORDER BY s.lang ASC NULLS FIRST, s.freq ASC NULLS FIRST""".stripMargin,
+
     "t17_encoding_audit" ->
       s"""WITH a AS (
          |  SELECT doc_id, source, $encAugSql AS t FROM documents),

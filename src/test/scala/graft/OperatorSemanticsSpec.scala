@@ -934,6 +934,109 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(kept.size < docs.length, "larger sources must actually downsample")
   }
 
+  test("d16 containment: every emitted pair's metrics match JVM shingle-set math; excerpts are caught") {
+    // Independent recomputation: build the augmented corpus and its
+    // word-3-gram shingle sets in plain Scala, then check each emitted
+    // pair's n/shared/containment/jaccard against exact set algebra.
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.size < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aug = (docs ++ docs.collect { case (id, t) if id % 17 == 0 =>
+      (-id - 1, t.split("\\s+").take(15).mkString(" "))
+    }).toMap.map { case (id, t) => id -> shingleSet(t) }
+    val rows = Dedup.d16ContainmentAudit(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must surface containment pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (aug(a), aug(b))
+      val shared = (sa intersect sb).size
+      assert(r.getAs[Long]("n_a") === sa.size.toLong, s"n_a of ($a,$b)")
+      assert(r.getAs[Long]("n_b") === sb.size.toLong, s"n_b of ($a,$b)")
+      assert(r.getAs[Long]("shared") === shared.toLong, s"shared of ($a,$b)")
+      val cont = shared.toDouble / math.min(sa.size, sb.size)
+      assert(cont >= Dedup.ContainmentThreshold, s"below threshold: ($a,$b)")
+      assert(math.abs(r.getAs[Double]("containment") - cont) < 1e-6)
+      val jac = shared.toDouble / (sa.size + sb.size - shared)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-6)
+      assert(r.getAs[Long]("resemblance_missed") ===
+        (if (jac < Dedup.ClusterThreshold) 1L else 0L))
+    }
+    // the operator's point: containment catches sub-document dups that
+    // resemblance misses — the excerpt augmentation guarantees such
+    // pairs exist, and the deterministic hashes surface some of them
+    assert(rows.exists(_.getAs[Long]("resemblance_missed") == 1L),
+      "no resemblance-missed pair surfaced — the audit has nothing to catch")
+    assert(rows.exists(r => r.getAs[Long]("doc_a") < 0 &&
+      r.getAs[Double]("containment") == 1.0),
+      "no excerpt pair at containment 1.0")
+  }
+
+  test("t18 frequency spectrum: counts-of-counts and Good-Turing r* match a JVM recount") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wordFreq = docs.flatMap { case (lang, t) =>
+      t.trim.split("\\s+").map(w => (lang, w))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val spectrum = wordFreq.groupBy { case ((lang, _), f) => (lang, f) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = TextAnalysis.t18FreqSpectrum(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("freq"))
+      assert(spectrum(key) === r.getAs[Long]("n_types"), s"N_r of $key")
+      val nNext = spectrum.getOrElse((key._1, key._2 + 1), 0L)
+      val rStar = (key._2 + 1).toDouble * nNext / spectrum(key)
+      assert(math.abs(r.getAs[Double]("r_star") - rStar) < 1e-6, s"r* of $key")
+    }
+    assert(got.length === spectrum.size, "spectrum must be complete")
+  }
+
+  test("p10 sequence pack agrees with a naive single-threaded token walk") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), math.ceil(r.getString(1).length / 4.0).toLong))
+      .sortBy(_._1)
+    val L = Curation.SeqTokens
+    var cum = 0L
+    val expect = toks.map { case (id, t) =>
+      val first = cum / L
+      val last = (cum + math.max(t, 1) - 1) / L
+      val row = (id, t, cum, first, last, last - first + 1, cum % L,
+        if (last > first) 1L else 0L)
+      cum += t
+      row
+    }
+    val got = Curation.p10SequencePack(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("offset_in_seq"), r.getAs[Long]("is_split")))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.exists(_._8 == 1L), "fixture must contain boundary-split docs")
+  }
+
+  test("e13 replay dedup: first arrival wins, arrivals counted exactly, non-replayed untouched") {
+    val originals = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    val rows = EventsAnalytics.e13ReplayDedup(spark, sf).collect()
+    assert(rows.length === originals.size, "one row per distinct event_id")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val expected = if (id % EventsAnalytics.ReplayEveryNthEvent == 0) 2L else 1L
+      assert(r.getAs[Long]("n_arrivals") === expected, s"arrivals of $id")
+      assert(r.getAs[java.sql.Timestamp]("ts_first") === originals(id),
+        s"first arrival of $id must be the original delivery")
+    }
+    assert(rows.exists(_.getAs[Long]("n_arrivals") == 2L), "replays must fire")
+  }
+
   test("s10 recall: agrees with an independent intersection of s01 and s03 outputs") {
     val truth = Similarity.s01AnnBruteforce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

@@ -78,6 +78,35 @@ class PlanSpec extends SparkSpec {
       s"signature/shingle caches not used:\n${plan.take(2000)}")
   }
 
+  test("d16: containment candidates come from the band join — no cartesian anywhere") {
+    val plan = formatted(Dedup.d16ContainmentAudit(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment audit must stay O(band collisions):\n${plan.take(2000)}")
+  }
+
+  test("t18: frequency spectrum is aggregates + a broadcast self-join — no window, no sort-merge") {
+    val plan = formatted(TextAnalysis.t18FreqSpectrum(spark, sf))
+    assert(!plan.contains("Window"), s"no window needed:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the tiny spectrum must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("p10: sequence pack adds no exchange beyond p02's prefix-sum plan") {
+    def exchanges(plan: String): Int = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    val p02 = formatted(Curation.p02ShardPacking(spark, sf))
+    val p10 = formatted(Curation.p10SequencePack(spark, sf))
+    assert(exchanges(p10) <= exchanges(p02),
+      s"p10 must be closed-form over p02's cum_before (p02=${exchanges(p02)}, p10=${exchanges(p10)})")
+  }
+
+  test("e13: replay dedup is one hash aggregate over the union — no join, no window") {
+    val plan = formatted(EventsAnalytics.e13ReplayDedup(spark, sf))
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"one aggregate suffices:\n${plan.take(2000)}")
+  }
+
   test("p09: mixture apply broadcasts the rate table — the corpus is never shuffled") {
     val plan = formatted(Curation.p09MixtureApply(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === written.count())
   }
 
+  test("e13 twin: streamed replay dedup keeps exactly the first arrivals (stream ≡ min-ts batch)") {
+    // originals arrive in batch 1, replayed duplicates (same event_id,
+    // +7 min) in batch 2 — dropDuplicatesWithinWatermark must suppress
+    // every replay (state is still live: 7 min « the 1 h watermark), so
+    // the streamed survivors are precisely e13's min-ts batch answer.
+    val originals = (0 until 40).map(i => Event(i.toLong, ts(i), i % 5, "click", 1.0))
+    val replays = originals.filter(_.event_id % 13 == 0)
+      .map(e => e.copy(ts = new Timestamp(e.ts.getTime + 7 * 60000L)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("e13_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(originals: _*)
+      q.processAllAvailable()
+      mem.addData(replays: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("e13_out").select($"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    val batch = (originals ++ replays).toDF()
+      .groupBy($"event_id").agg(org.apache.spark.sql.functions.min($"ts").as("ts_first"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 40)
+    assert(replays.nonEmpty, "fixture must actually replay something")
+  }
+
   test("custom sessionization agrees with Spark's built-in session_window away from boundaries") {
     // whole-minute gaps of 29 or 31 min: both the >1800s rule (e01 /
     // sessionize) and session_window's <30min-merge rule agree; only the
