@@ -379,7 +379,32 @@ object Curation {
         when(col("seq_last") > col("seq_first"), 1L).otherwise(0L).as("is_split"))
       .orderBy(col("doc_id").asc)
 
+  // ---------------------------------------------------------------------
+  // p11 — shard-fill audit: per-shard QA over p02's packing — doc count,
+  // filled tokens, fill ratio against the shard capacity, and how many
+  // docs straddle the shard's trailing boundary (a loader that can't
+  // split documents needs exactly this count to decide padding vs
+  // document-wrapping). Derived entirely from p02's manifest: one
+  // map-combinable aggregate keyed on shard_id — shard count is
+  // corpus_tokens / 4096, so the aggregate output is ~5 orders of
+  // magnitude smaller than the corpus. A doc's tokens count toward the
+  // shard its FIRST token lands in (p02's assignment rule); the straddle
+  // flag marks where its last token spills past that shard's capacity.
+  // ---------------------------------------------------------------------
+  def p11ShardFillAudit(spark: SparkSession, dir: String): DataFrame =
+    p02ShardPacking(spark, dir)
+      .select(col("doc_id"), col("tokens"), col("cum_before"), col("shard_id"),
+        when(expr(s"(cum_before + greatest(tokens, 1) - 1) DIV $TokensPerShard")
+          > col("shard_id"), 1L).otherwise(0L).as("straddles"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_assigned"),
+        round(sum(col("tokens")).cast("double") / TokensPerShard, 6).as("fill_ratio"),
+        sum(col("straddles")).as("n_straddling"))
+      .orderBy(col("shard_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_shard_fill" -> p11ShardFillAudit _,
     "p10_sequence_pack" -> p10SequencePack _,
     "p09_mixture_apply" -> p09MixtureApply _,
     "p08_split_leakage" -> p08SplitLeakage _,
@@ -393,6 +418,26 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p11_shard_fill" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, tokens,
+         |         coalesce(sum(tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |           AS cum_before
+         |  FROM t)
+         |SELECT cum_before // $TokensPerShard AS shard_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(tokens) AS BIGINT) AS tokens_assigned,
+         |       round(sum(tokens)::DOUBLE / $TokensPerShard, 6) AS fill_ratio,
+         |       CAST(sum(CASE WHEN (cum_before + greatest(tokens, 1) - 1) // $TokensPerShard
+         |                          > cum_before // $TokensPerShard
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+         |FROM c
+         |GROUP BY 1
+         |ORDER BY shard_id ASC NULLS FIRST""".stripMargin,
+
     "p10_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens FROM documents),

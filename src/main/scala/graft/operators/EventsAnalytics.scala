@@ -337,7 +337,48 @@ object EventsAnalytics {
       .orderBy(col("event_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // e14 — inter-arrival audit: exact p50/p90/p99 of the gap between a
+  // user's consecutive events of the same type — the rate-profile a
+  // throttling/abuse screen is tuned against (e12 decides WHO is a bot;
+  // this measures HOW FAST the traffic actually is). Percentiles are
+  // percentile_disc by RANK SELECTION, never interpolation: the k-th
+  // order statistic with k = ceil(q·n) computed in pure integer
+  // arithmetic ((q_num·n + q_den - 1) DIV q_den), so no fp percentile
+  // formula has to agree across engines. Scale shape: gaps come from a
+  // user-keyed lag window (state bounded per user — the e01 partition
+  // shape), then collapse to a (type, gap_seconds) HISTOGRAM — the t07
+  // distributed-selection trick: the cumulative walk and selection run
+  // over distinct observed gap-seconds (bounded by the time span, ~1e5
+  // at years of data), never over the event stream itself.
+  // ---------------------------------------------------------------------
+  def e14InterarrivalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - prev_us) DIV 1000000").as("gap_s"))
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("gap_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+    val totals = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n_gaps"))
+    def kOf(num: Long, den: Long) = expr(s"($num * n_gaps + $den - 1) DIV $den")
+    cum.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        min(when(col("cum") >= kOf(1, 2), col("gap_s"))).as("p50_gap_s"),
+        min(when(col("cum") >= kOf(9, 10), col("gap_s"))).as("p90_gap_s"),
+        min(when(col("cum") >= kOf(99, 100), col("gap_s"))).as("p99_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_interarrival" -> e14InterarrivalAudit _,
     "e13_replay_dedup" -> e13ReplayDedup _,
     "e12_user_profile" -> e12UserProfile _,
     "e10_transitions" -> e10Transitions _,
@@ -356,6 +397,36 @@ object EventsAnalytics {
   private val valueSumSql = "coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)"
 
   val oracleSql: Map[String, String] = Map(
+    "e14_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |            PARTITION BY user_id, event_type
+        |            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))
+        |           // 1000000 AS gap_s
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, gap_s, count(*) AS cnt
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, gap_s, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_gaps
+        |        FROM hist GROUP BY 1)
+        |SELECT c.event_type, max(t.n_gaps) AS n_gaps,
+        |       min(CASE WHEN c.cum >= (1 * t.n_gaps + 1) // 2 THEN c.gap_s END)
+        |         AS p50_gap_s,
+        |       min(CASE WHEN c.cum >= (9 * t.n_gaps + 9) // 10 THEN c.gap_s END)
+        |         AS p90_gap_s,
+        |       min(CASE WHEN c.cum >= (99 * t.n_gaps + 99) // 100 THEN c.gap_s END)
+        |         AS p99_gap_s,
+        |       max(c.gap_s) AS max_gap_s
+        |FROM cum c JOIN tot t USING (event_type)
+        |GROUP BY 1
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
     "e13_replay_dedup" ->
       s"""WITH aug AS (
          |  SELECT event_id, ts, user_id, event_type FROM events

@@ -1021,6 +1021,71 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(got.exists(_._8 == 1L), "fixture must contain boundary-split docs")
   }
 
+  test("p11 shard fill: per-shard totals match the naive walk; capacity accounting closes") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), math.ceil(r.getString(1).length / 4.0).toLong))
+      .sortBy(_._1)
+    val cap = Curation.TokensPerShard
+    var cum = 0L
+    val assigned = toks.map { case (_, t) =>
+      val row = (cum / cap, t, if ((cum + math.max(t, 1) - 1) / cap > cum / cap) 1L else 0L)
+      cum += t
+      row
+    }
+    val expect = assigned.groupBy(_._1).map { case (sid, rows) =>
+      sid -> (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+    }
+    val got = Curation.p11ShardFillAudit(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, tokens, straddle) = expect(r.getAs[Long]("shard_id"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("tokens_assigned") === tokens)
+      assert(r.getAs[Long]("n_straddling") === straddle)
+      assert(math.abs(r.getAs[Double]("fill_ratio") - tokens.toDouble / cap) < 1e-6)
+    }
+    // all tokens land somewhere; interior shards sit within one max-doc
+    // of capacity (first-token assignment), only the LAST may be sparse
+    assert(expect.values.map(_._2).sum === toks.map(_._2).sum)
+    val lastShard = expect.keys.max
+    val maxDoc = toks.map(_._2).max
+    expect.foreach { case (sid, (_, tokens, _)) =>
+      if (sid != lastShard)
+        assert(math.abs(tokens - cap) <= maxDoc,
+          s"interior shard $sid off capacity by more than one doc: $tokens")
+    }
+  }
+
+  test("e14 interarrival percentiles equal exact JVM order statistics (percentile_disc)") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val gaps = ev.groupBy(t => (t._1, t._2)).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (us(r._3), r._4))
+      sorted.sliding(2).collect { case Array(a, b) => (b._2, (us(b._3) - us(a._3)) / 1000000L) }
+    }.toSeq
+    def disc(vals: Seq[Long], num: Long, den: Long): Long = {
+      val s = vals.sorted
+      val k = (num * s.length + den - 1) / den
+      s((k - 1).toInt.max(0))
+    }
+    val byType = gaps.groupBy(_._1).map { case (t, g) => t -> g.map(_._2) }
+    val got = EventsAnalytics.e14InterarrivalAudit(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val g = byType(t)
+      assert(r.getAs[Long]("n_gaps") === g.size.toLong, s"n_gaps of $t")
+      assert(r.getAs[Long]("p50_gap_s") === disc(g, 1, 2), s"p50 of $t")
+      assert(r.getAs[Long]("p90_gap_s") === disc(g, 9, 10), s"p90 of $t")
+      assert(r.getAs[Long]("p99_gap_s") === disc(g, 99, 100), s"p99 of $t")
+      assert(r.getAs[Long]("max_gap_s") === g.max, s"max of $t")
+    }
+  }
+
   test("e13 replay dedup: first arrival wins, arrivals counted exactly, non-replayed untouched") {
     val originals = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("ts")).collect()

@@ -100,6 +100,23 @@ class PlanSpec extends SparkSpec {
       s"p10 must be closed-form over p02's cum_before (p02=${exchanges(p02)}, p10=${exchanges(p10)})")
   }
 
+  test("p11: shard-fill audit adds only the per-shard aggregate on top of p02") {
+    def exchanges(plan: String): Int = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    val p02 = formatted(Curation.p02ShardPacking(spark, sf))
+    val p11 = formatted(Curation.p11ShardFillAudit(spark, sf))
+    // + the shard aggregate's shuffle and the audit's own result sort
+    assert(exchanges(p11) <= exchanges(p02) + 2,
+      s"expected two extra exchanges at most (p02=${exchanges(p02)}, p11=${exchanges(p11)})")
+  }
+
+  test("e14: percentile selection runs over the gap histogram — totals broadcast, no cartesian") {
+    val plan = formatted(EventsAnalytics.e14InterarrivalAudit(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type totals must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"selection must stay histogram-sized:\n${plan.take(2000)}")
+  }
+
   test("e13: replay dedup is one hash aggregate over the union — no join, no window") {
     val plan = formatted(EventsAnalytics.e13ReplayDedup(spark, sf))
     assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n${plan.take(2000)}")
