@@ -121,6 +121,26 @@ object Ingest {
       .format("parquet").saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Bucketed managed-table sink — the co-located-join layout: rows are
+    * hash-distributed into `nBuckets` files per the bucket column, and
+    * Spark records the bucket spec in the catalog. Two tables bucketed
+    * the same way join WITHOUT any Exchange (SourcesSpec pins the plan):
+    * at 100 TB that deletes the single most expensive stage of a
+    * fact-to-fact join — both shuffles — for every query that joins on
+    * the bucket key, in exchange for one up-front bucketed write. Also
+    * sorts within buckets on the same key so the join can run as a
+    * zero-sort merge. */
+  def saveAsTableBucketed(df: DataFrame, db: String, table: String,
+      bucketCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    dropTableAndLocation(spark, db, table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet").saveAsTable(s"`$db`.`$table`")
+  }
+
   /** S8/S9 — scalar-param capture: evaluate a 1-row/1-col query, park the
     * value in Spark conf for `${key}` SQL variable substitution (the
     * reference's `spark.conf.set('carts.last_datetime', …)` pattern).

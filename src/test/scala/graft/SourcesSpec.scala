@@ -146,4 +146,38 @@ class SourcesSpec extends SparkSpec {
     val cal = Ingest.calendar(spark, "2022-01-01", "2022-01-31")
     assert(cal.count() === 31)
   }
+
+  test("bucketed tables: co-bucketed fact-to-fact join runs with NO exchange") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf, "orders")
+    val lines = Tables.load(spark, sf, "lineitem")
+    Ingest.saveAsTableBucketed(orders, "graftdb", "orders_bkt", "o_orderkey", 8)
+    Ingest.saveAsTableBucketed(
+      lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "graftdb", "lineitem_bkt", "o_orderkey", 8)
+    // force the shuffle-join path (a test-sized table would broadcast,
+    // which hides exactly the exchange bucketing is there to delete)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("`graftdb`.`orders_bkt`")
+        .join(spark.table("`graftdb`.`lineitem_bkt`"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n${plan.take(2500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must actually use the bucket layout:\n${plan.take(2500)}")
+      // the join must produce the same result as the shuffled one
+      val expected = orders.join(
+        lines.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
+      assert(joined.count() === expected)
+      // a non-bucketed copy of the same join DOES shuffle — the contrast
+      // that proves the bucket spec (not planner luck) removed them
+      Ingest.saveAsTable(orders, "graftdb", "orders_plain")
+      val mixed = spark.table("`graftdb`.`orders_plain`")
+        .join(spark.table("`graftdb`.`lineitem_bkt`"), "o_orderkey")
+      assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: unbucketed side must still shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
