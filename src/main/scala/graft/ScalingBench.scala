@@ -14,7 +14,12 @@ package graft
 object ScalingBench {
   private val ScaleQueries = Seq(
     "d03_minhash_lsh", "d08_lsh_clusters", "t07_stratified_sample",
-    "p02_shard_packing", "s03_ann_ivf")
+    "p02_shard_packing", "s03_ann_ivf",
+    // round-6 additions over the documents table: the containment audit
+    // (band-join scale path), the contamination-pair anti-join apply,
+    // the closed-form sequence-pack manifest, and the spectrum rollup
+    "d16_containment_audit", "d15_decontaminate_apply",
+    "p10_sequence_pack", "t18_freq_spectrum")
   private val CappedQueries = Seq("d02_ngram_jaccard", "d05_embedding_neardup")
 
   def main(args: Array[String]): Unit = {

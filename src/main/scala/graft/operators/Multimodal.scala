@@ -210,7 +210,40 @@ object Multimodal {
       .orderBy(col("kind").asc)
   }
 
+  /** m04 — content-addressed cross-modal dedup: hash the BLOB, group by
+    * the digest — the dedup a content-addressed media store runs before
+    * ever decoding anything, and the only one that catches the same
+    * bytes uploaded under two different modality labels (an "image" and
+    * a "video" poster frame with identical content). The corpus has no
+    * natural cross-modal reupload, so (d13 pattern) the query runs over
+    * a deterministically AUGMENTED view: docs with doc_id % 19 == 0 get
+    * a second asset at the provably disjoint id -doc_id-1, whose
+    * id-derived kind differs — every emitted group is a cross-modal
+    * catch, and the keeper is the smallest ORIGINAL id (synthetics live
+    * at negative ids; d13's min-over-non-negatives rule). Scale: one
+    * map-combinable hash aggregate over digests — the d01 plan on the
+    * binary column, with the blob reduced to 16 bytes map-side. */
+  def m04ContentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val aug = docs.unionAll(docs.where(col("doc_id") % 19 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
+    aug
+      .select(col("doc_id").as("asset_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+          "ELSE 'video' END").as("kind"),
+        md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("kind")).as("n_kinds"),
+        concat_ws(",", sort_array(collect_set(col("kind")))).as("kinds"),
+        min(when(col("asset_id") >= 0, col("asset_id"))).as("keep_asset_id"))
+      .where(col("n_assets") > 1)
+      .orderBy(col("keep_asset_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_content_dedup" -> m04ContentDedup _,
     "m03_modality_card" -> m03ModalityCard _,
     "m01_media_features" -> m01MediaFeatures _,
     "m02_frame_sample" -> m02FrameSample _
@@ -221,6 +254,26 @@ object Multimodal {
     * reduce to SQL over character codes — DuckDB recomputes what the
     * typed-Dataset pipeline produced, end to end. */
   val oracleSql: Map[String, String] = Map(
+    "m04_content_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 19 = 0),
+        |a AS (
+        |  SELECT doc_id AS asset_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         md5(text) AS content_hash
+        |  FROM aug)
+        |SELECT content_hash, count(*) AS n_assets,
+        |       count(DISTINCT kind) AS n_kinds,
+        |       string_agg(DISTINCT kind, ',' ORDER BY kind) AS kinds,
+        |       min(CASE WHEN asset_id >= 0 THEN asset_id END) AS keep_asset_id
+        |FROM a
+        |GROUP BY 1
+        |HAVING count(*) > 1
+        |ORDER BY keep_asset_id ASC NULLS FIRST""".stripMargin,
+
     "m03_modality_card" ->
       """WITH a AS (
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

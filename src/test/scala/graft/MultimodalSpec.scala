@@ -127,4 +127,32 @@ class MultimodalSpec extends SparkSpec {
       d.queryExecution.optimizedPlan.collect { case p => p.nodeName }
     assert(shape(extractFeatures(ds, BmpDecoder)) === shape(extractFeatures(ds, FakeDecoder)))
   }
+
+  test("m04 content dedup: every reupload group caught, keeper is the original, kinds differ") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // texts duplicated naturally OR via the %19 reupload — group by text
+    val augIds = docs.flatMap { case (id, t) =>
+      if (id % 19 == 0) Seq((t, id), (t, -id - 1)) else Seq((t, id))
+    }.groupBy(_._1).values.filter(_.size > 1).toSeq
+    val rows = Multimodal.m04ContentDedup(spark, sf).collect()
+    assert(rows.length === augIds.size, "one group per duplicated blob")
+    val byKeep = rows.map(r => r.getAs[Long]("keep_asset_id") -> r).toMap
+    augIds.foreach { grp =>
+      val ids = grp.map(_._2)
+      val keep = ids.filter(_ >= 0).min
+      val r = byKeep(keep)
+      assert(r.getAs[Long]("n_assets") === ids.size.toLong)
+      def kind(id: Long) = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val kinds = ids.map(kind).distinct.sorted
+      assert(r.getAs[Long]("n_kinds") === kinds.size.toLong)
+      assert(r.getAs[String]("kinds") === kinds.mkString(","))
+    }
+    // the operator's point: at least one group is genuinely CROSS-modal
+    assert(rows.exists(_.getAs[Long]("n_kinds") > 1L), "no cross-modal dup caught")
+  }
 }
