@@ -481,7 +481,44 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // s14 — embedding drift audit: per label, the L2 distance between the
+  // centroids of two corpus slices (vec_id parity stands in for "old
+  // embedding batch vs re-embedded batch") — the monitor a deployment
+  // watches after swapping the embedding model or ingesting a new crawl:
+  // labels whose centroid moved are the ones whose ANN cells / SemDeDup
+  // ε-balls need rebuilding. Numerics follow s04's contract end-to-end:
+  // per-slice centroids from exact integer-grid sums, the distance a
+  // single ordered fold per OUTPUT row (L rows total) — no fp summation
+  // whose order an engine could choose. Scale: two partial-aggregated
+  // shuffles on (label, dim) — each slice of the corpus is read once —
+  // and an L-row broadcast join.
+  // ---------------------------------------------------------------------
+  def s14CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    def centOf(slice: DataFrame, centCol: String, nCol: String): DataFrame =
+      slice
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .groupBy(col("label"), col("dim0"))
+        .agg((sum(floor(col("v").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)")
+          .as(centCol), max(col("n")).as(nCol))
+    val a = centOf(emb.where(col("vec_id") % 2 === 0), "ca", "n_a")
+    val b = centOf(emb.where(col("vec_id") % 2 =!= 0), "cb", "n_b")
+    a.join(broadcast(b), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(expr(
+          """aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+            |cast(0.0 AS double), (acc, q) -> acc + q)""".stripMargin.replace("\n", " "))), 6)
+          .as("drift"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_centroid_drift" -> s14CentroidDrift _,
     "s13_semantic_apply" -> s13SemanticApply _,
     "s12_semdedup" -> s12Semdedup _,
     "s11_knn_components" -> s11KnnComponents _,
@@ -554,6 +591,33 @@ object Similarity {
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s14_centroid_drift" -> {
+      def sliceCte(pred: String, suffix: String): String =
+        s"""ex$suffix AS (
+           |  SELECT label, i AS dim0, embedding[i]::DOUBLE AS v
+           |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+           |  WHERE $pred),
+           |cent$suffix AS (
+           |  SELECT label, dim0,
+           |         CAST(CAST(sum(floor(v * 1e9)::BIGINT) AS VARCHAR) AS DOUBLE)
+           |           / count(*) / 1e9 AS c,
+           |         count(*) AS n
+           |  FROM ex$suffix GROUP BY label, dim0),
+           |arr$suffix AS (
+           |  SELECT label, list(c ORDER BY dim0) AS c$suffix,
+           |         CAST(max(n) AS BIGINT) AS n_$suffix
+           |  FROM cent$suffix GROUP BY label)""".stripMargin
+      s"""WITH ${sliceCte("vec_id % 2 = 0", "a")},
+         |${sliceCte("vec_id % 2 <> 0", "b")}
+         |SELECT label, n_a, n_b,
+         |       round(sqrt(list_reduce(
+         |         list_transform(generate_series(1, len(ca)),
+         |           i -> (ca[i] - cb[i]) * (ca[i] - cb[i])),
+         |         (x, y) -> x + y)), 6) AS drift
+         |FROM arra JOIN arrb USING (label)
+         |ORDER BY label ASC NULLS FIRST""".stripMargin
+    },
+
     "s13_semantic_apply" ->
       s"""WITH $normedSql,
          |$lloydCentSql,

@@ -1021,6 +1021,31 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(got.exists(_._8 == 1L), "fixture must contain boundary-split docs")
   }
 
+  test("s14 centroid drift equals a JVM recompute on the same integer grid") {
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cent(sl: Seq[Array[Float]]): Array[Double] = {
+      val dim = sl.head.length
+      Array.tabulate(dim) { d =>
+        sl.map(v => math.floor(v(d).toDouble * 1e9).toLong).sum.toDouble / sl.size / 1e9
+      }
+    }
+    val byLabel = rows.groupBy(_._2)
+    val got = Similarity.s14CentroidDrift(spark, sf).collect()
+    assert(got.length === byLabel.size)
+    got.foreach { r =>
+      val label = r.getAs[Int]("label")
+      val (evens, odds) = byLabel(label).partition(_._1 % 2 == 0)
+      assert(r.getAs[Long]("n_a") === evens.size.toLong)
+      assert(r.getAs[Long]("n_b") === odds.size.toLong)
+      val (ca, cb) = (cent(evens.map(_._3)), cent(odds.map(_._3)))
+      val drift = math.sqrt(ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(r.getAs[Double]("drift") - drift) < 1e-6, s"drift of $label")
+    }
+    assert(got.exists(_.getAs[Double]("drift") > 0.0), "parity slices must differ")
+  }
+
   test("p11 shard fill: per-shard totals match the naive walk; capacity accounting closes") {
     val toks = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()

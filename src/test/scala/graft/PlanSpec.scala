@@ -100,6 +100,14 @@ class PlanSpec extends SparkSpec {
       s"p10 must be closed-form over p02's cum_before (p02=${exchanges(p02)}, p10=${exchanges(p10)})")
   }
 
+  test("s14: drift audit is two partial-aggregated slices + an L-row broadcast join") {
+    val plan = formatted(Similarity.s14CentroidDrift(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label-row join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no corpus-sized join allowed:\n${plan.take(2000)}")
+  }
+
   test("p11: shard-fill audit adds only the per-shard aggregate on top of p02") {
     def exchanges(plan: String): Int = "(?<!Reused)Exchange".r.findAllIn(plan).size
     val p02 = formatted(Curation.p02ShardPacking(spark, sf))
