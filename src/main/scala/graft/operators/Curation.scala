@@ -84,10 +84,28 @@ object Curation {
     * `fanout` = keys folded per level above the leaves. */
   def shardPacking(spark: SparkSession, dir: String,
       bucketWidth: Long, fanout: Long): DataFrame = {
-    require(bucketWidth > 0 && fanout > 1, "degenerate packing layout")
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
+    hierPrefixSum(spark, dir, toks, Nil, bucketWidth, fanout)
+      .select(col("doc_id"), col("tokens"), col("cum_before"))
+      .withColumn("shard_id", expr(s"cum_before DIV $TokensPerShard"))
+      .withColumn("offset_in_shard", expr(s"cum_before % $TokensPerShard"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Hierarchical doc_id-ordered running sum of `tokens` WITHIN each
+    * `groupCols` combination (corpus-global when `groupCols` is empty
+    * — p02's shape). Every window partitions by (groupCols, level key)
+    * so partition size is bounded by the level width at every depth;
+    * the ≤fanout-row-per-group top level combines through a broadcast
+    * group-equi + key-theta join. Adds `cum_before` to the input
+    * columns. Exact integers throughout — bit-identical to a naive
+    * per-group walk, which is what the DuckDB oracles compute. */
+  private def hierPrefixSum(spark: SparkSession, dir: String, toks: DataFrame,
+      groupCols: Seq[String], bucketWidth: Long, fanout: Long): DataFrame = {
+    require(bucketWidth > 0 && fanout > 1, "degenerate packing layout")
+    val grp = groupCols.map(col)
     // largest key the leaf level can hold — decides the recursion depth
     // statically at plan time (memoized: one probe job per corpus+layout
     // per JVM, like the skew probe / anchor date)
@@ -96,7 +114,7 @@ object Curation {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
     val keyed = toks.withColumn("__k0", expr(s"doc_id DIV $bucketWidth"))
-    val wDoc = Window.partitionBy(col("__k0")).orderBy(col("doc_id").asc)
+    val wDoc = Window.partitionBy(grp :+ col("__k0"): _*).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     var out = keyed
       .withColumn("d_off", coalesce(sum(col("tokens")).over(wDoc), lit(0L)))
@@ -104,7 +122,8 @@ object Curation {
     // parent via a fanout-bounded window, then recurse on parent totals.
     // At least one fold always runs (the bucket-within-super window);
     // more are added while the current level could outgrow one fan-out.
-    var totals = keyed.groupBy(col("__k0").as("k")).agg(sum(col("tokens")).as("t"))
+    var totals = keyed.groupBy(grp :+ col("__k0").as("k"): _*)
+      .agg(sum(col("tokens")).as("t"))
     var maxKey = maxId / bucketWidth
     var width = bucketWidth // doc_id divisor producing the current level's key
     var offCols = Seq(col("d_off"))
@@ -112,33 +131,36 @@ object Curation {
     while (first || maxKey + 1 > fanout) {
       first = false
       val withP = totals.withColumn("p", expr(s"k DIV $fanout"))
-      val wLvl = Window.partitionBy(col("p")).orderBy(col("k").asc)
+      val wLvl = Window.partitionBy(grp :+ col("p"): _*).orderBy(col("k").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = withP
         .withColumn("off", coalesce(sum(col("t")).over(wLvl), lit(0L)))
-        .select(col("k"), col("off"))
+        .select(grp ++ Seq(col("k"), col("off")): _*)
       val keyCol = s"__k_$width" // unique per level; leaf key is __k0
-      val offNamed = off.select(col("k").as(keyCol), col("off").as(s"off_$width"))
+      val offNamed = off.select(
+        grp ++ Seq(col("k").as(keyCol), col("off").as(s"off_$width")): _*)
       val rhs = if (maxKey + 1 <= PackBroadcastMaxRows) broadcast(offNamed) else offNamed
-      out = out.withColumn(keyCol, expr(s"doc_id DIV $width")).join(rhs, Seq(keyCol))
+      out = out.withColumn(keyCol, expr(s"doc_id DIV $width"))
+        .join(rhs, groupCols :+ keyCol)
       offCols :+= col(s"off_$width")
-      totals = withP.groupBy(col("p").as("k")).agg(sum(col("t")).as("t"))
+      totals = withP.groupBy(grp :+ col("p").as("k"): _*).agg(sum(col("t")).as("t"))
       maxKey = maxKey / fanout
       width = width * fanout
     }
-    // top level: ≤ fanout rows by construction — broadcast theta-join
+    // top level: ≤ fanout rows per group by construction — broadcast
+    // theta-join (group-equi when grouped)
+    val cond = groupCols.foldLeft(col("b.k") < col("a.k")) {
+      (c, g) => c && col(s"b.$g") === col(s"a.$g")
+    }
     val topOff = totals.as("a")
-      .join(broadcast(totals.as("b")), col("b.k") < col("a.k"), "left_outer")
-      .groupBy(col("a.k").as("tk"))
+      .join(broadcast(totals.as("b")), cond, "left_outer")
+      .groupBy(groupCols.map(g => col(s"a.$g").as(g)) :+ col("a.k").as("tk"): _*)
       .agg(coalesce(sum(col("b.t")), lit(0L)).as("top_off"))
     out
       .withColumn("tk", expr(s"doc_id DIV $width"))
-      .join(broadcast(topOff), Seq("tk"))
-      .select(col("doc_id"), col("tokens"),
-        (offCols :+ col("top_off")).reduce(_ + _).as("cum_before"))
-      .withColumn("shard_id", expr(s"cum_before DIV $TokensPerShard"))
-      .withColumn("offset_in_shard", expr(s"cum_before % $TokensPerShard"))
-      .orderBy(col("doc_id").asc)
+      .join(broadcast(topOff), groupCols :+ "tk")
+      .withColumn("cum_before", (offCols :+ col("top_off")).reduce(_ + _))
+      .select(toks.columns.map(col) :+ col("cum_before"): _*)
   }
 
   /** Max doc_id per corpus dir — one probe job per (dir, JVM). */
@@ -403,7 +425,51 @@ object Curation {
         sum(col("straddles")).as("n_straddling"))
       .orderBy(col("shard_id").asc)
 
+  // ---------------------------------------------------------------------
+  // p12 — per-source token-budget head cut: the DETERMINISTIC
+  // alternative to p09's hash-rate sampling for equalizing a mixture.
+  // The p04 equalization budget (the smallest source's token total) is
+  // applied as an exact prefix cut in doc_id order within each source:
+  // a doc is 'full' while its source's running total stays inside the
+  // budget, 'partial' if the budget boundary lands inside it (the
+  // loader keeps its head slice), 'cut' after. Unlike p09, the kept
+  // set is a contiguous doc_id prefix — reproducible, and the budget
+  // is hit EXACTLY (p09's hash gate only converges to the rate).
+  // The within-source running sum is the p02 hierarchical machinery
+  // with source in every partition key — a single source at 100 TB is
+  // still ~20 TB, so a source-global window is as banned as a
+  // corpus-global one; the top level is ≤fanout rows PER SOURCE and
+  // combines through one broadcast source-equi + key-theta join. The
+  // budget scalar stays in-plan (S8 pattern: aggregate → broadcast
+  // cross join), never a driver round-trip.
+  // ---------------------------------------------------------------------
+  def p12BudgetHeadCut(spark: SparkSession, dir: String): DataFrame =
+    budgetHeadCut(spark, dir, PackBucketWidth, PackSuperBuckets)
+
+  /** Parameterized core of p12 (specs shrink the layout to force deep
+    * recursion through the grouped prefix sum). */
+  def budgetHeadCut(spark: SparkSession, dir: String,
+      bucketWidth: Long, fanout: Long): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
+    val cum = hierPrefixSum(spark, dir, toks, Seq("source"), bucketWidth, fanout)
+      .withColumnRenamed("cum_before", "cum_in_source")
+    val budget = toks.groupBy(col("source"))
+      .agg(sum(col("tokens")).as("src_tokens"))
+      .agg(min(col("src_tokens")).as("budget"))
+    cum.crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("source"), col("tokens"), col("cum_in_source"),
+        when(col("cum_in_source") + col("tokens") <= col("budget"), lit("full"))
+          .when(col("cum_in_source") < col("budget"), lit("partial"))
+          .otherwise(lit("cut")).as("status"),
+        greatest(least(col("budget") - col("cum_in_source"), col("tokens")),
+          lit(0L)).as("tokens_taken"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_budget_head_cut" -> p12BudgetHeadCut _,
     "p11_shard_fill" -> p11ShardFillAudit _,
     "p10_sequence_pack" -> p10SequencePack _,
     "p09_mixture_apply" -> p09MixtureApply _,
@@ -418,6 +484,28 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p12_budget_head_cut" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ceil(length(text) / 4.0)::BIGINT AS tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, tokens,
+         |         coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |           AS cum_in_source
+         |  FROM t),
+         |b AS (
+         |  SELECT min(st)::BIGINT AS budget
+         |  FROM (SELECT sum(tokens) AS st FROM t GROUP BY source))
+         |SELECT doc_id, source, tokens, cum_in_source,
+         |       CASE WHEN cum_in_source + tokens <= budget THEN 'full'
+         |            WHEN cum_in_source < budget THEN 'partial'
+         |            ELSE 'cut' END AS status,
+         |       greatest(least(budget - cum_in_source, tokens), 0)::BIGINT
+         |         AS tokens_taken
+         |FROM c, b
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "p11_shard_fill" ->
       s"""WITH t AS (
          |  SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens FROM documents),
