@@ -67,7 +67,12 @@ object Bench {
       (name, if (times.nonEmpty) times.min else -1.0, times, rows, loadAtStart)
     }
     val loadAfter = loadavg()
-    def jnum(v: Double) = if (v == v.floor && v.abs < 1e15) v.toString else f"$v%.4f"
+    // Locale.ROOT: `f"$v%.4f"` uses the JVM default locale, which under
+    // comma-decimal locales (de_DE …) would emit 3,1416 and break the
+    // driver's json.load of this line.
+    def jnum(v: Double) =
+      if (v == v.floor && v.abs < 1e15) v.toString
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts, _, _) =>

@@ -29,4 +29,15 @@ object SparkEntry {
     CartAnalytics.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ EventsAnalytics.oracleSql ++ Multimodal.oracleSql ++
       Curation.oracleSql
+
+  /** [[oracleSql]] with corpus-adaptive entries resolved for `dir`:
+    * d04's signature width depends on corpus cardinality (2 words to
+    * 8192 docs, 3 beyond), so its oracle text is generated HERE at the
+    * width the operator will actually use — a verification corpus past
+    * the threshold compares 3-word output against 3-word SQL instead
+    * of failing the static 2-word text. Every driver sf is in the
+    * 2-word regime, where this equals the static map. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql + ("d04_simhash" ->
+      Dedup.simhashOracleSql(Dedup.simWordsFor(Dedup.docCount(spark, dir))))
 }

@@ -34,6 +34,14 @@ object Tables {
     else df
   }
 
+  /** Snapshot memo key for dir-keyed scalar-probe memos (anchor date,
+    * doc count, pack max-id): the dir plus a content fingerprint of its
+    * file listing. Overwriting any table in place changes the key, so
+    * the memos refresh instead of serving stale values — keyed by
+    * (dir, snapshot), not dir alone. One FS metadata walk, no job. */
+  def snapshotKey(spark: SparkSession, dir: String): String =
+    dir + "@" + graft.sources.Artifacts.corpusFingerprint(spark, dir)
+
   /** Register all tables as temp views so SQL-text entry points work too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

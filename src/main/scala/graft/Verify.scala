@@ -38,7 +38,9 @@ object Verify {
     // the driver silently skip verifying those results. With the full
     // map, stale outputs are verified (they were genuine dumps) and a
     // missing output fails loudly instead of masking.
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor: corpus-adaptive entries (d04's signature width)
+    // resolve against the corpus actually being dumped
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

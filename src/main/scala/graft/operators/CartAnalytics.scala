@@ -48,18 +48,18 @@ object CartAnalytics {
     * skew when converting java.sql.Timestamp.
     */
   private def anchorDate(spark: SparkSession, dir: String): LocalDate =
-    anchorMemo.getOrElseUpdate(dir, {
+    anchorMemo.getOrElseUpdate(Tables.snapshotKey(spark, dir), {
       val s = Tables.load(spark, dir, "orders")
         .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d"))
         .first().getString(0)
       LocalDate.parse(s)
     })
 
-  /** Anchor dates per corpus dir — the scalar-fetch job runs once per
-    * (dir, JVM), not once per query construction, mirroring the skew
-    * probe's memoization ([[graft.plans.Scale]]). Corpus dirs are
-    * immutable test fixtures here; a deployment refreshing a live table
-    * would key by (dir, snapshot version) instead. */
+  /** Anchor dates per corpus SNAPSHOT — the scalar-fetch job runs once
+    * per (dir, file-listing fingerprint, JVM), not once per query
+    * construction, mirroring the skew probe's memoization
+    * ([[graft.plans.Scale]]). Overwriting the dir in place changes the
+    * snapshot key, so a refreshed table gets a fresh anchor. */
   private val anchorMemo =
     scala.collection.concurrent.TrieMap.empty[String, LocalDate]
 

@@ -109,7 +109,7 @@ object Curation {
     // largest key the leaf level can hold — decides the recursion depth
     // statically at plan time (memoized: one probe job per corpus+layout
     // per JVM, like the skew probe / anchor date)
-    val maxId = packMaxIdMemo.getOrElseUpdate(dir, {
+    val maxId = packMaxIdMemo.getOrElseUpdate(Tables.snapshotKey(spark, dir), {
       val r = toks.agg(max(col("doc_id"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
@@ -163,7 +163,8 @@ object Curation {
       .select(toks.columns.map(col) :+ col("cum_before"): _*)
   }
 
-  /** Max doc_id per corpus dir — one probe job per (dir, JVM). */
+  /** Max doc_id per corpus snapshot — one probe job per
+    * (dir, file-listing fingerprint, JVM); in-place refresh re-probes. */
   private val packMaxIdMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 

@@ -264,16 +264,72 @@ object Dedup {
     * static oracle text mirrors exactly this. */
   val SimBands: Seq[(Int, Int, Int)] = simBands(2)
 
-  /** Corpus doc count per dir — one memoized probe job per (dir, JVM),
-    * the anchor/skew-probe pattern; decides the signature width. */
+  /** Corpus doc count per SNAPSHOT — one memoized probe job per
+    * (dir, file-listing fingerprint, JVM), the anchor/skew-probe
+    * pattern; decides the signature width. An in-place regeneration of
+    * the corpus changes the key, so the width re-probes. */
   private val docCountMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] def docCount(spark: SparkSession, dir: String): Long =
-    docCountMemo.getOrElseUpdate(dir,
+    docCountMemo.getOrElseUpdate(Tables.snapshotKey(spark, dir),
       Tables.load(spark, dir, "documents").count())
 
   def d04Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(spark, dir, simWordsFor(docCount(spark, dir)))
+
+  /** DuckDB oracle for d04 at a GIVEN signature width — generated from
+    * the SAME [[simBands]]/salting parameters as the operator, so the
+    * oracle can never verify a different layout than the one that ran.
+    * The static `oracleSql` map pins width 2 (every driver sf is in the
+    * 2-word regime); `Verify` swaps in `simhashOracleSql(simWordsFor(n))`
+    * for the corpus it is dumping, so a >8192-doc verification corpus
+    * compares 3-word output against 3-word SQL instead of failing a
+    * stale 2-word text (r6 ADVICE). */
+  private[graft] def simhashOracleSql(words: Int): String = {
+    // word 1/2 split one md5; word 3+ salts the token — mirror exactly
+    def hSql(w: Int): String = w match {
+      case 1 => hash60Sql("tok")
+      case 2 => hash60bSql("tok")
+      case w => hash60Sql(s"tok || '#w$w'")
+    }
+    def votesSql(h: String, p: String) = (0 until SimBits)
+      .map(b => s"sum((($h >> $b) & 1) * 2 - 1) AS $p$b").mkString(",\n         ")
+    def wordSql(p: String) = (0 until SimBits)
+      .map(b => s"CASE WHEN $p$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val ws = 1 to words
+    val hamSql = ws.map(w => s"bit_count(xor(a.sh$w, b.sh$w))").mkString(" + ")
+    val simCols = ws.map(w => s"a.sh$w AS simhash_a$w").mkString(", ") + ",\n         " +
+      ws.map(w => s"b.sh$w AS simhash_b$w").mkString(", ")
+    val outCols = ws.map(w => s"simhash_a$w").mkString(", ") + ", " +
+      ws.map(w => s"simhash_b$w").mkString(", ")
+    val bandJoins = simBands(words).map { case (wd, off, w) =>
+      val mask = (1L << w) - 1
+      s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         $simCols,
+         |         ($hamSql)::INTEGER AS hamming
+         |  FROM sigs a JOIN sigs b
+         |    ON ((a.sh$wd >> $off) & $mask) = ((b.sh$wd >> $off) & $mask)
+         |   AND a.doc_id < b.doc_id
+         |  WHERE $hamSql <= $HammingMax""".stripMargin
+    }.mkString("\nUNION\n")
+    val hCols = ws.map(w => s"${hSql(w)} AS h$w").mkString(", ")
+    val voteSelects = ws.map(w => votesSql(s"h$w", s"v${w}_")).mkString(",\n         ")
+    val sigCols = ws.map(w => s"${wordSql(s"v${w}_")} AS sh$w").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $hCols
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)),
+       |votes AS (
+       |  SELECT doc_id, $voteSelects
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigCols FROM votes),
+       |cand AS (
+       |$bandJoins)
+       |SELECT doc_a, doc_b, $outCols, hamming
+       |FROM cand
+       |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
+       |LIMIT 200""".stripMargin
+  }
 
   /** Per-doc SimHash signature at a given width: one row per doc with
     * sh1..sh`words` (60 bits each). Word 3+ salts the token before
@@ -644,7 +700,7 @@ object Dedup {
     * the semantic hash of the edge derivation, so a changed LSH layout or
     * threshold can never serve a stale artifact. */
   private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
-    "labels_" + graft.sources.Artifacts.key(dir, lshEdges(spark, dir))
+    "labels_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
 
   /** The near-dup label table, served as a PERSISTED CATALOG ARTIFACT —
     * the dedup counterpart of Similarity's trained-centroid table: a real
@@ -1251,39 +1307,7 @@ object Dedup {
          |LIMIT 200""".stripMargin
     },
 
-    "d04_simhash" -> {
-      def votesSql(h: String, p: String) = (0 until SimBits)
-        .map(b => s"sum((($h >> $b) & 1) * 2 - 1) AS $p$b").mkString(",\n         ")
-      def wordSql(p: String) = (0 until SimBits)
-        .map(b => s"CASE WHEN $p$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString("(", " + ", ")")
-      val hamSql = "bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2))"
-      val bandJoins = SimBands.map { case (wd, off, w) =>
-        val mask = (1L << w) - 1
-        s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         a.sh1 AS simhash_a1, a.sh2 AS simhash_a2,
-           |         b.sh1 AS simhash_b1, b.sh2 AS simhash_b2,
-           |         ($hamSql)::INTEGER AS hamming
-           |  FROM sigs a JOIN sigs b
-           |    ON ((a.sh$wd >> $off) & $mask) = ((b.sh$wd >> $off) & $mask)
-           |   AND a.doc_id < b.doc_id
-           |  WHERE $hamSql <= $HammingMax""".stripMargin
-      }.mkString("\nUNION\n")
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${hash60Sql("tok")} AS h1, ${hash60bSql("tok")} AS h2
-         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)),
-         |votes AS (
-         |  SELECT doc_id, ${votesSql("h1", "s")},
-         |         ${votesSql("h2", "t")}
-         |  FROM toks GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, ${wordSql("s")} AS sh1, ${wordSql("t")} AS sh2 FROM votes),
-         |cand AS (
-         |$bandJoins)
-         |SELECT doc_a, doc_b, simhash_a1, simhash_a2, simhash_b1, simhash_b2, hamming
-         |FROM cand
-         |ORDER BY hamming ASC NULLS FIRST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
-         |LIMIT 200""".stripMargin
-    },
+    "d04_simhash" -> simhashOracleSql(2),
 
     "d08_lsh_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,

@@ -128,7 +128,7 @@ object Similarity {
     * semantic hash of the (unrolled, lazy) training plan, so a changed K,
     * iteration count, or seed rule can never serve a stale index. */
   private[graft] def centroidsArtifactName(spark: SparkSession, dir: String): String =
-    "cents_" + graft.sources.Artifacts.key(dir, computeTrainedCentroids(spark, dir))
+    "cents_" + graft.sources.Artifacts.key(spark, dir, computeTrainedCentroids(spark, dir))
 
   /** Trained IVF centroids, served as a PERSISTED CATALOG ARTIFACT: an
     * IVF deployment builds its index ONCE per corpus and serves every

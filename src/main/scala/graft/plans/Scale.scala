@@ -54,7 +54,8 @@ object Scale {
   def skewAwareJoin(big: DataFrame, small: DataFrame, key: String,
       rowThreshold: Long = 1000000L, salt: Int = 8): DataFrame = {
     val sampleMod = 64
-    val memoKey = (big.queryExecution.analyzed.semanticHash(), key, rowThreshold)
+    val memoKey =
+      (big.queryExecution.analyzed.semanticHash(), inputFilesDigest(big), key, rowThreshold)
     val hottest = probeMemo.getOrElseUpdate(memoKey, {
       val probe = big
         .where(pmod(monotonically_increasing_id(), lit(sampleMod)) === 0)
@@ -66,9 +67,25 @@ object Scale {
     else big.join(small, Seq(key))
   }
 
-  /** Skew-probe results per (big-plan semantic hash, key, threshold). */
+  /** Skew-probe results per (big-plan semantic hash, input-files digest,
+    * key, threshold). The files digest folds each source file's
+    * length+mtime in, so overwriting the underlying table in place
+    * re-probes instead of serving the old corpus's skew decision. */
   private val probeMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Long]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, String, Long), Long]
+
+  /** Fingerprint of a plan's source files (path, length, mtime) — one FS
+    * metadata pass, no job; empty-source plans digest to a constant. */
+  private def inputFilesDigest(df: DataFrame): Int = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try {
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f|${st.getLen}|${st.getModificationTime}"
+      } catch { case _: java.io.IOException => f }
+    }.mkString("\n").hashCode
+  }
 
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on

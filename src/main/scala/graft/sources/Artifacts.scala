@@ -45,11 +45,7 @@ object Artifacts {
         Ingest.ensureDatabase(spark, Db)
         val loc = location(spark, table)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // _SUCCESS gates on a COMPLETE prior write — a crashed build's
-        // partial directory is overwritten, never served
-        if (!fs.exists(new Path(loc, "_SUCCESS"))) {
-          build.write.mode(SaveMode.Overwrite).parquet(loc.toString)
-        }
+        ensureBuilt(fs, loc)(build)
         spark.sql(s"CREATE TABLE IF NOT EXISTS ${qualified(table)} USING parquet " +
           s"LOCATION '${fs.makeQualified(loc).toString}'")
       }
@@ -58,6 +54,71 @@ object Artifacts {
   }
 
   private object buildLock
+  /** A builder that holds the lock longer than this is presumed dead
+    * (crashed JVM left its lock file behind); waiters break the lock. */
+  private val StaleLockMs = 30L * 60 * 1000
+  private val LockWaitMs  = 60L * 60 * 1000
+
+  /** Cross-PROCESS exclusive build of the artifact files at `loc`.
+    *
+    * The per-JVM `buildLock` above serializes threads; two concurrent
+    * JVMs (sbt test alongside Bench) previously could both miss and both
+    * `Overwrite` into `loc`, each deleting the other's in-progress files
+    * — and a reader registered on the half-written directory could serve
+    * a partial artifact. Protocol here:
+    *   1. `_SUCCESS` present → a COMPLETE prior write exists; serve it.
+    *   2. Otherwise take a create-exclusive `<loc>.lock` file (atomic on
+    *      local FS and HDFS). The winner builds into a private staging
+    *      dir, deletes any crashed-build partial at `loc`, and RENAMES
+    *      staging into place — readers only ever see absent-or-complete.
+    *   3. Losers poll for the winner's `_SUCCESS`, breaking locks whose
+    *      mtime says the holder died. The duplicate-work race (two
+    *      sessions building the same 172 s sf1 artifact) is gone: the
+    *      loser waits instead of rebuilding. */
+  private[graft] def ensureBuilt(fs: org.apache.hadoop.fs.FileSystem, loc: Path)(
+      build: => DataFrame): Unit = {
+    val success = new Path(loc, "_SUCCESS")
+    if (fs.exists(success)) return
+    fs.mkdirs(loc.getParent)
+    val lock = new Path(loc.getParent, loc.getName + ".lock")
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    // create-exclusive: Hadoop's LOCAL create(overwrite=false) is a
+    // non-atomic exists-then-create (two racers can both "win"), so on
+    // file:// the lock is taken with File.createNewFile (O_CREAT|O_EXCL,
+    // atomic); on HDFS-like schemes create(false) is atomic server-side.
+    def tryAcquire(): Boolean =
+      if (fs.getScheme == "file")
+        try new java.io.File(lock.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    while (!fs.exists(success)) {
+      val acquired = tryAcquire()
+      if (acquired) {
+        try {
+          if (!fs.exists(success)) {
+            val stage = new Path(loc.getParent,
+              loc.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
+            try {
+              build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+              if (fs.exists(loc)) fs.delete(loc, true) // crashed-build partial
+              if (!fs.rename(stage, loc))
+                throw new java.io.IOException(s"rename $stage -> $loc failed")
+            } finally if (fs.exists(stage)) fs.delete(stage, true)
+          }
+        } finally fs.delete(lock, false)
+        return
+      }
+      // lock held elsewhere: wait for its _SUCCESS, breaking stale locks
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - StaleLockMs
+        catch { case _: java.io.IOException => false } // holder just released
+      if (stale) fs.delete(lock, false) else Thread.sleep(100)
+      if (System.currentTimeMillis() > deadline)
+        throw new java.io.IOException(s"timed out waiting for artifact build lock $lock")
+    }
+  }
 
   /** Drop catalog entry AND files — force a truly cold rebuild. */
   def dropArtifact(spark: SparkSession, table: String): Unit = {
@@ -72,16 +133,43 @@ object Artifacts {
   def dropEntry(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(table)}")
 
-  /** Deterministic table-name key: corpus-dir digest + defining-plan
-    * digest. The plan digest hashes the CANONICALIZED plan's string form,
+  /** Deterministic table-name key: corpus-dir digest + corpus CONTENT
+    * fingerprint + defining-plan digest.
+    *
+    * The content fingerprint closes the stale-serve hole: the warehouse
+    * outlives the JVM, so regenerating a corpus in place (the documented
+    * tools/gen_sf_local.py workflow) must MISS and rebuild, not silently
+    * serve the old corpus's labels/centroids. Any file added, removed,
+    * resized, or rewritten under the corpus dir changes the key.
+    *
+    * The plan digest hashes the CANONICALIZED plan's string form,
     * NOT `semanticHash()` — canonicalized expression ids print as stable
     * ordinals (#0, #1, …) while `ExprId.hashCode` mixes in
     * `NamedExpression.jvmId`, a per-JVM random UUID, which would give
     * every fresh JVM a different key and silently defeat cross-JVM
     * artifact reuse (observed: five labels_* tables for one corpus). */
-  def key(dir: String, defining: DataFrame): String =
-    s"${md5hex(dir).take(10)}_" +
+  def key(spark: SparkSession, dir: String, defining: DataFrame): String =
+    s"${md5hex(dir).take(10)}_${corpusFingerprint(spark, dir).take(8)}_" +
       md5hex(defining.queryExecution.analyzed.canonicalized.toString).take(8)
+
+  /** Content fingerprint of a data dir: md5 over the sorted recursive
+    * file listing (path, length, mtime). A directory listing — not a
+    * data read — so it costs one FS metadata walk, no job. Also keys the
+    * scalar-probe memos (anchor/docCount/packMaxId/skew): memo hits are
+    * only valid while the underlying files are untouched. */
+  def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(d: Path): Unit =
+      fs.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (!st.getPath.getName.startsWith(".")) // ignore CRC sidecars
+          entries += s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+    if (fs.exists(p)) walk(p)
+    md5hex(entries.mkString("\n"))
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

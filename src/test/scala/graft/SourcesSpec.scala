@@ -180,4 +180,60 @@ class SourcesSpec extends SparkSpec {
         "control: unbucketed side must still shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("artifact build lock: concurrent racers on one location build ONCE") {
+    import graft.sources.Artifacts
+    import org.apache.hadoop.fs.Path
+    // call ensureBuilt DIRECTLY from many threads — this bypasses the
+    // per-JVM servePersisted monitor, so each thread stands in for a
+    // separate process; the create-exclusive .lock file is the only
+    // thing serializing them (the r6 two-JVM double-build race)
+    val loc = new Path(s"$tmpDir/race_artifact")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build = { builds.incrementAndGet(); Seq((1L, "x"), (2L, "y")).toDF("id", "v") }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => pool.submit(new Runnable {
+        def run(): Unit = Artifacts.ensureBuilt(fs, loc)(build)
+      }))
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(builds.get() === 1, "exactly one racer may run the build")
+    assert(fs.exists(new Path(loc, "_SUCCESS")), "winner's write must be complete")
+    assert(!fs.exists(new Path(loc.getParent, loc.getName + ".lock")),
+      "lock must be released")
+    assert(spark.read.parquet(loc.toString).count() === 2)
+    // no leftover staging dirs — rename moved the winner's into place
+    val stray = fs.listStatus(loc.getParent)
+      .map(_.getPath.getName).filter(_.startsWith(loc.getName + "_stage_"))
+    assert(stray.isEmpty, s"staging dirs must be cleaned: ${stray.mkString(",")}")
+  }
+
+  test("corpus fingerprint: key changes when a table is overwritten in place") {
+    import graft.sources.Artifacts
+    val dir = s"$tmpDir/fpr"
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val before = Artifacts.corpusFingerprint(spark, dir)
+    assert(before === Artifacts.corpusFingerprint(spark, dir),
+      "fingerprint must be stable while files are untouched")
+    Seq((1L, "a"), (2L, "bb")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Artifacts.corpusFingerprint(spark, dir) !== before,
+      "in-place overwrite must change the fingerprint")
+  }
+
+  test("snapshot-keyed memo: overwrite-then-query returns fresh values in one JVM") {
+    val dir = s"$tmpDir/memo"
+    def docs(n: Int) = spark.range(n)
+      .selectExpr("id AS doc_id", "'w' AS text", "'en' AS lang",
+        "'s' AS source", "1 AS n_chars")
+    docs(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.operators.Dedup.docCount(spark, dir) === 3L)
+    docs(7).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // dir-keyed memos served the stale 3 here before r7; snapshot keying
+    // makes the overwritten corpus a fresh key
+    assert(graft.operators.Dedup.docCount(spark, dir) === 7L,
+      "memo must not serve a value probed from the overwritten snapshot")
+  }
 }
