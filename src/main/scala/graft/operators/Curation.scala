@@ -79,20 +79,28 @@ object Curation {
   def p02ShardPacking(spark: SparkSession, dir: String): DataFrame =
     shardPacking(spark, dir, PackBucketWidth, PackSuperBuckets)
 
-  /** Parameterized core of p02 (specs shrink the layout to force deep
-    * recursion). `bucketWidth` = docs per leaf window partition;
-    * `fanout` = keys folded per level above the leaves. */
-  def shardPacking(spark: SparkSession, dir: String,
-      bucketWidth: Long, fanout: Long): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
-    hierPrefixSum(spark, dir, toks, Nil, bucketWidth, fanout)
+  /** Shard packing over ANY (doc_id, tokens) frame — the DataFrame-in
+    * core (specs shrink the layout to force deep recursion).
+    * `bucketWidth` = docs per leaf window partition; `fanout` = keys
+    * folded per level above the leaves. */
+  def shardPacking(toks: DataFrame,
+      bucketWidth: Long = PackBucketWidth,
+      fanout: Long = PackSuperBuckets): DataFrame =
+    hierPrefixSum(toks, Nil, bucketWidth, fanout)
       .select(col("doc_id"), col("tokens"), col("cum_before"))
       .withColumn("shard_id", expr(s"cum_before DIV $TokensPerShard"))
       .withColumn("offset_in_shard", expr(s"cum_before % $TokensPerShard"))
       .orderBy(col("doc_id").asc)
-  }
+
+  /** Fixture wrapper: token counts estimated as ceil(chars/4) over the
+    * driver corpus. */
+  def shardPacking(spark: SparkSession, dir: String,
+      bucketWidth: Long, fanout: Long): DataFrame =
+    shardPacking(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          ceil(length(col("text")) / 4.0).cast("long").as("tokens")),
+      bucketWidth, fanout)
 
   /** Hierarchical doc_id-ordered running sum of `tokens` WITHIN each
     * `groupCols` combination (corpus-global when `groupCols` is empty
@@ -102,14 +110,17 @@ object Curation {
     * group-equi + key-theta join. Adds `cum_before` to the input
     * columns. Exact integers throughout — bit-identical to a naive
     * per-group walk, which is what the DuckDB oracles compute. */
-  private def hierPrefixSum(spark: SparkSession, dir: String, toks: DataFrame,
+  private def hierPrefixSum(toks: DataFrame,
       groupCols: Seq[String], bucketWidth: Long, fanout: Long): DataFrame = {
     require(bucketWidth > 0 && fanout > 1, "degenerate packing layout")
     val grp = groupCols.map(col)
     // largest key the leaf level can hold — decides the recursion depth
-    // statically at plan time (memoized: one probe job per corpus+layout
-    // per JVM, like the skew probe / anchor date)
-    val maxId = packMaxIdMemo.getOrElseUpdate(Tables.snapshotKey(spark, dir), {
+    // statically at plan time (memoized per (input plan, source-file
+    // snapshot): one probe job per corpus+layout per JVM, like the skew
+    // probe / anchor date; in-place overwrite of the source re-probes)
+    val maxId = packMaxIdMemo.getOrElseUpdate(
+      (toks.queryExecution.analyzed.semanticHash(),
+        graft.plans.Scale.inputFilesDigest(toks)), {
       val r = toks.agg(max(col("doc_id"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
@@ -163,10 +174,10 @@ object Curation {
       .select(toks.columns.map(col) :+ col("cum_before"): _*)
   }
 
-  /** Max doc_id per corpus snapshot — one probe job per
-    * (dir, file-listing fingerprint, JVM); in-place refresh re-probes. */
+  /** Max doc_id per (input plan, source-file snapshot) — one probe job
+    * per corpus+layout per JVM; in-place refresh re-probes. */
   private val packMaxIdMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Long]
 
   // ---------------------------------------------------------------------
   // p03 — deterministic train/val/test split assignment, keyed on the
@@ -447,14 +458,13 @@ object Curation {
   def p12BudgetHeadCut(spark: SparkSession, dir: String): DataFrame =
     budgetHeadCut(spark, dir, PackBucketWidth, PackSuperBuckets)
 
-  /** Parameterized core of p12 (specs shrink the layout to force deep
-    * recursion through the grouped prefix sum). */
-  def budgetHeadCut(spark: SparkSession, dir: String,
-      bucketWidth: Long, fanout: Long): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
-    val cum = hierPrefixSum(spark, dir, toks, Seq("source"), bucketWidth, fanout)
+  /** Budget head cut over ANY (doc_id, source, tokens) frame — the
+    * DataFrame-in core (specs shrink the layout to force deep recursion
+    * through the grouped prefix sum). */
+  def budgetHeadCut(toks: DataFrame,
+      bucketWidth: Long = PackBucketWidth,
+      fanout: Long = PackSuperBuckets): DataFrame = {
+    val cum = hierPrefixSum(toks, Seq("source"), bucketWidth, fanout)
       .withColumnRenamed("cum_before", "cum_in_source")
     val budget = toks.groupBy(col("source"))
       .agg(sum(col("tokens")).as("src_tokens"))
@@ -468,6 +478,16 @@ object Curation {
           lit(0L)).as("tokens_taken"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Fixture wrapper: ceil(chars/4) token estimate over the driver
+    * corpus. */
+  def budgetHeadCut(spark: SparkSession, dir: String,
+      bucketWidth: Long, fanout: Long): DataFrame =
+    budgetHeadCut(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          ceil(length(col("text")) / 4.0).cast("long").as("tokens")),
+      bucketWidth, fanout)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p12_budget_head_cut" -> p12BudgetHeadCut _,

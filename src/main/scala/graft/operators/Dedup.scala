@@ -35,19 +35,16 @@ import graft.functions.SharedHash._
   */
 object Dedup {
 
-  /** doc_id + distinct word-3-gram shingles.
+  /** doc_id + distinct word-3-gram shingles over an arbitrary
+    * (doc_id, text) frame.
     *
     * Persisted: the shingle set feeds multiple consumers inside each
     * dedup query (sizes/pairs/signatures/verification) and across the
     * d02/d03/d06 family — Spark's CacheManager matches the canonicalized
-    * plan, so every consumer shares one materialization instead of
-    * re-scanning and re-exploding the corpus. MEMORY_AND_DISK: at 100 TB
-    * this spills per-executor rather than failing. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.load(spark, dir, "documents"))
-
-  /** The shingle transform over an arbitrary (doc_id, text) frame —
-    * d16 runs it over an augmented view rather than raw documents. */
+    * plan, so every consumer over the same frame shares one
+    * materialization instead of re-scanning and re-exploding the corpus.
+    * MEMORY_AND_DISK: at 100 TB this spills per-executor rather than
+    * failing. */
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
@@ -71,11 +68,17 @@ object Dedup {
   // ---------------------------------------------------------------------
   // d01 — exact dedup: hash-groupBy on md5(text), keep the min doc_id.
   // ---------------------------------------------------------------------
-  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  /** Exact dedup over ANY (doc_id, text, …) frame — one hash-groupBy,
+    * map-side combinable at any scale. The DataFrame-in core; the
+    * fixture wrapper below feeds it the driver corpus. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("dup_count").desc, col("keep_doc_id").asc)
+
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // d02 — exact n-gram Jaccard near-dup: shingle inverted-index self-join.
@@ -84,13 +87,15 @@ object Dedup {
     * pair stage is quadratic in per-shingle document frequency, so they
     * refuse corpora beyond the doc cap — at scale use d03 (pairs) / d08
     * (clusters), whose candidates come from bounded band joins. */
-  private def requireExactBaselineCorpus(spark: SparkSession, dir: String, op: String): Unit =
-    requireBaselineSize(Tables.load(spark, dir, "documents").count(),
-      BaselineMaxVectors, op, "Dedup.d03MinhashLsh / d08LshClusters (banded LSH)")
+  private def requireExactBaselineCorpus(docs: DataFrame, op: String): Unit =
+    requireBaselineSize(docs.count(),
+      BaselineMaxVectors, op, "Dedup.minhashLsh / lshClusters (banded LSH)")
 
-  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    requireExactBaselineCorpus(spark, dir, "d02_ngram_jaccard")
-    val sh = shingles(spark, dir)
+  /** Exact n-gram Jaccard near-dup over ANY (doc_id, text) frame — the
+    * quadratic exactness baseline; refuses over-cap inputs. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    requireExactBaselineCorpus(docs, "d02_ngram_jaccard")
+    val sh = shinglesOf(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -108,6 +113,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         round(j, 6).as("jaccard"))
   }
+
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // d03 — MinHash + LSH: 16-hash signature in ONE groupBy pass, 8 bands
@@ -182,8 +190,10 @@ object Dedup {
       .groupBy(col("c.doc_a"), col("c.doc_b"))
       .agg(count(lit(1)).as("shared"))
 
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  /** MinHash+LSH near-dup pairs over ANY (doc_id, text) frame — the
+    * O(docs + collisions) scale path. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
     val sig = lshSignatures(sh)
     val cand = lshCandidates(sig)
     val est = (0 until NumHashes)
@@ -208,6 +218,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_raw"), 6).as("est_similarity"), round(j, 6).as("jaccard"))
   }
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // d04 — SimHash: 120-bit signature (two 60-bit words from one md5 per
@@ -274,6 +287,11 @@ object Dedup {
     docCountMemo.getOrElseUpdate(Tables.snapshotKey(spark, dir),
       Tables.load(spark, dir, "documents").count())
 
+  /** SimHash near-dup pairs over ANY (doc_id, text) frame at an explicit
+    * signature width (2 or 3 60-bit words — pick via [[simWordsFor]] on
+    * the corpus cardinality). */
+  def simhash(docs: DataFrame, words: Int): DataFrame = simhashPairsOf(docs, words)
+
   def d04Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(spark, dir, simWordsFor(docCount(spark, dir)))
 
@@ -334,10 +352,13 @@ object Dedup {
   /** Per-doc SimHash signature at a given width: one row per doc with
     * sh1..sh`words` (60 bits each). Word 3+ salts the token before
     * hashing — independent bits at one extra md5. */
-  private[graft] def simSignatures(spark: SparkSession, dir: String, words: Int): DataFrame = {
+  private[graft] def simSignatures(spark: SparkSession, dir: String, words: Int): DataFrame =
+    simSignaturesOf(Tables.load(spark, dir, "documents"), words)
+
+  private[graft] def simSignaturesOf(docs: DataFrame, words: Int): DataFrame = {
     val hashes = Seq(hash60(col("tok")), hash60b(col("tok"))) ++
       (3 to words).map(w => hash60(concat(col("tok"), lit(s"#w$w"))))
-    val toks = Tables.load(spark, dir, "documents")
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .select(col("doc_id") +: hashes.zipWithIndex.map { case (h, i) => h.as(s"h${i + 1}") }: _*)
     def voteCols(h: String, p: String) = (0 until SimBits).map(b =>
@@ -353,9 +374,12 @@ object Dedup {
         prefixes.zipWithIndex.map { case (p, i) => word(p).as(s"sh${i + 1}") }: _*)
   }
 
-  private[graft] def simhashPairs(spark: SparkSession, dir: String, words: Int): DataFrame = {
+  private[graft] def simhashPairs(spark: SparkSession, dir: String, words: Int): DataFrame =
+    simhashPairsOf(Tables.load(spark, dir, "documents"), words)
+
+  private def simhashPairsOf(docs: DataFrame, words: Int): DataFrame = {
     // persisted: the band self-join reads this one-row-per-doc table
-    val sigs = simSignatures(spark, dir, words)
+    val sigs = simSignaturesOf(docs, words)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hamming check runs INLINE in the band join (both signatures are
     // already on the joined row), so only qualifying pairs reach the
@@ -404,7 +428,10 @@ object Dedup {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
   private[operators] def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
+    normedOf(Tables.load(spark, dir, "embeddings"))
+
+  private[operators] def normedOf(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(expr(dotExpr.format("embedding", "embedding"))).as("nrm"))
 
@@ -428,14 +455,17 @@ object Dedup {
         s"cap $cap; use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS (the shared " +
         "row cap for all quadratic-family baselines) for a deliberate eval run")
 
-  def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // guard count on the bare table — a column-pruned count-star over
-    // parquet footers, cheap enough to run per invocation (memoizing it
-    // would let a regrown corpus at the same path bypass the cap)
-    val n = Tables.load(spark, dir, "embeddings").count()
+  /** All-pairs cosine near-dup over ANY (vec_id, embedding, label)
+    * frame — the quadratic exactness baseline; refuses over-cap inputs. */
+  def embeddingNeardup(vecs: DataFrame): DataFrame = {
+    // guard count on the bare input — for a parquet table this is a
+    // column-pruned count-star over footers, cheap enough to run per
+    // invocation (memoizing it would let a regrown corpus at the same
+    // path bypass the cap)
+    val n = vecs.count()
     requireBaselineSize(n, BaselineMaxVectors, "d05_embedding_neardup",
       "Similarity.s02 (LSH buckets) / s03 (IVF)")
-    val v = normed(spark, dir)
+    val v = normedOf(vecs)
     val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .orderBy(cos.desc, col("a.vec_id").asc, col("b.vec_id").asc)
@@ -444,6 +474,9 @@ object Dedup {
         col("a.label").as("label_a"), col("b.label").as("label_b"),
         round(cos, 6).as("cosine"))
   }
+
+  def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNeardup(Tables.load(spark, dir, "embeddings"))
 
   // ---------------------------------------------------------------------
   // d06 — near-dup clusters: connected components over the jaccard≥0.6
@@ -456,9 +489,11 @@ object Dedup {
   // ---------------------------------------------------------------------
   val ClusterThreshold = 0.6
 
-  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    requireExactBaselineCorpus(spark, dir, "d06_neardup_clusters")
-    val sh = shingles(spark, dir)
+  /** Exact near-dup clustering over ANY (doc_id, text) frame — the
+    * quadratic exactness baseline; refuses over-cap inputs. */
+  def neardupClusters(docs: DataFrame): DataFrame = {
+    requireExactBaselineCorpus(docs, "d06_neardup_clusters")
+    val sh = shinglesOf(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = sh.as("a")
       .join(sh.as("b"),
@@ -467,6 +502,9 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
     clusterOutput(minLabelComponents(thresholdEdges(shared, sizes)))
   }
+
+  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupClusters(Tables.load(spark, dir, "documents"))
 
   /** Filter (doc_a, doc_b, shared) rows down to jaccard ≥
     * [[ClusterThreshold]] edges, given per-doc distinct-shingle counts —
@@ -571,21 +609,22 @@ object Dedup {
   val ContaminationBroadcastMaxEvalDocs: Long =
     sys.env.getOrElse("GRAFT_D07_BROADCAST_MAX_EVAL_DOCS", "1000000").toLong
 
-  /** Qualifying (eval, train) contamination pairs — d07's pre-top-k
-    * derivation, shared with d15's removal step so detection and apply
-    * cannot disagree on what counts as contaminated. */
-  private def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val eval_ = sh.where(col("doc_id") % 10 === 0)
+  /** Qualifying (eval, train) contamination pairs over ARBITRARY train
+    * and eval (doc_id, text) frames — d07's pre-top-k derivation, shared
+    * with the removal step so detection and apply cannot disagree. A
+    * real deployment passes its actual benchmark corpus as `evalDocs`;
+    * the fixture wrappers below split the driver corpus on doc_id % 10
+    * as the eval stand-in. */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val eval_ = shinglesOf(evalDocs)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-    val train = sh.where(col("doc_id") % 10 =!= 0)
+    val trainSh = shinglesOf(train)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    val nEvalDocs = Tables.load(spark, dir, "documents")
-      .where(col("doc_id") % 10 === 0).count()
+    val nEvalDocs = evalDocs.count()
     val evalSide =
       if (nEvalDocs <= ContaminationBroadcastMaxEvalDocs) broadcast(eval_) else eval_
-    val overlap = evalSide.join(train, Seq("shingle"))
+    val overlap = evalSide.join(trainSh, Seq("shingle"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val frac = col("shared").cast("double") / col("n_eval")
@@ -594,11 +633,26 @@ object Dedup {
       .select(col("eval_id"), col("train_id"), col("shared"), col("n_eval"))
   }
 
-  def d07Contamination(spark: SparkSession, dir: String): DataFrame =
-    contaminationPairs(spark, dir)
+  /** Top contamination hits over arbitrary train/eval frames. */
+  def contamination(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    contaminationPairs(train, evalDocs)
       .orderBy((col("shared").cast("double") / col("n_eval")).desc,
         col("eval_id").asc, col("train_id").asc)
       .limit(200)
+
+  /** Fixture eval/train split — the driver corpus has no separate
+    * benchmark table, so doc_id % 10 == 0 stands in for the eval set.
+    * Lives HERE in the wrapper layer: a user corpus passed to the cores
+    * above gets no implicit splitting. */
+  private def fixtureEvalSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.load(spark, dir, "documents")
+    (docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
+  }
+
+  def d07Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val (train, eval_) = fixtureEvalSplit(spark, dir)
+    contamination(train, eval_)
+  }
 
   // ---------------------------------------------------------------------
   // d15 — decontamination APPLY: the train corpus minus every doc that
@@ -609,14 +663,20 @@ object Dedup {
   // doc_id anti-join — no new shuffle shape, and removal can never
   // disagree with detection because both read the same pairs.
   // ---------------------------------------------------------------------
-  def d15DecontaminateApply(spark: SparkSession, dir: String): DataFrame = {
-    val dirty = contaminationPairs(spark, dir)
+  /** The train corpus minus every doc flagged as overlapping an eval
+    * doc — detection's apply twin over arbitrary frames. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val dirty = contaminationPairs(train, evalDocs)
       .select(col("train_id").as("doc_id")).distinct()
-    Tables.load(spark, dir, "documents")
-      .where(col("doc_id") % 10 =!= 0)
+    train
       .join(dirty, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id").asc)
+  }
+
+  def d15DecontaminateApply(spark: SparkSession, dir: String): DataFrame = {
+    val (train, eval_) = fixtureEvalSplit(spark, dir)
+    decontaminate(train, eval_)
   }
 
   // ---------------------------------------------------------------------
@@ -645,13 +705,11 @@ object Dedup {
   // ---------------------------------------------------------------------
   val ContainmentThreshold = 0.9
 
-  def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val aug = docs.select(col("doc_id"), col("text"))
-      .unionAll(docs.where(col("doc_id") % 17 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text")))
-    val sh = shinglesOf(aug)
+  /** Containment audit over ANY (doc_id, text) frame — operates on the
+    * input AS GIVEN (no synthetic rows; the excerpt augmentation the
+    * driver fixture needs lives in the d16 wrapper below). */
+  def containmentAudit(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
     val sig = lshSignatures(sh)
     val cand = lshCandidates(sig)
     val sz = sig.select(col("doc_id"), col("n"))
@@ -672,6 +730,19 @@ object Dedup {
       .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Fixture wrapper: the synthetic corpus has no natural excerpt-vs-page
+    * pairs, so docs with doc_id % 17 == 0 get a 15-word-prefix excerpt at
+    * the provably disjoint id -doc_id-1 — AUGMENTATION IS TEST DATA, so
+    * it lives here, not in [[containmentAudit]]: a user corpus gets no
+    * phantom rows. */
+  def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    containmentAudit(docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text"))))
+  }
+
   // ---------------------------------------------------------------------
   // d08 — near-dup clusters at scale: d06's semantics with the edge set
   // built from d03's LSH band candidates instead of the exact
@@ -689,12 +760,25 @@ object Dedup {
     * band candidates) — d08's clustering input, shared with d09's apply
     * step and s08's cross-modal audit so all three agree on what counts
     * as a near-dup. */
-  private[operators] def lshEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  private[operators] def lshEdges(spark: SparkSession, dir: String): DataFrame =
+    lshEdgesOf(Tables.load(spark, dir, "documents"))
+
+  /** The exact-verified LSH edge set over ANY (doc_id, text) frame. */
+  private[operators] def lshEdgesOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
     val sig = lshSignatures(sh)
     thresholdEdges(sharedCounts(lshCandidates(sig), sh),
       sig.select(col("doc_id"), col("n")))
   }
+
+  /** LSH near-dup clustering over ANY (doc_id, text) frame — computes
+    * labels inline. The dir wrapper instead serves labels from the
+    * persisted warehouse artifact; pair this core with
+    * [[graft.sources.Artifacts.servePersisted]] under a caller-chosen
+    * key to get the same build-once-serve-many behavior on your own
+    * table. */
+  def lshClusters(docs: DataFrame): DataFrame =
+    clusterOutput(minLabelComponents(lshEdgesOf(docs)))
 
   /** Cluster-label table name for a corpus — keyed by the corpus dir AND
     * the semantic hash of the edge derivation, so a changed LSH layout or
@@ -735,13 +819,14 @@ object Dedup {
   // resolve consistently: identical texts are jaccard-1 pairs, so they
   // share a cluster and both rules keep the same min doc_id.
   // ---------------------------------------------------------------------
-  def d09DedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Dedup apply over ANY (doc_id, text, lang, source, n_chars) frame,
+    * given a (doc_id, label) near-dup label table (from
+    * [[minLabelComponents]], a persisted artifact, or any equivalent). */
+  def dedupApply(docs: DataFrame, labels: DataFrame): DataFrame = {
     val exactKeep = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val labels = clusterLabels(spark, dir)
     val nearDrop = labels.where(col("label") =!= col("doc_id")).select(col("doc_id"))
     docs
       .join(exactKeep, Seq("doc_id"), "left_semi")
@@ -749,6 +834,14 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** [[dedupApply]] computing the near-dup labels inline from the same
+    * frame — the one-argument form for arbitrary corpora. */
+  def dedupApply(docs: DataFrame): DataFrame =
+    dedupApply(docs, minLabelComponents(lshEdgesOf(docs)))
+
+  def d09DedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupApply(Tables.load(spark, dir, "documents"), clusterLabels(spark, dir))
 
   // ---------------------------------------------------------------------
   // d10 — INCREMENTAL dedup: today's batch (doc_id % 7 == 0 stands in
@@ -765,23 +858,27 @@ object Dedup {
   // ---------------------------------------------------------------------
   val IncrementalMod = 7
 
-  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val incoming = docs.where(col("doc_id") % IncrementalMod === 0)
-    val existing = docs.where(col("doc_id") % IncrementalMod =!= 0)
+  /** Incremental dedup of a new batch against an existing corpus, over
+    * ARBITRARY (doc_id, text) frames with disjoint doc_ids — band
+    * lookups pair NEW × EXISTING only, so cost scales with the batch,
+    * not the corpus. Each side's signatures derive independently, so a
+    * deployment can point `existing` at an already-materialized corpus
+    * table while `incoming` is today's crawl. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
     val exactMatch = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("m")), Seq("h"))
       .groupBy(col("doc_id")).agg(min(col("m")).as("exact_match"))
-    val sh = shingles(spark, dir)
-    val sig = lshSignatures(sh)
+    val shInc = shinglesOf(incoming.select(col("doc_id"), col("text")))
+    val shEx = shinglesOf(existing.select(col("doc_id"), col("text")))
+    val sigInc = lshSignatures(shInc)
+    val sigEx = lshSignatures(shEx)
     // band lookups into the existing index only — disjoint sides, so no
     // doc_a < doc_b canonicalization
-    val cand = bandCandidates(
-      sig.where(col("doc_id") % IncrementalMod === 0),
-      sig.where(col("doc_id") % IncrementalMod =!= 0),
-      canonical = false)
-    val nearMatch = thresholdEdges(sharedCounts(cand, sh),
-        sig.select(col("doc_id"), col("n")))
+    val cand = bandCandidates(sigInc, sigEx, canonical = false)
+    val sh = shInc.unionAll(shEx)
+    val sizes = sigInc.select(col("doc_id"), col("n"))
+      .unionAll(sigEx.select(col("doc_id"), col("n")))
+    val nearMatch = thresholdEdges(sharedCounts(cand, sh), sizes)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
     incoming.select(col("doc_id"))
       .join(exactMatch, Seq("doc_id"), "left_outer")
@@ -792,6 +889,13 @@ object Dedup {
           .otherwise("keep").as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
       .orderBy(col("doc_id").asc)
+  }
+
+  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    incrementalDedup(
+      docs.where(col("doc_id") % IncrementalMod === 0),
+      docs.where(col("doc_id") % IncrementalMod =!= 0))
   }
 
   // ---------------------------------------------------------------------
@@ -805,9 +909,9 @@ object Dedup {
   // |sources|² — bounded by the source-set size, never by corpus size,
   // so the matrix costs one shingle-keyed shuffle at any scale.
   // ---------------------------------------------------------------------
-  def d11SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val ss = shingles(spark, dir)
+  /** Source-overlap matrix over ANY (doc_id, text, source) frame. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val ss = shinglesOf(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -827,6 +931,9 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("source_a").asc, col("source_b").asc)
   }
 
+  def d11SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // d12 — cross-document boilerplate spans: per document, the share of
   // its word-4-gram positions whose 4-gram also appears in ≥
@@ -842,8 +949,8 @@ object Dedup {
   val SpanWidth = 4
   val BoilerMinDocs = 3
 
-  def d12BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Boilerplate-span shares over ANY (doc_id, text, source) frame. */
+  def boilerplateSpans(docs: DataFrame): DataFrame = {
     val pd = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(w) >= $SpanWidth
@@ -868,6 +975,9 @@ object Dedup {
           .otherwise(lit(0.0)).as("boiler_share"))
       .orderBy(col("doc_id").asc)
   }
+
+  def d12BoilerplateSpans(spark: SparkSession, dir: String): DataFrame =
+    boilerplateSpans(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // d13 — canonicalization dedup: exact dedup AFTER text normalization
@@ -894,15 +1004,15 @@ object Dedup {
       |  SELECT -doc_id - 1, concat('  ', upper(text), '  !!')
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  def d13CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val aug = docs.select(col("doc_id"), col("text"))
-      .unionAll(docs.where(col("doc_id") % 7 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit("  !!")).as("text")))
+  /** Canonicalization dedup over ANY (doc_id, text) frame — operates on
+    * the input AS GIVEN. Contract: ids < 0 are reserved for
+    * synthetic/staging rows and are never chosen as keeper (the fixture
+    * wrapper exploits this; a real corpus with non-negative ids keeps
+    * its plain min). */
+  def canonicalDedup(docs: DataFrame): DataFrame = {
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    aug
+    docs
       .groupBy(md5(canon).as("canon_hash"))
       // keeper = smallest ORIGINAL id: synthetics live at negative ids,
       // so min() over the non-negatives (min skips NULLs on both
@@ -912,6 +1022,18 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_exact_variants"))
       .where(col("dup_count") > 1)
       .orderBy(col("keep_doc_id").asc)
+  }
+
+  /** Fixture wrapper: the synthetic corpus has no natural casing
+    * variants, so docs with doc_id % 7 == 0 get a noisy reupload at the
+    * disjoint id -doc_id-1. Augmentation is TEST DATA — it lives here,
+    * not in [[canonicalDedup]]. */
+  def d13CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    canonicalDedup(docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !!")).as("text"))))
   }
 
   // ---------------------------------------------------------------------
@@ -928,8 +1050,9 @@ object Dedup {
   // ---------------------------------------------------------------------
   val SweepBuckets = 20
 
-  def d14ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  /** Jaccard-threshold sweep over ANY (doc_id, text) frame. */
+  def thresholdSweep(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val j = col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))
     val buckets = sharedCounts(lshCandidates(lshSignatures(sh)), sh)
@@ -947,6 +1070,9 @@ object Dedup {
         col("n_pairs"), col("n_pairs_ge"))
       .orderBy(col("bucket").asc)
   }
+
+  def d14ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(Tables.load(spark, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_threshold_sweep" -> d14ThresholdSweep _,

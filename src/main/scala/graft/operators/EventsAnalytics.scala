@@ -29,10 +29,12 @@ object EventsAnalytics {
   // user inactivity. lag → flag → running sum is the classic formulation;
   // (ts, event_id) is a unique total order within each user partition.
   // ---------------------------------------------------------------------
-  def e01Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-based sessionization over ANY (user_id, event_id, ts, value)
+    * frame. */
+  def sessionize(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("new_s", when(gap.isNull || gap > SessionGapSeconds, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_s")).over(w))
       .groupBy(col("user_id"), col("session_idx"))
@@ -45,13 +47,18 @@ object EventsAnalytics {
       .orderBy(col("user_id").asc, col("session_idx").asc)
   }
 
+  def e01Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e02 — JSON property stats: extract props.k per event, roll up per
   // event type. get_json_object is a codegen'd scalar path — no UDF.
   // ---------------------------------------------------------------------
-  def e02PropsStats(spark: SparkSession, dir: String): DataFrame = {
+  /** JSON property stats over ANY (event_type, user_id, props, value)
+    * frame. */
+  def propsStats(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")
-    Tables.load(spark, dir, "events")
+    events
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -63,12 +70,17 @@ object EventsAnalytics {
       .orderBy(col("event_type").asc)
   }
 
+  def e02PropsStats(spark: SparkSession, dir: String): DataFrame =
+    propsStats(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e03 — tumbling-hour rollup per event type: the batch equivalent of a
   // streaming windowed aggregation (date_trunc = tumbling window assign).
   // ---------------------------------------------------------------------
-  def e03HourlyAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+  /** Tumbling-hour rollup over ANY (ts, event_type, user_id, value)
+    * frame. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("HOUR", col("ts")).as("hour_start"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -76,15 +88,19 @@ object EventsAnalytics {
         moneySum(col("value")).as("total_value"))
       .orderBy(col("hour_start").asc, col("event_type").asc)
 
+  def e03HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e04 — ordered funnel (view → click → purchase): per user, the stages
   // completed IN ORDER (each stage's first occurrence must follow the
   // previous stage's first occurrence). One groupBy computes all three
   // first-occurrence timestamps; funnel depth is a pure projection.
   // ---------------------------------------------------------------------
-  def e04Funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Ordered funnel over ANY (user_id, event_type, ts) frame. */
+  def funnel(events: DataFrame): DataFrame = {
     val firstOf = (t: String) => min(when(col("event_type") === t, col("ts")))
-    val perUser = Tables.load(spark, dir, "events")
+    val perUser = events
       .groupBy(col("user_id"))
       .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
         firstOf("purchase").as("t_purchase"))
@@ -98,14 +114,18 @@ object EventsAnalytics {
       .orderBy(col("funnel_depth").asc)
   }
 
+  def e04Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e05 — cohort retention: users grouped by first-activity week, counted
   // in each later week they return. Two aggregations over one scan
   // (first-activity via window-min carried on the activity rows), then
   // the classic cohort × week-offset matrix in long form.
   // ---------------------------------------------------------------------
-  def e05Retention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  /** Cohort retention over ANY (user_id, ts) frame. */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), date_trunc("WEEK", col("ts")).cast("date").as("week"))
       .distinct()
     val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
@@ -115,6 +135,9 @@ object EventsAnalytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_week").asc, col("weeks_since").asc)
   }
+
+  def e05Retention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.load(spark, dir, "events"))
 
   // ---------------------------------------------------------------------
   // e06 — hourly anomaly detection: flag hours whose event count exceeds
@@ -129,8 +152,9 @@ object EventsAnalytics {
   // ---------------------------------------------------------------------
   val TrailHours = 24
 
-  def e06HourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.load(spark, dir, "events")
+  /** Hourly anomaly detection over ANY (event_type, ts) frame. */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_start"))
       .agg(count(lit(1)).as("n_events"))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("hour_start").asc)
@@ -145,6 +169,9 @@ object EventsAnalytics {
         col("trail_events"), col("ratio"), (col("ratio") > 2.0).as("is_spike"))
       .orderBy(col("event_type").asc, col("hour_start").asc)
   }
+
+  def e06HourlyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    hourlyAnomaly(Tables.load(spark, dir, "events"))
 
   // ---------------------------------------------------------------------
   // e07 — the STREAMING windowed-count transform, driven in batch mode:
@@ -185,8 +212,9 @@ object EventsAnalytics {
   // ---------------------------------------------------------------------
   val AttributionHorizonSeconds = 3600L
 
-  def e09AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
+  /** As-of attribution join over ANY (event_id, user_id, ts, event_type)
+    * frame. */
+  def asofAttribution(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -211,6 +239,9 @@ object EventsAnalytics {
       .orderBy(col("purchase_id").asc)
   }
 
+  def e09AsofAttribution(spark: SparkSession, dir: String): DataFrame =
+    asofAttribution(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e10 — event-transition matrix (first-order Markov model of user
   // behavior): for every (prev_type → event_type) pair, the transition
@@ -221,9 +252,11 @@ object EventsAnalytics {
   // rows, and the probability is one integer÷integer division both
   // engines evaluate bit-identically (t02 contract).
   // ---------------------------------------------------------------------
-  def e10Transitions(spark: SparkSession, dir: String): DataFrame = {
+  /** Event-transition matrix over ANY (user_id, event_id, ts,
+    * event_type) frame. */
+  def transitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val counts = Tables.load(spark, dir, "events")
+    val counts = events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type"))
@@ -235,6 +268,9 @@ object EventsAnalytics {
       .orderBy(col("prev_type").asc, col("event_type").asc)
   }
 
+  def e10Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e11 — view→purchase conversion lag: per user with at least one view,
   // the first view, the first purchase AT OR AFTER that view, and the
@@ -243,8 +279,9 @@ object EventsAnalytics {
   // user_id key (AQE reuses the partitioning); no window over the raw
   // stream is needed at all, so per-task state is one row per user.
   // ---------------------------------------------------------------------
-  def e11ConversionLag(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
+  /** View→purchase conversion lag over ANY (user_id, ts, event_type)
+    * frame. */
+  def conversionLag(events: DataFrame): DataFrame = {
     val firstView = events.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("first_view_ts"))
     val firstPurch = events.where(col("event_type") === "purchase")
@@ -260,6 +297,9 @@ object EventsAnalytics {
         col("first_purchase_ts").isNotNull.as("converted"))
       .orderBy(col("user_id").asc)
   }
+
+  def e11ConversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLag(Tables.load(spark, dir, "events"))
 
   // ---------------------------------------------------------------------
   // e12 — user behavior profile + bot screen: per-user volume, event-type
@@ -283,8 +323,9 @@ object EventsAnalytics {
   val BotBurstPerHour = 3L
   val BotMinEvents = 20L
 
-  def e12UserProfile(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  /** User behavior profile + bot screen over ANY (user_id, ts,
+    * event_type) frame. */
+  def userProfile(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))
@@ -304,6 +345,9 @@ object EventsAnalytics {
       .orderBy(col("user_id").asc)
   }
 
+  def e12UserProfile(spark: SparkSession, dir: String): DataFrame =
+    userProfile(Tables.load(spark, dir, "events"))
+
   // ---------------------------------------------------------------------
   // e13 — replay/at-least-once dedup: collapse duplicate deliveries of
   // the same event_id to their FIRST arrival, counting arrivals — the
@@ -321,20 +365,29 @@ object EventsAnalytics {
   // ---------------------------------------------------------------------
   val ReplayEveryNthEvent = 13L
 
-  def e13ReplayDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val aug = ev.unionAll(
-      ev.where(col("event_id") % ReplayEveryNthEvent === 0)
-        .select(col("event_id"), expr("ts + INTERVAL 7 MINUTE").as("ts"),
-          col("user_id"), col("event_type")))
+  /** Replay/at-least-once dedup over ANY (event_id, ts, user_id,
+    * event_type) delivery feed — operates on the feed AS GIVEN (the
+    * fixture's synthetic replays live in the e13 wrapper). */
+  def replayDedup(deliveries: DataFrame): DataFrame =
     // group on the FULL delivery identity (a replay is a byte-identical
     // redelivery, so payload is part of the key): string columns as
     // grouping KEYS stay inside HashAggregate, whereas min(string) as an
     // aggregate forces a SortAggregate with two extra sorts
-    aug.groupBy(col("event_id"), col("user_id"), col("event_type"))
+    deliveries.groupBy(col("event_id"), col("user_id"), col("event_type"))
       .agg(min(col("ts")).as("ts_first"), count(lit(1)).as("n_arrivals"))
       .orderBy(col("event_id").asc)
+
+  /** Fixture wrapper: the synthetic feed is exactly-once by
+    * construction, so events with event_id % 13 == 0 get a replayed
+    * copy 7 minutes later. Augmentation is TEST DATA — it lives here,
+    * not in [[replayDedup]]. */
+  def e13ReplayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    replayDedup(ev.unionAll(
+      ev.where(col("event_id") % ReplayEveryNthEvent === 0)
+        .select(col("event_id"), expr("ts + INTERVAL 7 MINUTE").as("ts"),
+          col("user_id"), col("event_type"))))
   }
 
   // ---------------------------------------------------------------------
@@ -352,10 +405,12 @@ object EventsAnalytics {
   // over distinct observed gap-seconds (bounded by the time span, ~1e5
   // at years of data), never over the event stream itself.
   // ---------------------------------------------------------------------
-  def e14InterarrivalAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** Inter-arrival percentile audit over ANY (user_id, event_id, ts,
+    * event_type) frame. */
+  def interarrivalAudit(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val gaps = Tables.load(spark, dir, "events")
+    val gaps = events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .where(col("prev_us").isNotNull)
       .select(col("event_type"),
@@ -376,6 +431,9 @@ object EventsAnalytics {
         max(col("gap_s")).as("max_gap_s"))
       .orderBy(col("event_type").asc)
   }
+
+  def e14InterarrivalAudit(spark: SparkSession, dir: String): DataFrame =
+    interarrivalAudit(Tables.load(spark, dir, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e14_interarrival" -> e14InterarrivalAudit _,

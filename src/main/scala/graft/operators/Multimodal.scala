@@ -223,16 +223,15 @@ object Multimodal {
     * at negative ids; d13's min-over-non-negatives rule). Scale: one
     * map-combinable hash aggregate over digests — the d01 plan on the
     * binary column, with the blob reduced to 16 bytes map-side. */
-  def m04ContentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    val aug = docs.unionAll(docs.where(col("doc_id") % 19 === 0)
-      .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
-    aug
-      .select(col("doc_id").as("asset_id"),
-        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-          "ELSE 'video' END").as("kind"),
-        md5(encode(col("text"), "UTF-8")).as("content_hash"))
+  /** Content-addressed dedup core over ANY (asset_id, kind,
+    * media: binary) frame — operates on the input AS GIVEN (no synthetic
+    * rows; the fixture augmentation lives in the m04 wrapper). Contract:
+    * ids < 0 are reserved for synthetic/staging rows and never chosen as
+    * keeper (d13's rule). The blob reduces to a 16-byte digest map-side,
+    * so the shuffle carries digests, never media bytes. */
+  def contentDedup(assetFrame: DataFrame): DataFrame =
+    assetFrame
+      .select(col("asset_id"), col("kind"), md5(col("media")).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_assets"),
         countDistinct(col("kind")).as("n_kinds"),
@@ -240,6 +239,20 @@ object Multimodal {
         min(when(col("asset_id") >= 0, col("asset_id"))).as("keep_asset_id"))
       .where(col("n_assets") > 1)
       .orderBy(col("keep_asset_id").asc)
+
+  /** Fixture wrapper: the corpus has no natural cross-modal reupload, so
+    * docs with doc_id % 19 == 0 get a second asset at the disjoint id
+    * -doc_id-1 whose id-derived kind differs. Augmentation is TEST DATA
+    * — it lives here, not in [[contentDedup]]. */
+  def m04ContentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val aug = docs.unionAll(docs.where(col("doc_id") % 19 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
+    contentDedup(aug.select(col("doc_id").as("asset_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END").as("kind"),
+      encode(col("text"), "UTF-8").as("media")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

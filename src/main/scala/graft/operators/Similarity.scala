@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
-import graft.operators.Dedup.{dotExpr, dotSql, normed, normedSql}
+import graft.operators.Dedup.{dotExpr, dotSql, normed, normedOf, normedSql}
 import graft.plans.Scale
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -29,9 +29,13 @@ object Similarity {
   val TopK = 5
   val QuerySet = 10 // vec_id < 10 are the probe vectors
 
-  def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
-    val q = v.where(col("vec_id") < QuerySet)
+  /** Brute-force cosine top-k over ARBITRARY corpus and probe
+    * (vec_id, embedding, label) frames — the exactness baseline every
+    * bucketed ANN variant is measured against. Probes broadcast; a probe
+    * whose vec_id also appears in the corpus never matches itself. */
+  def annBruteforce(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val v = normedOf(corpus)
+    val q = normedOf(probes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
     // two-phase rank: per-partition partial top-k before the per-query
@@ -44,6 +48,11 @@ object Similarity {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    annBruteforce(emb, emb.where(col("vec_id") < QuerySet))
+  }
+
   /** Sign-bit bucket of the first 8 dimensions. */
   private val BucketBits = 8
   private def bucketCol(e: String) = (0 until BucketBits)
@@ -53,9 +62,11 @@ object Similarity {
     .map(j => s"CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
     .mkString("(", " + ", ")")
 
-  def s02AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir).withColumn("bucket", bucketCol("embedding"))
-    val q = v.where(col("vec_id") < QuerySet)
+  /** Sign-bit LSH-bucketed cosine top-k over ARBITRARY corpus and probe
+    * frames — the bucket-equi scale path. */
+  def annLshBuckets(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val v = normedOf(corpus).withColumn("bucket", bucketCol("embedding"))
+    val q = normedOf(probes).withColumn("bucket", bucketCol("embedding"))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
@@ -66,6 +77,11 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
         col("rank"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def s02AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    annLshBuckets(emb, emb.where(col("vec_id") < QuerySet))
   }
 
   // ---------------------------------------------------------------------
@@ -105,7 +121,10 @@ object Similarity {
     * the deterministic seed Lloyd refines (and the spec's untrained
     * baseline). */
   private[graft] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
-    normed(spark, dir).where(col("vec_id") < IvfCells)
+    seedCentroidsOf(normed(spark, dir))
+
+  private def seedCentroidsOf(v: DataFrame): DataFrame =
+    v.where(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cent_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("ce"))
       .withColumn("cn", sqrt(expr(ddot("ce", "ce"))))
@@ -146,9 +165,18 @@ object Similarity {
   private[graft] def clearIndexCache(spark: SparkSession, dir: String): Unit =
     graft.sources.Artifacts.dropArtifact(spark, centroidsArtifactName(spark, dir))
 
-  private def computeTrainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
-    var cents = seedCentroids(spark, dir)
+  private def computeTrainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    computeTrainedCentroidsOf(normed(spark, dir))
+
+  /** Train IVF centroids over ANY (vec_id, embedding, label) frame —
+    * the DataFrame-in trainer. Pair with
+    * [[graft.sources.Artifacts.servePersisted]] for the
+    * build-once-serve-many deployment shape on your own table. */
+  def trainCentroids(corpus: DataFrame): DataFrame =
+    computeTrainedCentroidsOf(normedOf(corpus))
+
+  private def computeTrainedCentroidsOf(v: DataFrame): DataFrame = {
+    var cents = seedCentroidsOf(v)
     (1 to IvfIters).foreach { _ =>
       val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
       val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
@@ -171,22 +199,31 @@ object Similarity {
   /** Corpus rows ranked by trained-centroid cosine (cr = 1 is the home
     * cell) — the shared assignment stage of s03 (cr = 1 only) and s05
     * (queries also probe cr ≤ NProbe). */
-  private def cellRanked(spark: SparkSession, dir: String): DataFrame = {
-    val v = normed(spark, dir)
+  private def cellRanked(spark: SparkSession, dir: String): DataFrame =
+    cellRankedOf(normed(spark, dir), trainedCentroids(spark, dir))
+
+  /** Rank a normed frame's rows by centroid cosine (cr = 1 is the home
+    * cell) — the shared assignment stage of the IVF family. */
+  private def cellRankedOf(v: DataFrame, cents: DataFrame): DataFrame = {
     val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
-    v.join(broadcast(trainedCentroids(spark, dir)))
+    v.join(broadcast(cents))
       .withColumn("cr", row_number().over(wCell))
   }
 
-  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = cellRanked(spark, dir)
+  /** IVF ANN over ARBITRARY corpus/probe frames and a given centroid
+    * table (from [[trainCentroids]] or a served artifact): corpus rows
+    * live in their home cell; each probe searches only its own home
+    * cell via a cell-equi join. */
+  def annIvf(corpus: DataFrame, probes: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = cellRankedOf(normedOf(corpus), cents)
       .where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val q = assigned.where(col("vec_id") < QuerySet)
+    val q = cellRankedOf(normedOf(probes), cents)
+      .where(col("cr") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cell"))
+        col("nrm").as("qn"), col("cent_id").as("cell"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
     val scored = q.join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
@@ -195,6 +232,15 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
         col("rank"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** [[annIvf]] training the index inline from the corpus. */
+  def annIvf(corpus: DataFrame, probes: DataFrame): DataFrame =
+    annIvf(corpus, probes, trainCentroids(corpus))
+
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    annIvf(emb, emb.where(col("vec_id") < QuerySet), trainedCentroids(spark, dir))
   }
 
   // ---------------------------------------------------------------------
@@ -209,12 +255,15 @@ object Similarity {
   // ---------------------------------------------------------------------
   val NProbe = 2
 
-  def s05AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = cellRanked(spark, dir)
-    val assigned = ranked.where(col("cr") === 1)
+  /** Multi-probe IVF ANN over ARBITRARY corpus/probe frames and a given
+    * centroid table: each probe fans out to its `nprobe` nearest cells;
+    * the corpus stays singly-assigned, so a neighbor can't repeat. */
+  def annIvfMultiprobe(corpus: DataFrame, probes: DataFrame, cents: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
+    val assigned = cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val qprobe = ranked.where(col("vec_id") < QuerySet && col("cr") <= NProbe)
+    val qprobe = cellRankedOf(normedOf(probes), cents).where(col("cr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
@@ -225,6 +274,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(cos, 6).as("cosine"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def s05AnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    annIvfMultiprobe(emb, emb.where(col("vec_id") < QuerySet),
+      trainedCentroids(spark, dir))
   }
 
   // ---------------------------------------------------------------------

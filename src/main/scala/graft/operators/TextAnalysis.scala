@@ -25,8 +25,8 @@ object TextAnalysis {
   // holdout by profile overlap. A real n-gram language-ID pipeline shape:
   // profile build = one shuffle; classification = broadcast join.
   // ---------------------------------------------------------------------
-  def t01LanguageId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Language-ID over ANY (doc_id, text, lang) frame. */
+  def languageId(docs: DataFrame): DataFrame = {
     // NOT persisted, NOT pre-aggregated: both measured slower — the
     // explode is codegen-cheap to recompute for the two consumers, while
     // materializing 3.5M rows costs serialization + storage (2.3s → 4.6s
@@ -56,12 +56,15 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t01LanguageId(spark: SparkSession, dir: String): DataFrame =
+    languageId(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t02 — quality scoring: length/word-shape/stopword-ratio heuristics.
   // The stopword list is the corpus's own top-10 words (computed in-query).
   // ---------------------------------------------------------------------
-  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Quality scoring over ANY (doc_id, text, lang) frame. */
+  def qualityScore(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
     // top-10 via orderBy+limit (TakeOrderedAndProject): a global
     // row_number window would funnel every distinct word through ONE
@@ -92,6 +95,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t03 — token counting: whitespace tokens, a BPE-ish regex token count
   // (letter runs / digit runs / single punctuation), and the chars/4
@@ -100,21 +106,26 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  def t03TokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  /** Token counting over ANY (doc_id, text, lang, source) frame. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).cast("long").as("regex_tokens"),
         ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
       .orderBy(col("doc_id").asc)
 
+  def t03TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t04 — document fingerprinting: rolling word-4-gram window hashes
   // (winnowing-style); fingerprint = min window hash. Robust to small
   // edits anywhere outside the minimal window.
   // ---------------------------------------------------------------------
-  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val wins = Tables.load(spark, dir, "documents")
+  /** Rolling-window fingerprinting over ANY (doc_id, text) frame. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val wins = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 4
@@ -128,6 +139,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t05 — deterministic hash sampling: a 10% document sample keyed on the
   // content hash (not rand()), so the sample is reproducible across runs,
@@ -136,11 +150,16 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   val SamplePercent = 10
 
-  def t05HashSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  /** Deterministic content-hash sampling over ANY frame with a `text`
+    * column. */
+  def hashSample(docs: DataFrame): DataFrame =
+    docs
       .where(h31(col("text")) % 100 < SamplePercent)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id").asc)
+
+  def t05HashSample(spark: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t06 — vocabulary building: top-100 corpus word frequencies with ranks
@@ -153,8 +172,9 @@ object TextAnalysis {
   // vocabulary, unlike a global row_number/partitionBy() window (which at
   // web scale is a one-reducer OOM).
   // ---------------------------------------------------------------------
-  def t06Vocab(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.load(spark, dir, "documents")
+  /** Vocabulary building over ANY (doc_id, text) frame. */
+  def vocab(docs: DataFrame): DataFrame = {
+    val counts = docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,6 +195,9 @@ object TextAnalysis {
       .orderBy(col("rank").asc)
   }
 
+  def t06Vocab(spark: SparkSession, dir: String): DataFrame =
+    vocab(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t08 — within-document repetition / boilerplate detection: the share of
   // repeated word-trigrams (1 − distinct/total) and the single most
@@ -184,8 +207,8 @@ object TextAnalysis {
   // (doc_id, word)), so all stages are map-side combinable and the plan
   // has no corpus-global state at any scale.
   // ---------------------------------------------------------------------
-  def t08Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Within-document repetition stats over ANY (doc_id, text) frame. */
+  def repetition(docs: DataFrame): DataFrame = {
     val tris = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -212,6 +235,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t09 — distinctive terms per document: rank each document's words by
   // tf/df (term frequency over corpus document frequency — the tf-idf
@@ -223,11 +249,12 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   val DistinctiveK = 3
 
-  def t09DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinctive terms (tf/df) over ANY (doc_id, text) frame. */
+  def distinctiveTerms(docs: DataFrame): DataFrame = {
     // persisted: tf feeds BOTH the df aggregate and the join below, and an
     // unpersisted shared subtree would re-run the explode + (doc_id, word)
     // shuffle — the dominant cost — twice (measured: see PERF.md)
-    val tf = Tables.load(spark, dir, "documents")
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,6 +267,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
+
+  def t09DistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    distinctiveTerms(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t10 — sketch cardinality: per-source distinct-document counts via
@@ -261,20 +291,27 @@ object TextAnalysis {
   /** The raw sketch-beside-exact aggregate; OperatorSemanticsSpec pins
     * the estimate's relative error on this frame directly. */
   private[graft] def t10Raw(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    sketchCardinalityRaw(Tables.load(spark, dir, "documents"))
+
+  private def sketchCardinalityRaw(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("exact_distinct_texts"),
         approx_count_distinct(col("text"), 0.01).as("approx_distinct_texts"))
 
-  def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
-    t10Raw(spark, dir)
+  /** HLL-beside-exact cardinality audit over ANY (source, text) frame. */
+  def sketchCardinality(docs: DataFrame): DataFrame =
+    sketchCardinalityRaw(docs)
       .select(col("source"), col("n_docs"), col("exact_distinct_texts"),
         (abs(col("approx_distinct_texts") - col("exact_distinct_texts"))
           .cast("double") / col("exact_distinct_texts") <= SketchTolerance)
           .as("hll_within_5pct"))
       .orderBy(col("source").asc)
+
+  def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
+    sketchCardinality(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t11 — PII detection + redaction: per-doc counts of email / phone /
@@ -305,20 +342,29 @@ object TextAnalysis {
       |            lpad(cast(doc_id * 271 % 1000000000 AS STRING), 9, '0'))
       |ELSE text END""".stripMargin.replace("\n", " ")
 
-  def t11PiiScan(spark: SparkSession, dir: String): DataFrame = {
-    val aug = expr(piiAugSql)
+  /** PII detection + redaction over ANY (doc_id, lang, text) frame —
+    * scans the text AS GIVEN (the fixture's synthetic-PII augmentation
+    * lives in the t11 wrapper below; a user corpus is scanned raw). */
+  def piiScan(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(regexp_replace(regexp_replace(
-      aug, lit(EmailRe), lit("<EMAIL>")),
+      col("text"), lit(EmailRe), lit("<EMAIL>")),
       lit(PhoneRe), lit("<PHONE>")),
       lit(AcctRe), lit("<ACCT>"))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-        size(regexp_extract_all(aug, lit(AcctRe), lit(0))).cast("long").as("n_accts"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(AcctRe), lit(0))).cast("long").as("n_accts"),
         md5(redacted).as("redacted_hash"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Fixture wrapper: the corpus has no natural PII, so docs with
+    * doc_id % 3 == 0 get a synthetic contact sentence. Augmentation is
+    * TEST DATA — it lives here, not in [[piiScan]]. */
+  def t11PiiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScan(Tables.load(spark, dir, "documents")
+      .withColumn("text", expr(piiAugSql)))
 
   // ---------------------------------------------------------------------
   // t12 — composable quality-filter rules (Gopher-style): each document
@@ -339,8 +385,9 @@ object TextAnalysis {
   val TopShareMax = 0.125
   val StopMinDistinct = 7L
 
-  def t12QualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Gopher-style rule-based quality filter over ANY (doc_id, text,
+    * lang) frame. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
     // persisted: three consumers (shape stats, stop list, stop coverage)
     val wc = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
@@ -372,6 +419,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t12QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilter(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t13 — bigram-LM novelty / OOV scoring: train word-bigram counts on
   // the 80% split (doc_id % 5 != 0), then score EVERY document by its
@@ -386,8 +436,8 @@ object TextAnalysis {
   // train docs score near-zero OOV by construction — both ship, since a
   // real filter scores the whole corpus.
   // ---------------------------------------------------------------------
-  def t13BigramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Bigram-LM novelty scoring over ANY (doc_id, text) frame. */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
     // persisted: feeds both the train-count build and the scoring join
     val dbg = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
@@ -415,6 +465,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t13BigramNovelty(spark: SparkSession, dir: String): DataFrame =
+    bigramNovelty(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t14 — token-rarity scoring: per document, the share of tokens whose
   // word occurs in exactly ONE document corpus-wide (hapax share) and
@@ -426,8 +479,8 @@ object TextAnalysis {
   // both the df aggregate and the scoring join; the df table shuffles
   // once on word; the final per-doc aggregate is map-side combinable.
   // ---------------------------------------------------------------------
-  def t14RarityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Token-rarity scoring over ANY (doc_id, text, lang) frame. */
+  def rarityScore(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -446,6 +499,9 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  def t14RarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityScore(Tables.load(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // t15 — per-source vocabulary-growth audit: token count, type count
   // (distinct words), hapax count (words seen once in the source),
@@ -456,8 +512,9 @@ object TextAnalysis {
   // per-source rollup of exact integers; the two ratios are single IEEE
   // divisions (t02 contract).
   // ---------------------------------------------------------------------
-  def t15VocabGrowth(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  /** Per-source vocabulary-growth audit over ANY (source, text) frame. */
+  def vocabGrowth(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
@@ -468,6 +525,9 @@ object TextAnalysis {
         (col("n_types") / col("n_tokens")).as("type_token_ratio"),
         (col("n_hapax") / col("n_types")).as("hapax_share"))
       .orderBy(col("source").asc)
+
+  def t15VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t16 — corpus length card: per (source, decimal magnitude of
@@ -480,8 +540,9 @@ object TextAnalysis {
   // bucket. One map-combinable aggregate over ≤ sources×magnitudes
   // groups; per-source totals rejoin by broadcast (the p05 shape).
   // ---------------------------------------------------------------------
-  def t16LengthCard(spark: SparkSession, dir: String): DataFrame = {
-    val byMag = Tables.load(spark, dir, "documents")
+  /** Length-distribution card over ANY (source, n_chars) frame. */
+  def lengthCard(docs: DataFrame): DataFrame = {
+    val byMag = docs
       .select(col("source"), col("n_chars"),
         length(col("n_chars").cast("string")).as("magnitude"),
         ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
@@ -495,6 +556,9 @@ object TextAnalysis {
         (col("n_docs").cast("double") / col("src_docs")).as("doc_share"))
       .orderBy(col("source").asc, col("magnitude").asc)
   }
+
+  def t16LengthCard(spark: SparkSession, dir: String): DataFrame =
+    lengthCard(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t17 — encoding / non-printable audit: per document, the count and
@@ -512,9 +576,12 @@ object TextAnalysis {
   private val encAugSql: String =
     "CASE WHEN doc_id % 11 = 0 THEN concat(text, chr(7), 'x', chr(127)) ELSE text END"
 
-  def t17EncodingAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), expr(encAugSql).as("t"))
+  /** Encoding / non-printable audit over ANY (doc_id, source, text)
+    * frame — scans the text AS GIVEN (the fixture's control-byte
+    * augmentation lives in the t17 wrapper). */
+  def encodingAudit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("text").as("t"))
       .select(col("doc_id"), col("source"),
         length(col("t")).cast("long").as("n_chars"),
         length(regexp_replace(col("t"), "[ -~]", "")).cast("long").as("n_nonprintable"))
@@ -525,6 +592,13 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("nonprintable_share"),
         (col("n_nonprintable") > 0).as("is_suspect"))
       .orderBy(col("doc_id").asc)
+
+  /** Fixture wrapper: the corpus is clean by construction, so docs with
+    * doc_id % 11 == 0 get control bytes appended. Augmentation is TEST
+    * DATA — it lives here, not in [[encodingAudit]]. */
+  def t17EncodingAudit(spark: SparkSession, dir: String): DataFrame =
+    encodingAudit(Tables.load(spark, dir, "documents")
+      .withColumn("text", expr(encAugSql)))
 
   // ---------------------------------------------------------------------
   // t18 — Good-Turing frequency spectrum: the counts-of-counts table
@@ -541,8 +615,9 @@ object TextAnalysis {
   // lookup is a broadcast self-join of the tiny spectrum — the corpus is
   // read exactly once.
   // ---------------------------------------------------------------------
-  def t18FreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
-    val spectrum = Tables.load(spark, dir, "documents")
+  /** Good-Turing frequency spectrum over ANY (lang, text) frame. */
+  def freqSpectrum(docs: DataFrame): DataFrame = {
+    val spectrum = docs
       .select(col("lang"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
       .groupBy(col("lang"), col("freq")).agg(count(lit(1)).as("n_types"))
@@ -557,6 +632,9 @@ object TextAnalysis {
           coalesce(col("n_next"), lit(0L)) / col("n_types"), 6).as("r_star"))
       .orderBy(col("lang").asc, col("freq").asc)
   }
+
+  def t18FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    freqSpectrum(Tables.load(spark, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_freq_spectrum" -> t18FreqSpectrum _,
@@ -604,8 +682,9 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   val SampleBuckets = 4096
 
-  def t07StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Stratified downsampling over ANY (doc_id, text, lang, source)
+    * frame. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
     val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n"))).first().getLong(0)
     // h ∈ [0, P31); bucket = ⌊h·B/P31⌋ ∈ [0, B) is monotone in h and
@@ -635,6 +714,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
     below.unionAll(atBoundary).orderBy(col("doc_id").asc)
   }
+
+  def t07StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, dir, "documents"))
 
   /** DuckDB CTE chain for the t12 rule inputs, ending at `chars`, `ws`,
     * `cov` — shared with Curation's p01 oracle so the pipeline's quality

@@ -75,8 +75,9 @@ object Scale {
     scala.collection.concurrent.TrieMap.empty[(Int, Int, String, Long), Long]
 
   /** Fingerprint of a plan's source files (path, length, mtime) — one FS
-    * metadata pass, no job; empty-source plans digest to a constant. */
-  private def inputFilesDigest(df: DataFrame): Int = {
+    * metadata pass, no job; empty-source plans digest to a constant.
+    * Shared with Curation's max-id probe memo (same staleness contract). */
+  private[graft] def inputFilesDigest(df: DataFrame): Int = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     df.inputFiles.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)

@@ -1375,6 +1375,129 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------------------
+  // DataFrame-in operator cores on NON-FIXTURE frames: the engine's
+  // public seam is `core(df)` — these tests never touch a testdata dir,
+  // proving the operators run on arbitrary user frames (r6 VERDICT #1)
+  // and that the fixture augmentations stayed in the wrappers (no
+  // phantom rows on a user corpus).
+  // -------------------------------------------------------------------
+
+  test("core API: exactDedup over an arbitrary in-memory frame") {
+    val docs = Seq((10L, "same text"), (20L, "same text"), (30L, "unique"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_doc_id") === 10L)
+  }
+
+  test("core API: canonicalDedup collapses case variants with NO synthetic rows") {
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other doc here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalDedup(docs).collect()
+    assert(out.length === 1, "only the genuine variant group may appear")
+    assert(out.head.getAs[Long]("keep_doc_id") === 1L)
+    assert(out.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("core API: contamination flags a train doc overlapping a SEPARATE eval frame") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq((100L, shared), (101L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((1L, shared)).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, evalDocs).collect()
+    assert(hits.map(_.getAs[Long]("train_id")).toSet === Set(100L))
+    val kept = Dedup.decontaminate(
+      train.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long")),
+      evalDocs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(101L), "apply must drop exactly the flagged doc")
+  }
+
+  test("core API: incrementalDedup verdicts over two disjoint frames") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content lives in this document")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (101L, "fresh never before seen text with novel words")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, existing).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(out(100L) === "exact_dup")
+    assert(out(101L) === "keep")
+  }
+
+  test("core API: shardPacking prefix sum over an arbitrary token frame") {
+    val toks = (1L to 50L).map(i => (i, i)).toDF("doc_id", "tokens")
+    val out = Curation.shardPacking(toks, bucketWidth = 4L, fanout = 4L)
+      .orderBy($"doc_id").collect()
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_before") === cum,
+        s"doc ${r.getAs[Long]("doc_id")}: hierarchical sum must equal naive walk")
+      cum += r.getAs[Long]("tokens")
+    }
+  }
+
+  test("core API: annBruteforce finds the nearest neighbor in an arbitrary frame") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0.0f, 1.0f), "b")).toDF("vec_id", "embedding", "label")
+    val probes = Seq((99L, Array(1.0f, 0.05f), "q")).toDF("vec_id", "embedding", "label")
+    val top = Similarity.annBruteforce(corpus, probes)
+      .where($"rank" === 1).collect()
+    assert(top.length === 1 && top.head.getAs[Long]("neighbor_id") === 1L)
+  }
+
+  test("core API: contentDedup groups identical blobs with NO synthetic rows") {
+    val assets = Seq(
+      (1L, "image", "samebytes".getBytes("UTF-8")),
+      (2L, "video", "samebytes".getBytes("UTF-8")),
+      (3L, "audio", "otherbytes".getBytes("UTF-8")))
+      .toDF("asset_id", "kind", "media")
+    val out = Multimodal.contentDedup(assets).collect()
+    assert(out.length === 1, "only the genuine cross-modal group may appear")
+    assert(out.head.getAs[Long]("n_kinds") === 2L)
+    assert(out.head.getAs[Long]("keep_asset_id") === 1L)
+  }
+
+  test("core API: piiScan detects raw PII and emits NO matches on clean text") {
+    val docs = Seq(
+      (1L, "en", "reach me at someone@example.com please"),
+      (2L, "en", "no personal data in this row")).toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.piiScan(docs).orderBy($"doc_id").collect()
+    assert(rows(0).getAs[Long]("n_emails") === 1L)
+    assert(rows(1).getAs[Long]("n_emails") === 0L &&
+      rows(1).getAs[Long]("n_phones") === 0L && rows(1).getAs[Long]("n_accts") === 0L)
+  }
+
+  test("core API: replayDedup collapses explicit duplicate deliveries") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:07:00")
+    val feed = Seq((5L, t0, 7L, "click"), (5L, t1, 7L, "click"), (6L, t0, 8L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventsAnalytics.replayDedup(feed).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[java.sql.Timestamp]("ts_first"), r.getAs[Long]("n_arrivals"))).toMap
+    assert(out(5L) === ((t0, 2L)) && out(6L) === ((t0, 1L)))
+  }
+
+  test("core API: wrapper ≡ core-over-augmented-view (t11 as the witness)") {
+    val viaWrapper = TextAnalysis.t11PiiScan(spark, sf).collect()
+    val viaCore = TextAnalysis.piiScan(Tables.load(spark, sf, "documents")
+      .withColumn("text", expr(
+        """CASE WHEN doc_id % 3 = 0
+          |THEN concat(text, ' contact user', cast(doc_id AS STRING),
+          |            '@example.org call 202-555-0',
+          |            lpad(cast(doc_id % 1000 AS STRING), 3, '0'),
+          |            ' acct ',
+          |            lpad(cast(doc_id * 271 % 1000000000 AS STRING), 9, '0'))
+          |ELSE text END""".stripMargin.replace("\n", " ")))).collect()
+    assert(viaWrapper.toSeq === viaCore.toSeq)
+  }
+
   test("q23 grouping sets: each one-dimensional slice and the total partition all orders") {
     val rows = CartAnalytics.q23GroupingSets(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()
