@@ -698,24 +698,23 @@ object Dedup {
   // guarantee recall by RESEMBLANCE, not containment — a pair at
   // containment 1.0 but Jaccard j band-collides with prob
   // 1-(1-j^2)^8, so low-Jaccard containment pairs are surfaced
-  // best-effort (deterministic given the hashes, ~63% at j=0.34). An
-  // exhaustive containment pass needs a size-reweighted sketch (Broder,
-  // "On the resemblance and containment of documents", 1997) — the
-  // audit reports what the deployed candidate stream actually sees.
+  // best-effort (deterministic given the hashes, ~63% at j=0.34). The
+  // audit reports what the deployed candidate stream actually sees;
+  // d17 below is the guaranteed-recall containment sketch (Broder,
+  // "On the resemblance and containment of documents", 1997).
   // ---------------------------------------------------------------------
   val ContainmentThreshold = 0.9
 
-  /** Containment audit over ANY (doc_id, text) frame — operates on the
-    * input AS GIVEN (no synthetic rows; the excerpt augmentation the
-    * driver fixture needs lives in the d16 wrapper below). */
-  def containmentAudit(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
-    val sig = lshSignatures(sh)
-    val cand = lshCandidates(sig)
-    val sz = sig.select(col("doc_id"), col("n"))
+  /** Exact scoring tail shared by d16/d17: verify every candidate pair
+    * on the real shingle sets, score on BOTH containment and Jaccard,
+    * keep containment ≥ threshold, flag the pairs resemblance would
+    * have missed. Precision is exact for any candidate stream; only
+    * recall differs between the streams that feed it. */
+  private def scoreContainment(cand: DataFrame, sh: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val scored = sharedCounts(cand, sh)
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         col("sa.n").as("n_a"), col("sb.n").as("n_b"), col("shared"))
     val containment = col("shared").cast("double") / least(col("n_a"), col("n_b"))
@@ -730,18 +729,84 @@ object Dedup {
       .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Fixture wrapper: the synthetic corpus has no natural excerpt-vs-page
-    * pairs, so docs with doc_id % 17 == 0 get a 15-word-prefix excerpt at
-    * the provably disjoint id -doc_id-1 — AUGMENTATION IS TEST DATA, so
-    * it lives here, not in [[containmentAudit]]: a user corpus gets no
-    * phantom rows. */
-  def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** Containment audit over ANY (doc_id, text) frame — operates on the
+    * input AS GIVEN (no synthetic rows; the excerpt augmentation the
+    * driver fixture needs lives in the d16 wrapper below). */
+  def containmentAudit(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+    val sig = lshSignatures(sh)
+    scoreContainment(lshCandidates(sig), sh, sig.select(col("doc_id"), col("n")))
+  }
+
+  /** Fixture augmentation shared by the d16/d17 wrappers: the synthetic
+    * corpus has no natural excerpt-vs-page pairs, so docs with
+    * doc_id % 17 == 0 get a 15-word-prefix excerpt at the provably
+    * disjoint id -doc_id-1 — AUGMENTATION IS TEST DATA, so it lives
+    * here in the wrapper layer: a user corpus gets no phantom rows. */
+  private[graft] def excerptAugmented(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    containmentAudit(docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 17 === 0)
         .select((-col("doc_id") - 1L).as("doc_id"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text"))))
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text")))
   }
+
+  def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame =
+    containmentAudit(excerptAugmented(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // d17 — containment SKETCH: the guaranteed-recall fix for d16's
+  // resemblance-banded candidate stream (Broder 1997: containment needs
+  // a sample of the SMALLER set probed against the other set's full
+  // membership, not a symmetric min-wise signature — min-wise bands
+  // guarantee recall only as a function of Jaccard). Each doc
+  // contributes its bottom-K shingles by the shared uniform hash — a
+  // uniform random K-subset of its shingle set, since hash order is a
+  // random permutation of the shingle universe — and probes the full
+  // shingle inverted index with them. For a pair at containment
+  // c = shared/min(n_a, n_b), each anchor of the smaller doc lands in
+  // the larger w.p. ≥ c, so the pair escapes all K anchors w.p.
+  // ≤ (1-c)^K: at c = 0.9, K = 4 that is 10^-4, INDEPENDENT of Jaccard
+  // (the band stream's miss probability at j = 0.34 is ~37%).
+  // Candidates are then exact-verified like every LSH path, so
+  // precision stays exact; everything is deterministic given the hash.
+  //
+  // Scale: anchors are K rows/doc from a doc-keyed bottom-K (row_number
+  // partitioned by doc_id — never a global window); the probe is ONE
+  // hash-equi join whose fanout is Σ_anchors df(anchor) ≈ K·E[df] per
+  // doc. Hot boilerplate shingles inflate df — strip them with d12
+  // first on template-heavy corpora (the sketch stays correct, it just
+  // pays more candidates).
+  // ---------------------------------------------------------------------
+  val AnchorK = 4
+
+  /** Containment-sketch audit over ANY (doc_id, text) frame — d16's
+    * output contract with candidate recall guaranteed by CONTAINMENT
+    * (miss ≤ (1-c)^K) rather than resemblance. */
+  def containmentSketch(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+    val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("h").asc, col("shingle").asc)
+    val anchors = hashed
+      .withColumn("rk", row_number().over(byDoc))
+      .where(col("rk") <= AnchorK)
+      .select(col("doc_id"), col("h"))
+    // Probe join on the 60→31-bit hash, not the shingle string: the
+    // shuffle carries longs; a hash collision can only ADD a candidate,
+    // and the exact verify stage discards it.
+    val cand = anchors.as("p")
+      .join(hashed.as("q"),
+        col("p.h") === col("q.h") && col("p.doc_id") =!= col("q.doc_id"))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    scoreContainment(cand, sh, sizes)
+  }
+
+  def d17ContainmentSketch(spark: SparkSession, dir: String): DataFrame =
+    containmentSketch(excerptAugmented(spark, dir))
 
   // ---------------------------------------------------------------------
   // d08 — near-dup clusters at scale: d06's semantics with the edge set
@@ -1090,7 +1155,8 @@ object Dedup {
     "d08_lsh_clusters" -> d08LshClusters _,
     "d09_dedup_apply" -> d09DedupApply _,
     "d15_decontaminate_apply" -> d15DecontaminateApply _,
-    "d16_containment_audit" -> d16ContainmentAudit _
+    "d16_containment_audit" -> d16ContainmentAudit _,
+    "d17_containment_sketch" -> d17ContainmentSketch _
   )
 
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
@@ -1138,6 +1204,31 @@ object Dedup {
          |  FROM $leftT x JOIN $rightT y
          |    ON x.mh${2 * jb} = y.mh${2 * jb} AND x.mh${2 * jb + 1} = y.mh${2 * jb + 1}$extra""".stripMargin
     }.mkString(s"\n$combinator\n")
+
+  /** DuckDB mirror of [[excerptAugmented]] as an `aug` CTE. */
+  private def excerptAugSql: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1,
+      |         array_to_string((regexp_split_to_array(text, '\s+'))[1:15], ' ')
+      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
+  /** DuckDB mirror of [[scoreContainment]]'s tail over CTEs `shared` +
+    * `sizes` — shared verbatim by the d16 and d17 oracles (the two
+    * operators differ ONLY in their candidate stream). */
+  private def scoreContainmentSql: String =
+    s"""SELECT s.doc_a, s.doc_b, sa.n AS n_a, sb.n AS n_b, s.shared,
+       |       round(s.shared / least(sa.n, sb.n), 6) AS containment,
+       |       round(s.shared / (sa.n + sb.n - s.shared), 6) AS jaccard,
+       |       CAST(CASE WHEN s.shared / (sa.n + sb.n - s.shared) < $ClusterThreshold
+       |            THEN 1 ELSE 0 END AS BIGINT) AS resemblance_missed
+       |FROM shared s
+       |JOIN sizes sa ON s.doc_a = sa.doc_id
+       |JOIN sizes sb ON s.doc_b = sb.doc_id
+       |WHERE s.shared / least(sa.n, sb.n) >= $ContainmentThreshold
+       |ORDER BY round(s.shared / least(sa.n, sb.n), 6) DESC NULLS LAST,
+       |         s.doc_a ASC NULLS FIRST, s.doc_b ASC NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[sharedCounts]] over CTEs `cand` + `sh`. */
   private def sharedCountsSql: String =
@@ -1340,12 +1431,7 @@ object Dedup {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "d16_containment_audit" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT -doc_id - 1,
-         |         array_to_string((regexp_split_to_array(text, '\\s+'))[1:15], ' ')
-         |  FROM documents WHERE doc_id % 17 = 0),
+      s"""WITH $excerptAugSql,
          |${shinglesSqlOver("aug")},
          |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
          |sig AS (SELECT doc_id, $sigColsSql
@@ -1354,17 +1440,26 @@ object Dedup {
          |${bandJoinsSql("UNION")}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |$sharedCountsSql
-         |SELECT s.doc_a, s.doc_b, sa.n AS n_a, sb.n AS n_b, s.shared,
-         |       round(s.shared / least(sa.n, sb.n), 6) AS containment,
-         |       round(s.shared / (sa.n + sb.n - s.shared), 6) AS jaccard,
-         |       CAST(CASE WHEN s.shared / (sa.n + sb.n - s.shared) < $ClusterThreshold
-         |            THEN 1 ELSE 0 END AS BIGINT) AS resemblance_missed
-         |FROM shared s
-         |JOIN sizes sa ON s.doc_a = sa.doc_id
-         |JOIN sizes sb ON s.doc_b = sb.doc_id
-         |WHERE s.shared / least(sa.n, sb.n) >= $ContainmentThreshold
-         |ORDER BY round(s.shared / least(sa.n, sb.n), 6) DESC NULLS LAST,
-         |         s.doc_a ASC NULLS FIRST, s.doc_b ASC NULLS FIRST""".stripMargin,
+         |$scoreContainmentSql""".stripMargin,
+
+    "d17_containment_sketch" ->
+      s"""WITH $excerptAugSql,
+         |${shinglesSqlOver("aug")},
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h, shingle FROM sh),
+         |anchors AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, h,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY h ASC, shingle ASC) AS rk
+         |    FROM h)
+         |  WHERE rk <= $AnchorK),
+         |cand AS (
+         |  SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_a,
+         |                  greatest(p.doc_id, q.doc_id) AS doc_b
+         |  FROM anchors p JOIN h q ON p.h = q.h AND p.doc_id <> q.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |$sharedCountsSql
+         |$scoreContainmentSql""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,

@@ -976,6 +976,54 @@ class OperatorSemanticsSpec extends SparkSpec {
       "no excerpt pair at containment 1.0")
   }
 
+  test("d17 sketch: ≥95% recall vs exhaustive containment truth, exact precision; d16's band stream misses more") {
+    // Exhaustive truth: all-pairs containment over the augmented corpus
+    // computed with plain JVM set algebra — the ground truth the banded
+    // stream (d16) only approaches j-dependently but the Broder anchor
+    // sketch (d17) must recover with miss probability ≤ (1-c)^K.
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.size < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aug = (docs ++ docs.collect { case (id, t) if id % 17 == 0 =>
+      (-id - 1, t.split("\\s+").take(15).mkString(" "))
+    }).toMap.map { case (id, t) => id -> shingleSet(t) }
+    val ids = aug.keys.toArray.sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      sa = aug(ids(i)); sb = aug(ids(j))
+      if sa.nonEmpty && sb.nonEmpty
+      shared = (sa intersect sb).size
+      if shared.toDouble / math.min(sa.size, sb.size) >= Dedup.ContainmentThreshold
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.nonEmpty, "fixture must contain containment-threshold pairs")
+
+    def emitted(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = emitted(Dedup.d17ContainmentSketch(spark, sf))
+    val band = emitted(Dedup.d16ContainmentAudit(spark, sf))
+
+    // precision is exact for both: the verify stage scores real shingle
+    // sets, so no emitted pair may fall outside the exhaustive truth
+    assert(sketch.subsetOf(truth), s"phantom sketch pairs: ${sketch -- truth}")
+    assert(band.subsetOf(truth), s"phantom band pairs: ${band -- truth}")
+
+    val sketchRecall = sketch.intersect(truth).size.toDouble / truth.size
+    val bandRecall = band.intersect(truth).size.toDouble / truth.size
+    info(f"containment truth=${truth.size}, sketch recall=$sketchRecall%.3f, band recall=$bandRecall%.3f")
+    assert(sketchRecall >= 0.95,
+      f"anchor sketch must recover ≥95%% of containment truth, got $sketchRecall%.3f")
+    assert(bandRecall < sketchRecall,
+      "the resemblance-banded stream should demonstrably under-recall the sketch " +
+        "on low-Jaccard containment pairs (else the fixture has no hard cases)")
+  }
+
   test("t18 frequency spectrum: counts-of-counts and Good-Turing r* match a JVM recount") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("lang"), col("text")).collect()
