@@ -825,11 +825,11 @@ object Dedup {
     * band candidates) — d08's clustering input, shared with d09's apply
     * step and s08's cross-modal audit so all three agree on what counts
     * as a near-dup. */
-  private[operators] def lshEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshEdges(spark: SparkSession, dir: String): DataFrame =
     lshEdgesOf(Tables.load(spark, dir, "documents"))
 
   /** The exact-verified LSH edge set over ANY (doc_id, text) frame. */
-  private[operators] def lshEdgesOf(docs: DataFrame): DataFrame = {
+  private[graft] def lshEdgesOf(docs: DataFrame): DataFrame = {
     val sh = shinglesOf(docs)
     val sig = lshSignatures(sh)
     thresholdEdges(sharedCounts(lshCandidates(sig), sh),
@@ -961,6 +961,83 @@ object Dedup {
     incrementalDedup(
       docs.where(col("doc_id") % IncrementalMod === 0),
       docs.where(col("doc_id") % IncrementalMod =!= 0))
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental LABEL REFRESH: d10's batch-probe economics applied to the
+  // labels ARTIFACT — append a crawl batch into an existing (doc_id,
+  // label) table without re-running min-label propagation over the full
+  // corpus. New edges can only touch the batch (old×old pairs are
+  // unchanged), so the full union graph's components equal the components
+  // of a CONTRACTED graph in which every existing endpoint is collapsed
+  // to its cluster label. The propagation loop therefore runs over a
+  // batch-scaled edge set; existing rows are updated by ONE broadcast
+  // remap join (clusters bridged by a batch doc merge to the smaller
+  // label, exactly as a from-scratch rebuild would). Min-label exactness:
+  // contracted node ids are old labels (each the MIN of its old
+  // component) plus batch/previously-isolated ids, so the component min
+  // over contracted ids is the true min over all members.
+  // ---------------------------------------------------------------------
+  /** Refresh an existing near-dup label table with a new batch, over
+    * ARBITRARY frames with disjoint doc_ids. `existingLabels` must be
+    * the label table of `existingDocs` (from [[minLabelComponents]] or
+    * the persisted artifact). Returns the label table of
+    * `existingDocs ∪ batch` — exactly what a from-scratch rebuild
+    * produces, at batch-probe cost (the existing side contributes its
+    * signature index and the shingles of touched docs, never a
+    * corpus-wide propagation loop). */
+  def refreshLabels(existingDocs: DataFrame, existingLabels: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val shB = shinglesOf(batch.select(col("doc_id"), col("text")))
+    val shE = shinglesOf(existingDocs.select(col("doc_id"), col("text")))
+    val sigB = lshSignatures(shB)
+    val sigE = lshSignatures(shE)
+    // batch×existing probes plus batch×batch self-pairs — no old×old work
+    val cand = bandCandidates(sigB, sigE, canonical = false)
+      .unionAll(bandCandidates(sigB, sigB, canonical = true))
+    val sh = shB.unionAll(shE)
+    val sizes = sigB.select(col("doc_id"), col("n"))
+      .unionAll(sigE.select(col("doc_id"), col("n")))
+    val newEdges = thresholdEdges(sharedCounts(cand, sh), sizes)
+    // contract: an existing endpoint is represented by its cluster label
+    // (batch ids and previously-isolated existing ids pass through)
+    val lab = existingLabels.select(col("doc_id").as("e_id"), col("label").as("e_lab"))
+    val contracted = newEdges
+      .join(lab.as("la"), col("doc_a") === col("la.e_id"), "left_outer")
+      .join(lab.as("lb"), col("doc_b") === col("lb.e_id"), "left_outer")
+      .select(coalesce(col("la.e_lab"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb.e_lab"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val contractedLabels = minLabelComponents(contracted) // batch-scale loop
+    // existing rows: one remap join (old label → merged component label)
+    val remap = contractedLabels
+      .select(col("doc_id").as("old_lab"), col("label").as("new_lab"))
+    val refreshedOld = existingLabels
+      .join(remap, col("label") === col("old_lab"), "left_outer")
+      .select(col("doc_id"), coalesce(col("new_lab"), col("label")).as("label"))
+    // contracted nodes NOT in the old table: batch docs and existing docs
+    // that just gained their first edge (old-label nodes are already
+    // covered by the remap — their own row remaps like any member's)
+    val fresh = contractedLabels
+      .join(existingLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    refreshedOld.unionAll(fresh)
+  }
+
+  /** Artifact-level refresh: serve the labels artifact for the corpus at
+    * `newDir` (= `oldDir`'s corpus plus an appended batch), building it
+    * incrementally from `oldDir`'s artifact when absent. The table name
+    * is [[labelsArtifactName]] of `newDir` — the SAME key a from-scratch
+    * d08 on `newDir` computes — so every later cold session (d08/d09/p01
+    * and friends) serves the incrementally-built labels transparently. */
+  private[graft] def refreshedClusterLabels(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    val oldDocs = Tables.load(spark, oldDir, "documents")
+    val newDocs = Tables.load(spark, newDir, "documents")
+    val batch = newDocs
+      .join(oldDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    graft.sources.Artifacts.servePersisted(spark, labelsArtifactName(spark, newDir)) {
+      refreshLabels(oldDocs, clusterLabels(spark, oldDir), batch)
+    }
   }
 
   // ---------------------------------------------------------------------

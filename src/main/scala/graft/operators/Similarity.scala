@@ -549,27 +549,73 @@ object Similarity {
   // shuffles on (label, dim) — each slice of the corpus is read once —
   // and an L-row broadcast join.
   // ---------------------------------------------------------------------
-  def s14CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.load(spark, dir, "embeddings")
-    def centOf(slice: DataFrame, centCol: String, nCol: String): DataFrame =
-      slice
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-        .groupBy(col("label"), col("dim0"))
-        .agg((sum(floor(col("v").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
-          .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"),
-          count(lit(1)).as("n"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)")
-          .as(centCol), max(col("n")).as(nCol))
-    val a = centOf(emb.where(col("vec_id") % 2 === 0), "ca", "n_a")
-    val b = centOf(emb.where(col("vec_id") % 2 =!= 0), "cb", "n_b")
-    a.join(broadcast(b), Seq("label"))
+  private def labelCentroids(slice: DataFrame, centCol: String, nCol: String): DataFrame =
+    slice
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy(col("label"), col("dim0"))
+      .agg((sum(floor(col("v").cast(DoubleType) * lit(1e9)).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("c"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)")
+        .as(centCol), max(col("n")).as(nCol))
+
+  /** Per-label centroid drift between TWO arbitrary (vec_id, embedding,
+    * label) frames — the DataFrame-in core (s14's fixture wrapper below
+    * feeds it the even/odd halves; [[refreshedCentroids]] feeds it
+    * corpus vs incoming batch as the rebuild gate). */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = labelCentroids(a, "ca", "n_a")
+    val cb = labelCentroids(b, "cb", "n_b")
+    ca.join(broadcast(cb), Seq("label"))
       .select(col("label"), col("n_a"), col("n_b"),
         round(sqrt(expr(
           """aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
             |cast(0.0 AS double), (acc, q) -> acc + q)""".stripMargin.replace("\n", " "))), 6)
           .as("drift"))
       .orderBy(col("label").asc)
+  }
+
+  /** Fixture wrapper: the driver corpus has no second snapshot, so the
+    * even/odd vec_id halves stand in for "then" vs "now". */
+  def s14CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    centroidDrift(emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 =!= 0))
+  }
+
+  /** Drift threshold above which an appended batch forces centroid
+    * retraining (L2 between per-label means of normalized-scale
+    * embeddings; the fixture clusters sit ~0.6·‖center‖ apart, so 0.3
+    * means "a label's mass moved a sizable fraction of the inter-cluster
+    * gap"). Overridable per call. */
+  val DefaultMaxDrift = 0.3
+
+  /** Drift-gated incremental index refresh (the centroid counterpart of
+    * Dedup.refreshedClusterLabels): serve the centroid artifact for the
+    * grown corpus at `newDir` (= `oldDir` plus an appended batch). Gate
+    * with [[centroidDrift]] between the existing corpus and the batch:
+    * if no label drifted beyond `maxDrift`, the OLD centroids are still
+    * a statistically valid index for the grown corpus — persist THEM
+    * under the new corpus key (kilobytes copied, no Lloyd pass; IVF
+    * serving is correct under any centroid set, fit only affects
+    * recall/cell balance). Past the gate, retrain from scratch on the
+    * full new corpus. Returns (centroids, rebuilt?). A batch with no
+    * label overlap yields no drift signal and conservatively retrains.
+    * NOTE: this seam is for live append pipelines; the driver's oracle
+    * corpora are immutable and never pass through it. */
+  private[graft] def refreshedCentroids(spark: SparkSession, oldDir: String,
+      newDir: String, maxDrift: Double = DefaultMaxDrift): (DataFrame, Boolean) = {
+    val old = graft.Tables.load(spark, oldDir, "embeddings")
+    val neu = graft.Tables.load(spark, newDir, "embeddings")
+    val batch = neu.join(old.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val worst = centroidDrift(old, batch).agg(max(col("drift"))).first()
+    val rebuild = worst.isNullAt(0) || worst.getDouble(0) > maxDrift
+    val served = graft.sources.Artifacts.servePersisted(
+      spark, centroidsArtifactName(spark, newDir))(
+      if (rebuild) computeTrainedCentroids(spark, newDir)
+      else trainedCentroids(spark, oldDir))
+    (served, rebuild)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

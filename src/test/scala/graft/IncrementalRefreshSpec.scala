@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Incremental artifact refresh (VERDICT r6 task 6): appending a batch
+  * updates the labels / centroid artifacts at batch-probe cost — no
+  * corpus-wide propagation loop, no unconditional retrain — and the
+  * refreshed artifacts are EXACTLY what a from-scratch rebuild produces
+  * (labels) or a drift-gate-justified reuse (centroids).
+  */
+class IncrementalRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------------
+  // crafted corpora: shingle arithmetic puts pair similarities on the
+  // designed side of ClusterThreshold=0.6 (word-3-grams; an interior
+  // single-word substitution kills exactly 3 shingles, an interior
+  // 8-word segment substitution kills exactly 10)
+  // -------------------------------------------------------------------
+  private def words(prefix: String, n: Int): IndexedSeq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  private def substituted(base: IndexedSeq[String], at: Seq[Int], tag: String): String =
+    base.zipWithIndex.map { case (w, i) =>
+      if (at.contains(i)) s"$tag$i" else w
+    }.mkString(" ")
+
+  private val base62 = words("tok", 62)
+  private val subsAll = Seq(5, 12, 19, 26, 33, 40, 47, 54) // interior, ≥7 apart
+
+  /** Two distinct near-dup clusters (A,A') and (B,B'):
+    * j(A,B) = 36/84 ≈ 0.43 < 0.6, within-cluster j = 57/63 ≈ 0.90. */
+  private val docA  = base62.mkString(" ")
+  private val docA2 = substituted(base62, Seq(30), "alt")
+  private val docB  = substituted(base62, subsAll, "sub")
+  private val docB2 = substituted(base62, subsAll, "sub")
+    .split(" ").updated(31, "alt31b").mkString(" ")
+  /** Bridge doc: B's first four substitutions only —
+    * j(C,A) = j(C,B) = 48/72 ≈ 0.667, both ≥ 0.6. */
+  private val docC = substituted(base62, subsAll.take(4), "sub")
+  private val docIso  = words("iso", 40).mkString(" ")     // isolated in v1
+  private val docIso2 = substituted(words("iso", 40), Seq(20), "late")
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("refreshLabels == from-scratch rebuild, including a merge bridged by the batch") {
+    val existing = Seq(
+      10L -> docA, 11L -> docA2, 20L -> docB, 21L -> docB2, 30L -> docIso
+    ).toDF("doc_id", "text")
+    val batch = Seq(100L -> docC, 101L -> docIso2).toDF("doc_id", "text")
+
+    val oldLabels = Dedup.minLabelComponents(Dedup.lshEdgesOf(existing))
+    // preconditions: two distinct clusters, isolated doc unlabeled
+    val before = labelSet(oldLabels)
+    assert(before === Set((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)),
+      s"v1 corpus must form exactly two clusters, got $before")
+
+    val refreshed = labelSet(Dedup.refreshLabels(existing, oldLabels, batch))
+    val scratch = labelSet(Dedup.minLabelComponents(
+      Dedup.lshEdgesOf(existing.unionAll(batch))))
+    assert(refreshed === scratch, "incremental refresh must equal a full rebuild")
+    // the bridge merged both clusters under the global min label…
+    assert(Set(10L, 11L, 20L, 21L, 100L).forall(d => refreshed.contains((d, 10L))),
+      s"bridge doc must merge A- and B-clusters under label 10: $refreshed")
+    // …and the previously-isolated doc gained its first edge
+    assert(refreshed.contains((30L, 30L)) && refreshed.contains((101L, 30L)))
+  }
+
+  /** Count Spark jobs triggered by `body` (job-group scoped; the listener
+    * bus is async, so poll until the count settles). */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val group = s"count-${System.nanoTime()}"
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (Option(j.properties.getProperty("spark.jobGroup.id")).contains(group))
+          n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    var (prev, settled) = (-1, n.get())
+    while (prev != settled) { Thread.sleep(300); prev = settled; settled = n.get() }
+    spark.sparkContext.removeSparkListener(l)
+    settled
+  }
+
+  /** An 8-doc near-dup CHAIN (adjacent j = 60/80 = 0.75, two-apart
+    * j = 50/90 ≈ 0.56 < 0.6): propagation needs ~diameter rounds, so a
+    * from-scratch rebuild pays many loop jobs that the contracted
+    * refresh must not. */
+  private val chainBase = words("ch", 72)
+  private def chainDoc(i: Int): String =
+    chainBase.zipWithIndex.map { case (w, p) =>
+      if (p < 8 * i) s"cs$p" else w
+    }.mkString(" ")
+
+  test("refreshedClusterLabels: artifact refresh is batch-scale and a cold serve sees it") {
+    val oldDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "inc-old-").toString
+    val newDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "inc-new-").toString
+    val chain = (0 until 8).map(i => (i.toLong, chainDoc(i), "en", "s", 100L))
+    val batchRows = Seq((100L, chainDoc(7).replace("ch70", "zz70"), "en", "s", 100L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    chain.toDF(cols: _*).write.parquet(s"$oldDir/documents.parquet")
+    (chain ++ batchRows).toDF(cols: _*).write.parquet(s"$newDir/documents.parquet")
+
+    // build (and persist) the v1 artifact — the deployment precondition
+    val v1 = labelSet(Dedup.clusterLabels(spark, oldDir))
+    assert(v1 === (0 until 8).map(i => (i.toLong, 0L)).toSet,
+      s"chain must form one cluster labeled 0, got $v1")
+
+    var refreshedLabels: Set[(Long, Long)] = null
+    val refreshJobs = countJobs {
+      refreshedLabels = labelSet(Dedup.refreshedClusterLabels(spark, oldDir, newDir))
+    }
+    val scratchJobs = countJobs {
+      assert(labelSet(Dedup.minLabelComponents(Dedup.lshEdges(spark, newDir)))
+        === refreshedLabels, "refresh must equal the from-scratch label table")
+    }
+    assert(refreshedLabels.contains((100L, 0L)), "batch doc joins the chain cluster")
+    info(s"refresh build jobs=$refreshJobs, from-scratch jobs=$scratchJobs")
+    assert(refreshJobs < scratchJobs,
+      s"contracted refresh ($refreshJobs jobs) must beat the corpus-wide " +
+        s"propagation loop ($scratchJobs jobs)")
+
+    // cold serve: drop only the CATALOG entry (files persist, as after a
+    // JVM restart) — d08's serve path must re-register and read the
+    // incrementally built table without any build jobs
+    spark.sql(s"DROP TABLE IF EXISTS `${graft.sources.Artifacts.Db}`." +
+      s"`${Dedup.labelsArtifactName(spark, newDir)}`")
+    var coldServed: Set[(Long, Long)] = null
+    val serveJobs = countJobs {
+      coldServed = labelSet(Dedup.clusterLabels(spark, newDir))
+    }
+    assert(coldServed === refreshedLabels, "cold serve must see the refreshed labels")
+    info(s"cold serve jobs=$serveJobs")
+    assert(serveJobs < refreshJobs,
+      "serving the refreshed artifact must not rebuild anything")
+  }
+
+  // -------------------------------------------------------------------
+  // drift-gated centroid refresh: deterministic two-cluster embedding
+  // fixture; a same-distribution batch reuses the trained index, a
+  // shifted batch forces retraining
+  // -------------------------------------------------------------------
+  private def vec(center: Array[Float], i: Int): Array[Float] =
+    center.zipWithIndex.map { case (c, d) => c + 0.01f * (((i * 7 + d * 3) % 5) - 2) }
+
+  private val c0 = Array(1f, 0f, 0f, 0f)
+  private val c1 = Array(0f, 1f, 0f, 0f)
+  private val cShift = Array(0f, 0f, 1f, 0f) // ‖c0 − cShift‖ = √2 ≫ 0.3
+
+  private def writeEmb(dir: String, rows: Seq[(Long, Array[Float], Int)]): Unit =
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+  test("refreshedCentroids: same-distribution batch reuses, drifted batch retrains") {
+    val oldRows = (0 until 20).map(i => (i.toLong, vec(c0, i), 0)) ++
+      (20 until 40).map(i => (i.toLong, vec(c1, i), 1))
+    val calmBatch = (100 until 110).map(i => (i.toLong, vec(c0, i), 0)) ++
+      (110 until 120).map(i => (i.toLong, vec(c1, i), 1))
+    val driftBatch = (200 until 220).map(i => (i.toLong, vec(cShift, i), 0))
+
+    val dirs = (1 to 3).map(_ => java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "inc-emb-").toString)
+    writeEmb(dirs(0), oldRows)
+    writeEmb(dirs(1), oldRows ++ calmBatch)
+    writeEmb(dirs(2), oldRows ++ driftBatch)
+
+    def cents(df: DataFrame): Set[(Long, Seq[Double])] =
+      df.select(col("cent_id"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val oldCents = cents(Similarity.trainedCentroids(spark, dirs(0)))
+
+    val (calm, calmRebuilt) = Similarity.refreshedCentroids(spark, dirs(0), dirs(1))
+    assert(!calmRebuilt, "an un-drifted batch must not trigger retraining")
+    assert(cents(calm) === oldCents,
+      "the reused index must be byte-identical to the v1 centroids")
+
+    val (shifted, driftRebuilt) = Similarity.refreshedCentroids(spark, dirs(0), dirs(2))
+    assert(driftRebuilt, "a cluster that moved √2 must trip the 0.3 gate")
+    assert(cents(shifted) !== oldCents,
+      "retraining on the drifted corpus must move the centroids")
+  }
+}
