@@ -19,7 +19,10 @@ object ScalingBench {
     // (band-join scale path), the contamination-pair anti-join apply,
     // the closed-form sequence-pack manifest, and the spectrum rollup
     "d16_containment_audit", "d15_decontaminate_apply",
-    "p10_sequence_pack", "t18_freq_spectrum")
+    "p10_sequence_pack", "t18_freq_spectrum",
+    // round-7 additions: the guaranteed-recall containment sketch and
+    // the grouped recursive prefix sum (skew-proof targets)
+    "d17_containment_sketch", "p12_budget_headcut")
   private val CappedQueries = Seq("d02_ngram_jaccard", "d05_embedding_neardup")
 
   def main(args: Array[String]): Unit = {

@@ -53,6 +53,62 @@ class ScaleSpec extends SparkSpec {
     assert(lines.exceptAll(direct).isEmpty && direct.exceptAll(lines).isEmpty)
   }
 
+  test("skewed-corpus shape (gen_sf_local --skew): the probe takes the salted branch") {
+    // the exact key distribution tools/gen_sf_local.py --skew writes:
+    // 20% of orders on one hot o_custkey, the rest uniform — the 1/64
+    // position sample must surface the hot key and salt the join, and
+    // the salted result must equal the plain join row-for-row
+    val nOrd = 60000
+    val big = spark.range(nOrd).select(
+      when(pmod($"id" * 2654435761L, lit(5)) === 0, lit(0L))
+        .otherwise(pmod($"id" * 40503L, lit(6000))).as("o_custkey"),
+      $"id".as("o_orderkey"))
+    val small = spark.range(6000)
+      .select($"id".as("o_custkey"), concat(lit("Customer#"), $"id").as("c_name"))
+    val joined = Scale.skewAwareJoin(big, small, "o_custkey",
+      rowThreshold = nOrd / 10, salt = 8)
+    assert(joined.queryExecution.analyzed.toString.contains("__salt"),
+      "a 20%-hot customer key must trip the salted branch")
+    val plain = big.join(small, Seq("o_custkey"))
+    assert(joined.select($"o_custkey", $"o_orderkey", $"c_name")
+      .exceptAll(plain.select($"o_custkey", $"o_orderkey", $"c_name")).isEmpty)
+    assert(plain.count() === joined.count())
+  }
+
+  test("AQE skew-join splitting fires on a hot shuffle partition") {
+    // beyond the explicit salt: Spark's own OptimizeSkewedJoin must
+    // kick in on a skewed sort-merge join once the (lowered) size
+    // thresholds are met — the runtime safety net the session enables
+    // (spark.sql.adaptive.skewJoin.enabled) for joins that are not
+    // routed through skewAwareJoin
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(200000).select(
+        when($"id" % 5 === 0, $"id").otherwise(lit(7L)).as("k"),
+        concat(lit("payload-payload-payload-"), $"id").as("pad"))
+      val right = spark.range(50000)
+        .select($"id".as("k"), concat(lit("right-"), $"id").as("rpad"))
+      val joined = big.join(right, Seq("k"))
+      // execute THIS frame's own plan (count() would plan a separate
+      // aggregate query and leave joined's adaptive plan unfinalized)
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition's SMJ as skew-split, plan:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("two-phase top-k per key equals the single-window top-k") {
     val df = spark.range(5000).select(
       ($"id" % 13).as("g"), ($"id" * 2654435761L % 1000003L).as("score"), $"id")
