@@ -85,9 +85,21 @@ object Bench {
     }.mkString("{", ",", "}")
     // -1 failure sentinels must not subtract from the suite total
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
-    println(
+    val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}""")
+      s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
+    println(line)
+    // Self-contained official artifact: the driver's stdout capture keeps
+    // only a 2 KB tail (BENCH_r06/r07 both arrived with `parsed: null`),
+    // so the full JSON line is also written to a fixed path the driver —
+    // or a human — can pick up after the run.
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -22,10 +22,13 @@ object ScalingBench {
     "p10_sequence_pack", "t18_freq_spectrum",
     // round-7 additions: the guaranteed-recall containment sketch and
     // the grouped recursive prefix sum (skew-proof targets)
-    "d17_containment_sketch", "p12_budget_headcut")
+    "d17_containment_sketch", "p12_budget_head_cut")
   private val CappedQueries = Seq("d02_ngram_jaccard", "d05_embedding_neardup")
 
   def main(args: Array[String]): Unit = {
+    // fail fast on a typo'd query name rather than aborting mid-sweep
+    val unknown = (ScaleQueries ++ CappedQueries).filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"ScalingBench names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("target/testdata-local/sf0.1", "target/testdata-local/sf1")
     val capDir = sys.env.get("GRAFT_CAPCHECK_DIR")

@@ -780,10 +780,27 @@ object Dedup {
   // ---------------------------------------------------------------------
   val AnchorK = 4
 
-  /** Containment-sketch audit over ANY (doc_id, text) frame — d16's
-    * output contract with candidate recall guaranteed by CONTAINMENT
-    * (miss ≤ (1-c)^K) rather than resemblance. */
-  def containmentSketch(docs: DataFrame): DataFrame = {
+  /** Document-frequency cap on the INVERTED-INDEX side of the anchor
+    * probe (env-tunable). The probe's fanout is Σ_anchors df(anchor);
+    * on a template-heavy corpus a hot boilerplate shingle with df ≈
+    * corpus size turns one unlucky anchor into a near-cartesian
+    * candidate wave. Shingles with df > cap are dropped from the index
+    * side ONLY — every doc still contributes all [[AnchorK]] anchors,
+    * an over-cap anchor merely finds no partner. Recall: a shingle in
+    * >cap documents is near-useless containment evidence (it does not
+    * distinguish the containing doc from cap others), and the pair's
+    * remaining anchors still bound the miss probability — (1-c)^K
+    * degrades only by the capped anchors' share (spec-pinned ≥0.95 on
+    * a boilerplate-heavy corpus). Worst-case candidate fanout becomes
+    * docs·K·cap — linear in the corpus at fixed cap — instead of
+    * docs·K·df_max. */
+  val AnchorDfCap: Long = sys.env.getOrElse("GRAFT_D17_DF_CAP", "1024").toLong
+
+  /** The sketch's candidate stream: bottom-K anchor shingles per doc
+    * probing the df-capped full shingle inverted index. Exposed to the
+    * recall/fanout spec so the cap's candidate bound is assertable
+    * without re-deriving the join. */
+  private[graft] def sketchCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
     val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
     val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -793,17 +810,33 @@ object Dedup {
       .where(col("rk") <= AnchorK)
       .select(col("doc_id"), col("h"))
     // Probe join on the 60→31-bit hash, not the shingle string: the
-    // shuffle carries longs; a hash collision can only ADD a candidate,
-    // and the exact verify stage discards it.
-    val cand = anchors.as("p")
-      .join(hashed.as("q"),
+    // shuffle carries longs; a hash collision can only ADD a candidate
+    // (or, on the df side, only make the cap MORE conservative), and
+    // the exact verify stage discards phantoms.
+    val dfOk = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    val index = hashed.join(dfOk, Seq("h"), "left_semi")
+    anchors.as("p")
+      .join(index.as("q"),
         col("p.h") === col("q.h") && col("p.doc_id") =!= col("q.doc_id"))
       .select(least(col("p.doc_id"), col("q.doc_id")).as("doc_a"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    scoreContainment(cand, sh, sizes)
   }
+
+  /** Containment-sketch audit over ANY (doc_id, text) frame — d16's
+    * output contract with candidate recall guaranteed by CONTAINMENT
+    * (miss ≤ (1-c)^K) rather than resemblance, at an explicit probe-side
+    * df cap. */
+  def containmentSketch(docs: DataFrame, dfCap: Long): DataFrame = {
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    scoreContainment(sketchCandidates(docs, dfCap), sh, sizes)
+  }
+
+  /** [[containmentSketch]] at the default [[AnchorDfCap]]. */
+  def containmentSketch(docs: DataFrame): DataFrame =
+    containmentSketch(docs, AnchorDfCap)
 
   def d17ContainmentSketch(spark: SparkSession, dir: String): DataFrame =
     containmentSketch(excerptAugmented(spark, dir))
@@ -1530,10 +1563,12 @@ object Dedup {
          |                              ORDER BY h ASC, shingle ASC) AS rk
          |    FROM h)
          |  WHERE rk <= $AnchorK),
+         |dfok AS (SELECT h FROM h GROUP BY h HAVING count(*) <= $AnchorDfCap),
+         |idx AS (SELECT doc_id, h FROM h WHERE h IN (SELECT h FROM dfok)),
          |cand AS (
          |  SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_a,
          |                  greatest(p.doc_id, q.doc_id) AS doc_b
-         |  FROM anchors p JOIN h q ON p.h = q.h AND p.doc_id <> q.doc_id),
+         |  FROM anchors p JOIN idx q ON p.h = q.h AND p.doc_id <> q.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |$sharedCountsSql
          |$scoreContainmentSql""".stripMargin,

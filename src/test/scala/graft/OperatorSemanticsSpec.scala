@@ -1024,6 +1024,56 @@ class OperatorSemanticsSpec extends SparkSpec {
         "on low-Jaccard containment pairs (else the fixture has no hard cases)")
   }
 
+  test("d17 df-cap: candidate fanout bounded on a template-heavy corpus, recall stays ≥95% under the cap") {
+    // Template-heavy corpus (the d12 shape): every page opens with the
+    // SAME 30-word boilerplate header — each header shingle has
+    // df = n_pages, the hot-shingle case the probe cap exists for —
+    // followed by a per-doc unique tail. Excerpts are 20-word slices of
+    // a page's UNIQUE tail: containment-1.0 pairs whose anchor evidence
+    // (df ≤ 2 tail shingles) survives the cap, so the cap removes the
+    // boilerplate candidate wave without touching true-pair recall.
+    val rng = new scala.util.Random(7)
+    val boiler = (0 until 30).map(i => s"tmpl$i").mkString(" ")
+    val nPages = 120
+    val pages = (0 until nPages).map { i =>
+      val tail = (0 until 40).map(_ => s"w${rng.nextInt(5000)}x$i").mkString(" ")
+      (i.toLong, s"$boiler $tail")
+    }
+    val excerpts = pages.collect { case (id, t) if id % 4 == 0 =>
+      (-id - 1L, t.split(" ").drop(35).take(20).mkString(" ")) // pure-tail slice
+    }
+    val docs = (pages ++ excerpts).toDF("doc_id", "text")
+
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = (pages ++ excerpts).map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = sets.keys.toArray.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      sa = sets(ids(i)); sb = sets(ids(j))
+      shared = (sa intersect sb).size
+      if shared.toDouble / math.min(sa.size, sb.size) >= Dedup.ContainmentThreshold
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.size >= excerpts.size, "every excerpt-page pair must be containment truth")
+
+    val cap = 16L // header shingles (df = 120) excluded; tail shingles (df ≤ 2) kept
+    val capped = Dedup.sketchCandidates(docs, cap).count()
+    val uncapped = Dedup.sketchCandidates(docs, Long.MaxValue).count()
+    // the design bound: fanout ≤ docs·K·cap even on the worst corpus —
+    // and the cap must visibly remove the boilerplate candidate wave
+    assert(capped <= (nPages + excerpts.size) * Dedup.AnchorK * cap,
+      s"capped candidates $capped exceed the docs*K*cap bound")
+    assert(uncapped > capped * 5,
+      s"fixture not template-heavy enough to demonstrate the cap ($uncapped vs $capped)")
+
+    val emitted = Dedup.containmentSketch(docs, cap)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.subsetOf(truth), s"phantom pairs under cap: ${emitted -- truth}")
+    val recall = emitted.intersect(truth).size.toDouble / truth.size
+    info(f"truth=${truth.size}, capped cand=$capped, uncapped cand=$uncapped, recall=$recall%.3f")
+    assert(recall >= 0.95, f"df-cap must not cost true-pair recall, got $recall%.3f")
+  }
+
   test("t18 frequency spectrum: counts-of-counts and Good-Turing r* match a JVM recount") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("lang"), col("text")).collect()
