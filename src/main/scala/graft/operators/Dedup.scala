@@ -884,6 +884,62 @@ object Dedup {
   private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
     "labels_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // Persisted DEDUP INDEX artifacts (VERDICT r7 task 2): the per-doc
+  // signature row (text md5 + MinHash signature + set size) and the
+  // doc-shingle index, materialized ONCE per corpus like the label and
+  // centroid tables. These are what make the incremental paths (d10
+  // probe, label refresh) genuinely batch-scale: without them every
+  // "incremental" run re-shingled and re-signed the full existing
+  // corpus — a daily 100 TB text scan on a daily-append pipeline, the
+  // exact cost class the incremental operators exist to avoid. The
+  // reference's own idiom is materialize-once-reuse-everywhere
+  // (TyreStore Challenge.py:162-166 persists `delta.carts` and every
+  // later cell reads the table, not the raw files).
+  // ---------------------------------------------------------------------
+  /** Per-doc dedup-index row over ANY (doc_id, text) frame: text md5
+    * (exact-dup probes) + MinHash signature and shingle-set size
+    * (band-candidate probes). LEFT join keeps docs with <3 words
+    * (no shingles): their null band keys can never equi-match, but
+    * their md5 still serves exact-dup checks. */
+  private[graft] def dedupIndexOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(lshSignatures(shinglesOf(docs.select(col("doc_id"), col("text")))),
+        Seq("doc_id"), "left_outer")
+
+  /** Index/shingle artifact names — the same (corpus fingerprint,
+    * defining plan) key discipline as the label table: a regenerated
+    * corpus or a changed shingle/signature derivation misses and
+    * rebuilds, never serves stale. */
+  private[graft] def dedupIndexArtifactName(spark: SparkSession, dir: String): String =
+    "dedupsig_" + graft.sources.Artifacts.key(spark, dir,
+      dedupIndexOf(Tables.load(spark, dir, "documents")))
+
+  private[graft] def shingleArtifactName(spark: SparkSession, dir: String): String =
+    "shingles_" + graft.sources.Artifacts.key(spark, dir,
+      shinglesOf(Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))))
+
+  /** The per-doc signature index, served as a persisted catalog
+    * artifact. Build-once: every incremental consumer probes this table
+    * instead of re-signing the corpus. */
+  private[graft] def persistedDedupIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, dedupIndexArtifactName(spark, dir)) {
+      dedupIndexOf(Tables.load(spark, dir, "documents"))
+    }
+
+  /** The doc-shingle inverted-index rows, served as a persisted catalog
+    * artifact. The build clusters rows by doc_id (range partition +
+    * in-partition sort) so the verify stage's candidate-endpoint reads
+    * prune parquet row groups by doc_id min/max instead of scanning the
+    * whole index. The defining KEY plan stays the raw derivation — the
+    * layout step changes bytes-on-disk, not rows, so from-scratch and
+    * chained builds keep the same key contract. */
+  private[graft] def persistedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, shingleArtifactName(spark, dir)) {
+      shinglesOf(Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+        .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id"))
+    }
+
   /** The near-dup label table, served as a PERSISTED CATALOG ARTIFACT —
     * the dedup counterpart of Similarity's trained-centroid table: a real
     * pipeline materializes the labels ONCE (d08 is that build) and every
@@ -956,26 +1012,32 @@ object Dedup {
   // ---------------------------------------------------------------------
   val IncrementalMod = 7
 
-  /** Incremental dedup of a new batch against an existing corpus, over
-    * ARBITRARY (doc_id, text) frames with disjoint doc_ids — band
-    * lookups pair NEW × EXISTING only, so cost scales with the batch,
-    * not the corpus. Each side's signatures derive independently, so a
-    * deployment can point `existing` at an already-materialized corpus
-    * table while `incoming` is today's crawl. */
-  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+  /** Incremental dedup of a new batch against an existing corpus's
+    * PRE-BUILT index — the deployment shape: `existingIndex` is the
+    * [[persistedDedupIndex]] table (doc_id, text_md5, mh*, n) and
+    * `existingShingles` the [[persistedShingles]] table; NO existing
+    * TEXT is read. Exact-dup probes hash-join the batch md5s into the
+    * index; band lookups pair NEW × EXISTING only; exact verification
+    * reads existing shingle rows solely for collided docs (semi-join
+    * pushdown into the doc_id-clustered shingle table). Cost: batch
+    * derivation + collided-bucket index reads — never corpus-linear. */
+  def incrementalDedup(incoming: DataFrame, existingIndex: DataFrame,
+      existingShingles: DataFrame): DataFrame = {
     val exactMatch = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("m")), Seq("h"))
+      .join(existingIndex.select(col("text_md5").as("h"), col("doc_id").as("m")), Seq("h"))
       .groupBy(col("doc_id")).agg(min(col("m")).as("exact_match"))
     val shInc = shinglesOf(incoming.select(col("doc_id"), col("text")))
-    val shEx = shinglesOf(existing.select(col("doc_id"), col("text")))
     val sigInc = lshSignatures(shInc)
-    val sigEx = lshSignatures(shEx)
     // band lookups into the existing index only — disjoint sides, so no
-    // doc_a < doc_b canonicalization
-    val cand = bandCandidates(sigInc, sigEx, canonical = false)
-    val sh = shInc.unionAll(shEx)
+    // doc_a < doc_b canonicalization. Persisted: consumed by both the
+    // touched-doc restriction and the verify join.
+    val cand = bandCandidates(sigInc, existingIndex, canonical = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = cand.select(col("doc_b").as("doc_id")).distinct()
+    val shEx = existingShingles.join(touched, Seq("doc_id"), "left_semi")
+    val sh = shInc.unionAll(shEx.select(col("doc_id"), col("shingle")))
     val sizes = sigInc.select(col("doc_id"), col("n"))
-      .unionAll(sigEx.select(col("doc_id"), col("n")))
+      .unionAll(existingIndex.select(col("doc_id"), col("n")))
     val nearMatch = thresholdEdges(sharedCounts(cand, sh), sizes)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
     incoming.select(col("doc_id"))
@@ -989,11 +1051,25 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Incremental dedup over ARBITRARY (doc_id, text) frames with
+    * disjoint doc_ids — derives the existing side's index in-query.
+    * One-shot form; a deployment (and the d10 wrapper) serves the
+    * persisted index instead so daily cost scales with the batch. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame =
+    incrementalDedup(incoming, dedupIndexOf(existing),
+      shinglesOf(existing.select(col("doc_id"), col("text"))))
+
   def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // The existing side probes the PERSISTED index artifacts, filtered
+    // to the fixture's existing ids — per-doc rows are corpus-independent,
+    // so the filtered full-corpus artifact equals an index built over the
+    // existing side alone, and the serve path is the one a deployment
+    // pays daily (the oracle re-derives identical state from raw text).
     incrementalDedup(
       docs.where(col("doc_id") % IncrementalMod === 0),
-      docs.where(col("doc_id") % IncrementalMod =!= 0))
+      persistedDedupIndex(spark, dir).where(col("doc_id") % IncrementalMod =!= 0),
+      persistedShingles(spark, dir).where(col("doc_id") % IncrementalMod =!= 0))
   }
 
   // ---------------------------------------------------------------------
