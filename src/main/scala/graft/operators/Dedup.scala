@@ -566,7 +566,7 @@ object Dedup {
   }
 
   /** Unpersist the materialized RDD behind a localCheckpoint'ed frame. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.optimizedPlan.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(false))
@@ -1040,7 +1040,7 @@ object Dedup {
       .unionAll(existingIndex.select(col("doc_id"), col("n")))
     val nearMatch = thresholdEdges(sharedCounts(cand, sh), sizes)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
-    incoming.select(col("doc_id"))
+    val out = incoming.select(col("doc_id"))
       .join(exactMatch, Seq("doc_id"), "left_outer")
       .join(nearMatch, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1049,6 +1049,21 @@ object Dedup {
           .otherwise("keep").as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
       .orderBy(col("doc_id").asc)
+    // Materialize NOW (one job — the cand cache serves both its consumers
+    // inside it), then release every per-invocation cache: cand and the
+    // batch-side shingle/signature frames are BATCH-keyed plans that —
+    // unlike the corpus-keyed shinglesOf idiom — can never be re-served
+    // by a later query, so leaving them cached leaked one CacheManager
+    // entry per daily batch for the JVM's lifetime. The returned frame is
+    // the batch-sized verdict table as checkpointed partitions; its
+    // blocks are freed by the ContextCleaner once the caller drops the
+    // Dataset (the minLabelComponents idiom) or eagerly via
+    // [[freeCheckpoint]].
+    val result = out.localCheckpoint()
+    cand.unpersist(false)
+    shInc.unpersist(false)
+    sigInc.unpersist(false)
+    result
   }
 
   /** Incremental dedup over ARBITRARY (doc_id, text) frames with

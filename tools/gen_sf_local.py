@@ -232,13 +232,18 @@ def main():
     # keep mtimes (and therefore artifact fingerprints) stable.
     docs = (gen_documents_skewed if skew else gen_documents)(n_docs, rng)
     vecs = (gen_embeddings_skewed if skew else gen_embeddings)(n_vecs, rng)
+    wrote = []
     for name, t in [("documents", docs), ("embeddings", vecs)]:
         f = f"{out}/{name}.parquet"
         if os.path.exists(f):
             print(f"keep {f}")
         else:
             pq.write_table(t, f)
-    print(f"wrote {n_docs} docs + {n_vecs} vecs to {out} (skew={skew})")
+            wrote.append(name)
+    if wrote:
+        print(f"wrote {'+'.join(wrote)} ({n_docs} docs / {n_vecs} vecs) to {out} (skew={skew})")
+    else:
+        print(f"kept existing documents+embeddings in {out} (delete files to regenerate)")
     if star_mult is not None:
         srng = np.random.default_rng(4242)
         for name, t in gen_star(star_mult, srng, skew).items():
