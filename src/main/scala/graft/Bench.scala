@@ -91,15 +91,24 @@ object Bench {
     println(line)
     // Self-contained official artifact: the driver's stdout capture keeps
     // only a 2 KB tail (BENCH_r06/r07 both arrived with `parsed: null`),
-    // so the full JSON line is also written to a fixed path the driver —
-    // or a human — can pick up after the run.
-    try {
-      val out = java.nio.file.Paths.get("target/bench_last.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
-    }
+    // so the full JSON line is also written to files a human — or the
+    // driver — can pick up after the run:
+    //  - target/bench_last.json: the fixed scratch path (latest run wins);
+    //  - target/bench_history/bench_<utcstamp>.json: APPEND-ONLY archive,
+    //    one file per invocation, which no sweep script shares or deletes
+    //    (round 9's scaling sweep rm'd bench_last.json and erased the
+    //    official per-query numbers 13 minutes after they were written).
+    def writeOut(path: java.nio.file.Path): Unit =
+      try {
+        java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.writeString(path, line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeOut(java.nio.file.Paths.get("target/bench_last.json"))
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    writeOut(java.nio.file.Paths.get(s"target/bench_history/bench_$stamp.json"))
     spark.stop()
   }
 }

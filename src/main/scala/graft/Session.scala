@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    executor memory with headroom; at 100 TB the default 128m yields
   *    ~800k tasks — acceptable, raise to 256m if task overhead dominates.
   *  - UTC session time pins date-part determinism.
-  *  - `nanosAsLong` handles parquet TIMESTAMP(NANOS) inputs (events).
+  *  - `nanosAsLong` lets parquet TIMESTAMP(NANOS) inputs load at all
+  *    (surfaced as Long; Tables.load adapts per-schema — micros-era
+  *    events files don't need it, but keeping it set is harmless).
   *  - GraftExtensions registers engine-native functions (graft_dot).
   */
 object Session {

@@ -20,18 +20,37 @@ object Tables {
   /** Read one synthetic table. Parquet scan → columnar, vectorized; filters
     * and projections placed on top are pushed into the scan by Catalyst.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * schema converter rejects outright. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.Session]]
-    * and the Verify/Bench mains) the column surfaces as nanos-since-epoch
-    * LongType; we convert to a proper TimestampType (micro precision,
-    * floor-truncated like DuckDB's TIMESTAMP_NS→TIMESTAMP read).
+    * `events.ts` has been written by different generator versions with
+    * different parquet logical types, so the loader adapts to whatever the
+    * scan surfaces instead of hard-coding one physical schema:
+    *  - TIMESTAMP(NANOS): Spark's converter rejects it outright unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[graft.Session]]),
+    *    under which it surfaces as nanos-since-epoch LongType → convert to
+    *    TimestampType (micro precision, floor-truncated like DuckDB's
+    *    TIMESTAMP_NS→TIMESTAMP read).
+    *  - TIMESTAMP(MICROS, adjusted-to-UTC): surfaces as TimestampType →
+    *    pass through.
+    *  - TIMESTAMP(MICROS, not adjusted): surfaces as TimestampNTZType →
+    *    cast to TimestampType. Session timezone is pinned UTC, so the
+    *    wall-clock values map to the same instants the nanos path produced.
+    * Anything else is a generator change we haven't seen: fail loudly with
+    * the file path rather than let 15 downstream queries mis-analyze.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType    => df
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case other => throw new IllegalArgumentException(
+          s"$path: events.ts surfaced as $other; expected nanos-as-long LongType, " +
+            "TimestampType, or TimestampNTZType. The generator's physical schema " +
+            "changed again — extend Tables.load for the new type.")
+      }
+    } else df
   }
 
   /** Snapshot memo key for dir-keyed scalar-probe memos (anchor date,
@@ -42,7 +61,31 @@ object Tables {
   def snapshotKey(spark: SparkSession, dir: String): String =
     dir + "@" + graft.sources.Artifacts.corpusFingerprint(spark, dir)
 
-  /** Register all tables as temp views so SQL-text entry points work too. */
+  /** Register just the named tables as temp views. Registration is
+    * per-table so a schema break in one table can only fail queries that
+    * actually read it — round 9 lost q14 (orders-only) to a broken
+    * `events` because the old all-or-nothing registration loaded every
+    * table eagerly. */
+  def register(spark: SparkSession, dir: String, tables: Seq[String]): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Table names referenced by a SQL text, by word-boundary match against
+    * the known catalog. Conservative on purpose: a table name appearing in
+    * a comment or string literal registers one extra view (harmless),
+    * whereas missing a real reference would fail analysis — so err toward
+    * matching. Column names (`l_partkey`, `part_a`) don't false-positive:
+    * `_` is a word character, so `\bpart\b` doesn't match inside them. */
+  def referencedTables(sql: String): Seq[String] =
+    names.filter(n => ("\\b" + n + "\\b").r.findFirstIn(sql).isDefined)
+
+  /** Register only the tables a SQL text references, then it's safe to run
+    * `spark.sql(sql)`: unrelated tables are never loaded. */
+  def registerFor(spark: SparkSession, dir: String, sql: String): Unit =
+    register(spark, dir, referencedTables(sql))
+
+  /** Register all tables as temp views so ad-hoc SQL works too. Prefer
+    * [[registerFor]] in query entry points: this form loads every table,
+    * so one broken file fails the whole call. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names)
 }

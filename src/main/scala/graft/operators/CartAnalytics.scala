@@ -454,15 +454,16 @@ object CartAnalytics {
   // word (`date`) as a column name.
   // ---------------------------------------------------------------------
   def q14CtePivot(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    spark.sql(
+    val sql =
       """WITH q AS (
         |  SELECT CAST(o_orderdate AS DATE) AS `date`, o_totalprice
         |  FROM orders WHERE o_orderstatus = 'O')
         |SELECT `date`,
         |       count(*) AS n_orders,
         |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_value
-        |FROM q GROUP BY `date` ORDER BY `date`""".stripMargin)
+        |FROM q GROUP BY `date` ORDER BY `date`""".stripMargin
+    Tables.registerFor(spark, dir, sql) // orders only — a broken events file can't block this
+    spark.sql(sql)
   }
 
   // ---------------------------------------------------------------------

@@ -17,7 +17,7 @@ import graft.Tables
 object CartSql {
 
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.registerFor(spark, dir, sql) // only the tables this text names
     spark.sql(sql)
   }
 

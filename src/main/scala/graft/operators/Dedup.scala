@@ -445,9 +445,25 @@ object Dedup {
     * measured against), so they refuse corpora where the quadratic plan
     * stops being an intentional choice — at scale use the bucketed
     * s02/s03 (ANN) and d03/d08 (dedup/clustering) paths instead.
-    * Overridable for eval runs that accept the cost. */
-  val BaselineMaxVectors: Long =
-    sys.env.getOrElse("GRAFT_BASELINE_MAX_VECTORS", "100000").toLong
+    * Overridable for eval runs that accept the cost.
+    *
+    * Default sized from measurement, not guesswork: the round-9 sf1
+    * study clocked d05 at 142–185 s for 20k vectors on local[32]
+    * (PERF.md §r9); pair cost is quadratic, so 25k ≈ 1.6× that — a
+    * worst-case accidental run stays under ~5 minutes. The old 100k
+    * default admitted a ~1 h run while claiming to be a guard. */
+  val BaselineMaxVectors: Long = envLong("GRAFT_BASELINE_MAX_VECTORS", 25000L)
+
+  /** Validated env-var long parse: a typo'd override fails with the
+    * variable name and offending text instead of a bare
+    * NumberFormatException out of a static initializer. */
+  private[graft] def envLong(name: String, default: Long): Long =
+    sys.env.get(name) match {
+      case None => default
+      case Some(s) => s.trim.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$s'"))
+    }
 
   private[graft] def requireBaselineSize(n: Long, cap: Long, op: String, alt: String): Unit =
     require(n <= cap,
@@ -794,14 +810,20 @@ object Dedup {
     * a boilerplate-heavy corpus). Worst-case candidate fanout becomes
     * docs·K·cap — linear in the corpus at fixed cap — instead of
     * docs·K·df_max. */
-  val AnchorDfCap: Long = sys.env.getOrElse("GRAFT_D17_DF_CAP", "1024").toLong
+  val AnchorDfCap: Long = envLong("GRAFT_D17_DF_CAP", 1024L)
 
   /** The sketch's candidate stream: bottom-K anchor shingles per doc
     * probing the df-capped full shingle inverted index. Exposed to the
     * recall/fanout spec so the cap's candidate bound is assertable
     * without re-deriving the join. */
-  private[graft] def sketchCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
-    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+  private[graft] def sketchCandidates(docs: DataFrame, dfCap: Long): DataFrame =
+    sketchCandidatesOf(shinglesOf(docs.select(col("doc_id"), col("text"))), dfCap)
+
+  /** [[sketchCandidates]] over an already-built (and typically already
+    * persisted) shingle frame, so callers that also need the shingles —
+    * [[containmentSketch]] scores candidates against them — build and
+    * cache the explode exactly once instead of twice. */
+  private[graft] def sketchCandidatesOf(sh: DataFrame, dfCap: Long): DataFrame = {
     val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("h").asc, col("shingle").asc)
@@ -831,7 +853,7 @@ object Dedup {
   def containmentSketch(docs: DataFrame, dfCap: Long): DataFrame = {
     val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    scoreContainment(sketchCandidates(docs, dfCap), sh, sizes)
+    scoreContainment(sketchCandidatesOf(sh, dfCap), sh, sizes)
   }
 
   /** [[containmentSketch]] at the default [[AnchorDfCap]]. */
@@ -1069,10 +1091,20 @@ object Dedup {
   /** Incremental dedup over ARBITRARY (doc_id, text) frames with
     * disjoint doc_ids — derives the existing side's index in-query.
     * One-shot form; a deployment (and the d10 wrapper) serves the
-    * persisted index instead so daily cost scales with the batch. */
-  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame =
-    incrementalDedup(incoming, dedupIndexOf(existing),
-      shinglesOf(existing.select(col("doc_id"), col("text"))))
+    * persisted index instead so daily cost scales with the batch. The
+    * derived existing-side caches are released before returning (safe:
+    * the 3-arg core localCheckpoints its result), so repeated one-shot
+    * calls over distinct corpora no longer leak CacheManager entries. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val shEx = shinglesOf(existing.select(col("doc_id"), col("text")))
+    val sigEx = lshSignatures(shEx)
+    val idx = existing.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(sigEx, Seq("doc_id"), "left_outer") // = dedupIndexOf, with handles
+    val result = incrementalDedup(incoming, idx, shEx)
+    sigEx.unpersist(false)
+    shEx.unpersist(false)
+    result
+  }
 
   def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -1102,26 +1134,33 @@ object Dedup {
   // component) plus batch/previously-isolated ids, so the component min
   // over contracted ids is the true min over all members.
   // ---------------------------------------------------------------------
-  /** Refresh an existing near-dup label table with a new batch, over
-    * ARBITRARY frames with disjoint doc_ids. `existingLabels` must be
-    * the label table of `existingDocs` (from [[minLabelComponents]] or
-    * the persisted artifact). Returns the label table of
-    * `existingDocs ∪ batch` — exactly what a from-scratch rebuild
-    * produces, at batch-probe cost (the existing side contributes its
-    * signature index and the shingles of touched docs, never a
-    * corpus-wide propagation loop). */
-  def refreshLabels(existingDocs: DataFrame, existingLabels: DataFrame,
-      batch: DataFrame): DataFrame = {
+  /** Refresh an existing near-dup label table with a new batch, probing
+    * the existing corpus's PRE-BUILT index — the deployment shape,
+    * mirroring the 3-arg [[incrementalDedup]]: `existingIndex` is the
+    * [[persistedDedupIndex]] table (doc_id, text_md5, mh*, n) and
+    * `existingShingles` the [[persistedShingles]] table; NO existing
+    * TEXT is read, and existing SHINGLE rows are read only for
+    * band-collided docs (semi-join pushdown into the doc_id-clustered
+    * shingle table). `existingLabels` must be the label table of the
+    * indexed corpus. Returns the label table of `existing ∪ batch` —
+    * exactly what a from-scratch rebuild produces, at batch-probe cost. */
+  def refreshLabels(existingIndex: DataFrame, existingShingles: DataFrame,
+      existingLabels: DataFrame, batch: DataFrame): DataFrame = {
     val shB = shinglesOf(batch.select(col("doc_id"), col("text")))
-    val shE = shinglesOf(existingDocs.select(col("doc_id"), col("text")))
     val sigB = lshSignatures(shB)
-    val sigE = lshSignatures(shE)
-    // batch×existing probes plus batch×batch self-pairs — no old×old work
-    val cand = bandCandidates(sigB, sigE, canonical = false)
+    // batch×existing probes plus batch×batch self-pairs — no old×old
+    // work. Persisted: consumed by the touched-doc restriction AND the
+    // verify join.
+    val cand = bandCandidates(sigB, existingIndex, canonical = false)
       .unionAll(bandCandidates(sigB, sigB, canonical = true))
-    val sh = shB.unionAll(shE)
-    val sizes = sigB.select(col("doc_id"), col("n"))
-      .unionAll(sigE.select(col("doc_id"), col("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // existing-side shingles/sizes only for docs a band collision touched
+    val touched = cand.select(col("doc_b").as("doc_id")).distinct()
+    val shE = existingShingles.join(touched, Seq("doc_id"), "left_semi")
+    val sh = shB.unionAll(shE.select(col("doc_id"), col("shingle")))
+    val sizes = sigB.select(col("doc_id"), col("n")).unionAll(
+      existingIndex.select(col("doc_id"), col("n"))
+        .join(touched, Seq("doc_id"), "left_semi"))
     val newEdges = thresholdEdges(sharedCounts(cand, sh), sizes)
     // contract: an existing endpoint is represented by its cluster label
     // (batch ids and previously-isolated existing ids pass through)
@@ -1144,7 +1183,35 @@ object Dedup {
     // covered by the remap — their own row remaps like any member's)
     val fresh = contractedLabels
       .join(existingLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    refreshedOld.unionAll(fresh)
+    // Materialize now (one job; the cand cache serves both consumers
+    // inside it), then release the batch-keyed caches — the
+    // incrementalDedup idiom: these plans can never be re-served by a
+    // later query, so leaving them cached leaks one CacheManager entry
+    // per refresh for the JVM's lifetime.
+    val result = refreshedOld.unionAll(fresh).localCheckpoint()
+    cand.unpersist(false)
+    shB.unpersist(false)
+    sigB.unpersist(false)
+    result
+  }
+
+  /** [[refreshLabels]] over ARBITRARY (doc_id, text) frames with disjoint
+    * doc_ids — the one-shot form: derives the existing side's index and
+    * shingles in-query (corpus-wide by construction). A deployment (and
+    * [[refreshedClusterLabels]]) serves the persisted artifacts instead,
+    * so refresh cost scales with the batch. The derived existing-side
+    * caches are released before returning (safe: the 4-arg core
+    * localCheckpoints its result), so the one-shot form leaks nothing. */
+  def refreshLabels(existingDocs: DataFrame, existingLabels: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val shEx = shinglesOf(existingDocs.select(col("doc_id"), col("text")))
+    val sigEx = lshSignatures(shEx)
+    val idx = existingDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(sigEx, Seq("doc_id"), "left_outer") // = dedupIndexOf, with handles
+    val result = refreshLabels(idx, shEx, existingLabels, batch)
+    sigEx.unpersist(false)
+    shEx.unpersist(false)
+    result
   }
 
   /** Artifact-level refresh: serve the labels artifact for the corpus at
@@ -1160,7 +1227,12 @@ object Dedup {
     val batch = newDocs
       .join(oldDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
     graft.sources.Artifacts.servePersisted(spark, labelsArtifactName(spark, newDir)) {
-      refreshLabels(oldDocs, clusterLabels(spark, oldDir), batch)
+      // existing side = oldDir's PERSISTED index/shingle artifacts: the
+      // refresh reads old doc_ids (anti-join above, text column pruned)
+      // and band-collided shingle rows — never the old corpus's text
+      refreshLabels(persistedDedupIndex(spark, oldDir),
+        persistedShingles(spark, oldDir),
+        clusterLabels(spark, oldDir), batch)
     }
   }
 

@@ -112,8 +112,13 @@ class IncrementalRefreshSpec extends SparkSpec {
     chain.toDF(cols: _*).write.parquet(s"$oldDir/documents.parquet")
     (chain ++ batchRows).toDF(cols: _*).write.parquet(s"$newDir/documents.parquet")
 
-    // build (and persist) the v1 artifact — the deployment precondition
+    // build (and persist) the v1 artifacts — the deployment precondition:
+    // a corpus under incremental maintenance has its labels AND its
+    // signature index/shingle tables materialized (the refresh probes
+    // the latter instead of re-reading the corpus text)
     val v1 = labelSet(Dedup.clusterLabels(spark, oldDir))
+    Dedup.persistedDedupIndex(spark, oldDir)
+    Dedup.persistedShingles(spark, oldDir)
     assert(v1 === (0 until 8).map(i => (i.toLong, 0L)).toSet,
       s"chain must form one cluster labeled 0, got $v1")
 
@@ -144,6 +149,77 @@ class IncrementalRefreshSpec extends SparkSpec {
     info(s"cold serve jobs=$serveJobs")
     assert(serveJobs < refreshJobs,
       "serving the refreshed artifact must not rebuild anything")
+  }
+
+  test("refreshedClusterLabels reads NO existing text: poisoning the old corpus's " +
+      "text (while serving the real artifacts) still yields the exact rebuild labels") {
+    import graft.sources.Artifacts
+    val oldDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "poison-old-").toString
+    val newDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "poison-new-").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val oldRows = Seq((10L, docA), (11L, docA2), (20L, docB), (21L, docB2))
+      .map { case (i, t) => (i, t, "en", "s", 100L) }
+    val batchRows = Seq((100L, docC, "en", "s", 100L)) // bridges A- and B-clusters
+    oldRows.toDF(cols: _*).write.parquet(s"$oldDir/documents.parquet")
+    (oldRows ++ batchRows).toDF(cols: _*).write.parquet(s"$newDir/documents.parquet")
+
+    // build the v1 artifacts from the REAL text, and the expected result
+    Dedup.persistedDedupIndex(spark, oldDir)
+    Dedup.persistedShingles(spark, oldDir)
+    Dedup.clusterLabels(spark, oldDir)
+    val realNames = Seq(Dedup.dedupIndexArtifactName(spark, oldDir),
+      Dedup.shingleArtifactName(spark, oldDir), Dedup.labelsArtifactName(spark, oldDir))
+    val expected = labelSet(Dedup.minLabelComponents(Dedup.lshEdgesOf(
+      (oldRows ++ batchRows).toDF(cols: _*).select($"doc_id", $"text"))))
+    assert(Set(10L, 11L, 20L, 21L, 100L).forall(d => expected.contains((d, 10L))),
+      s"fixture must merge both clusters through the bridge doc: $expected")
+
+    // poison the old corpus's TEXT in place (same doc_ids, same schema),
+    // then alias the real artifact files under the poisoned-fingerprint
+    // names — the serve path now behaves as if the artifacts were built
+    // from this corpus, but any code path that goes back to the old
+    // corpus's TEXT reads garbage and must corrupt the labels
+    oldRows.map { case (i, _, l, s, n) => (i, s"poison $i", l, s, n) }
+      .toDF(cols: _*).write.mode("overwrite").parquet(s"$oldDir/documents.parquet")
+    val poisonedNames = Seq(Dedup.dedupIndexArtifactName(spark, oldDir),
+      Dedup.shingleArtifactName(spark, oldDir), Dedup.labelsArtifactName(spark, oldDir))
+    assert(realNames.zip(poisonedNames).forall { case (a, b) => a != b },
+      "poisoning must change the artifact keys (else this test is vacuous)")
+    realNames.zip(poisonedNames).foreach { case (real, poisoned) =>
+      val loc = Artifacts.location(spark, real)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `${Artifacts.Db}`.`$poisoned` " +
+        s"USING parquet LOCATION '${fs.makeQualified(loc)}'")
+    }
+    val got = labelSet(Dedup.refreshedClusterLabels(spark, oldDir, newDir))
+    assert(got === expected,
+      "refresh must consume ONLY the persisted index/shingles/labels — a divergence " +
+        "here means some path re-read the (poisoned) existing corpus text")
+  }
+
+  test("three chained refreshes with cross-batch and bridging merges equal " +
+      "the from-scratch union rebuild") {
+    val existing = Seq(10L -> docA, 11L -> docA2, 20L -> docB, 21L -> docB2)
+      .toDF("doc_id", "text")
+    val b1 = Seq(100L -> docIso).toDF("doc_id", "text")  // isolated on arrival
+    val b2 = Seq(101L -> docIso2).toDF("doc_id", "text") // merges with PRIOR batch's doc
+    val b3 = Seq(102L -> docC).toDF("doc_id", "text")    // bridges the two v1 clusters
+    var corpus = existing
+    var labels = Dedup.minLabelComponents(Dedup.lshEdgesOf(existing))
+    for (b <- Seq(b1, b2, b3)) {
+      labels = Dedup.refreshLabels(corpus, labels, b)
+      corpus = corpus.unionAll(b)
+    }
+    val chained = labelSet(labels)
+    val scratch = labelSet(Dedup.minLabelComponents(Dedup.lshEdgesOf(corpus)))
+    assert(chained === scratch,
+      "chained refreshes must stay exactly equal to a from-scratch rebuild")
+    assert(Set(10L, 11L, 20L, 21L, 102L).forall(d => chained.contains((d, 10L))),
+      s"round-3 bridge must merge the two v1 clusters: $chained")
+    assert(chained.contains((100L, 100L)) && chained.contains((101L, 100L)),
+      s"docs isolated in round 1 must pair up in round 2: $chained")
   }
 
   // -------------------------------------------------------------------

@@ -236,4 +236,75 @@ class SourcesSpec extends SparkSpec {
     assert(graft.operators.Dedup.docCount(spark, dir) === 7L,
       "memo must not serve a value probed from the overwritten snapshot")
   }
+
+  // -------------------------------------------------------------------
+  // events.ts generation drift (round 9: the driver's generator switched
+  // parquet TIMESTAMP(NANOS) → TIMESTAMP(MICROS) and the hard-coded nanos
+  // shim took down 15 queries). Tables.load must adapt to every schema a
+  // generator has produced, and refuse loudly on one it hasn't.
+  // -------------------------------------------------------------------
+
+  import org.apache.spark.sql.functions.{expr, lit, min, unix_timestamp}
+
+  private def eventsFixture(dir: String)(ts: org.apache.spark.sql.Column): Unit =
+    spark.range(3)
+      .selectExpr("id AS event_id", "timestamp'2024-01-01 00:00:01' AS ts",
+        "id AS user_id", "'view' AS event_type", "1.0 AS value")
+      .withColumn("ts", ts)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("events loader: TIMESTAMP(MICROS) adjusted-to-UTC passes through as TimestampType") {
+    import org.apache.spark.sql.types.TimestampType
+    val dir = s"$tmpDir/ev-micros"
+    eventsFixture(dir)($"ts") // TimestampType writes TIMESTAMP(MICROS, adjusted)
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.select(unix_timestamp(min($"ts"))).first().getLong(0) === 1704067201L)
+  }
+
+  test("events loader: TIMESTAMP(MICROS) not-adjusted (NTZ) casts to TimestampType, UTC-pinned") {
+    import org.apache.spark.sql.types.TimestampType
+    val dir = s"$tmpDir/ev-ntz"
+    eventsFixture(dir)($"ts".cast("timestamp_ntz"))
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.select(unix_timestamp(min($"ts"))).first().getLong(0) === 1704067201L)
+  }
+
+  test("events loader: nanos-since-epoch Long (how TIMESTAMP(NANOS) surfaces under " +
+      "nanosAsLong) converts with micro floor-truncation") {
+    import org.apache.spark.sql.types.TimestampType
+    val dir = s"$tmpDir/ev-nanos"
+    // 2024-01-01 00:00:01.000000999 UTC in nanos: the trailing 999ns floor away
+    eventsFixture(dir)(lit(1704067201000000999L))
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    val micros = df.select(expr("unix_micros(ts)")).first().getLong(0)
+    assert(micros === 1704067201000000L, s"expected floor to whole micros, got $micros")
+  }
+
+  test("events loader: an unrecognized ts type fails loudly with the file path") {
+    val dir = s"$tmpDir/ev-bad"
+    eventsFixture(dir)(lit("not-a-timestamp"))
+    val e = intercept[IllegalArgumentException](Tables.load(spark, dir, "events"))
+    assert(e.getMessage.contains(s"$dir/events.parquet") &&
+      e.getMessage.contains("StringType"), e.getMessage)
+  }
+
+  test("schema break in events cannot poison queries that never read it " +
+      "(q14 + q01 SQL parity stay green)") {
+    import java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    val dir = s"$tmpDir/poisoned"
+    Files.createDirectories(Paths.get(dir))
+    Seq("orders", "lineitem").foreach { t =>
+      Files.copy(Paths.get(sf, s"$t.parquet"), Paths.get(dir, s"$t.parquet"),
+        REPLACE_EXISTING)
+    }
+    eventsFixture(dir)(lit("corrupt")) // loading events here would throw
+    intercept[IllegalArgumentException](Tables.load(spark, dir, "events"))
+    assert(graft.operators.CartAnalytics.q14CtePivot(spark, dir).count() > 0,
+      "q14 reads only orders; a broken events file must not block it")
+    assert(graft.operators.CartSql.q01Sql(spark, dir).count() > 0,
+      "q01 SQL reads lineitem+orders; a broken events file must not block it")
+  }
 }

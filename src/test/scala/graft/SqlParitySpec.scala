@@ -71,7 +71,7 @@ class SqlParitySpec extends SparkSpec {
     // Spark 4.1.2 resolves this as the left-deep
     // ((c1 × c2) RIGHT JOIN orders) — this test pins both that the literal
     // text RUNS and that it means exactly the documented rewrite.
-    Tables.registerAll(spark, sf)
+    Tables.register(spark, sf, Seq("lineitem", "orders"))
     val literal = spark.sql(
       """SELECT c1.l_partkey AS part_a, c2.l_partkey AS part_b,
         |       count(DISTINCT o.o_orderkey) AS n
