@@ -45,7 +45,7 @@ object Dedup {
     * materialization instead of re-scanning and re-exploding the corpus.
     * MEMORY_AND_DISK: at 100 TB this spills per-executor rather than
     * failing. */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(expr(
@@ -540,6 +540,13 @@ object Dedup {
     * edge — every other doc is a fixed singleton — so the loop runs on
     * the (tiny) near-dup subgraph, not the corpus. Shared by d06 (exact
     * edges) and d08 (LSH-candidate edges). */
+  /** Rounds the most recent [[minLabelComponents]] call on THIS thread
+    * took to converge — a test observability hook: the incremental-refresh
+    * spec pins "the contracted refresh loop is shallower than the
+    * corpus-wide loop" on round counts, which survive constant-factor
+    * changes that job counts (the previous proxy) do not. */
+  private[graft] val lastPropagationRounds = new ThreadLocal[Int]
+
   private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not persist): persist caches DATA but keeps the
     // full logical lineage, so every round's plan embeds every previous
@@ -556,18 +563,34 @@ object Dedup {
     val docs = edges.select(col("doc_a").as("doc_id")).distinct()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       // the old label rides along as min(label) — constant within each
       // doc_id group — so convergence is a filter+count over the round's
       // already-materialized checkpoint instead of a second join of the
       // old and new label tables (one fewer shuffle + action per round)
-      val next = labels
+      val relaxed = labels
         .join(edges, col("doc_id") === col("doc_a"), "left_outer")
         .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")),
           col("doc_b") === col("nbr"), "left_outer")
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("old_label"),
           least(min(col("label")), min(col("nbr_label"))).as("label"))
+      // path compression (pointer doubling): also follow the round's
+      // label ONE hop — label(d) := min(label(d), label(label(d))). A
+      // label value is itself a doc_id in this table, so the hop is one
+      // narrow self-join; labels only decrease and stay within the
+      // component, and the shared fixpoint (no neighbor relax, no hop
+      // improves) is still exactly the component min — but deep
+      // components converge in O(log diameter) rounds instead of
+      // O(diameter) (measured: the skewed sf1 knn graph spent ~18 s in
+      // diameter-bound rounds; see PERF.md round-10 addendum)
+      val next = relaxed.as("l")
+        .join(relaxed.select(col("doc_id").as("hop_id"), col("label").as("hop_label")),
+          col("l.label") === col("hop_id"), "left_outer")
+        .select(col("l.doc_id").as("doc_id"), col("l.old_label").as("old_label"),
+          least(col("l.label"), coalesce(col("hop_label"), col("l.label"))).as("label"))
         .localCheckpoint()
       val changed = next.where(col("label") =!= col("old_label")).count()
       // checkpoint blocks are NOT CacheManager entries (clearCache can't
@@ -578,6 +601,7 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
     }
+    lastPropagationRounds.set(rounds)
     labels
   }
 
@@ -1106,6 +1130,60 @@ object Dedup {
     result
   }
 
+  /** Derive a batch's per-doc index rows (md5 + signature + size) and
+    * shingle rows, hand both to `sink`, then release the derivation
+    * caches the shared builders pin — the build-and-release form the
+    * STREAMING dedup uses to append each micro-batch's rows to its
+    * stream-side index without leaking one CacheManager entry per batch
+    * (see [[graft.streaming.DedupStream]]). */
+  private[graft] def withBatchIndex[A](batch: DataFrame)(
+      sink: (DataFrame, DataFrame) => A): A = {
+    val sh = shinglesOf(batch.select(col("doc_id"), col("text")))
+    val sig = lshSignatures(sh)
+    val idx = batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(sig, Seq("doc_id"), "left_outer")
+    try sink(idx, sh)
+    finally { sig.unpersist(false); sh.unpersist(false) }
+  }
+
+  // ---------------------------------------------------------------------
+  // e15 — STREAMING incremental dedup, batch twin: the stream-side docs
+  // (the d10 batch slice) replayed as NumStreamBatches ordered
+  // micro-batches, each md5- and band-probed against the corpus PLUS all
+  // EARLIER batches — d10's verdict contract with a growing existing
+  // side, which is exactly what graft.streaming.DedupStream executes per
+  // foreachBatch trigger (probing the persisted index plus its own
+  // appended stream index). This fold IS the correctness gate for the
+  // stream: StreamingSpec pins stream ≡ fold batch-for-batch, and the
+  // DuckDB oracle re-derives the fold with the batch ordinal as plain
+  // doc_id arithmetic. Intra-batch pairs are deliberately NOT flagged —
+  // micro-batch granularity is the streaming trade; a crawl increment
+  // dedups against itself with d01/d03 before or after admission.
+  // ---------------------------------------------------------------------
+  val NumStreamBatches = 3
+
+  /** Deterministic micro-batch ordinal of a stream-side doc. */
+  private def streamBatchExpr =
+    expr(s"(doc_id div $IncrementalMod) % $NumStreamBatches")
+
+  /** The ordered-fold batch twin over ANY (doc_id, text, …) frame. */
+  def streamDedupFold(docs: DataFrame): DataFrame = {
+    val outs = (0 until NumStreamBatches).map { i =>
+      val incoming = docs
+        .where(col("doc_id") % IncrementalMod === 0 && streamBatchExpr === i)
+        .select(col("doc_id"), col("text"))
+      val existing = docs
+        .where(col("doc_id") % IncrementalMod =!= 0 ||
+          (col("doc_id") % IncrementalMod === 0 && streamBatchExpr < i))
+        .select(col("doc_id"), col("text"))
+      incrementalDedup(incoming, existing)
+    }
+    outs.reduce(_ unionAll _).orderBy(col("doc_id").asc)
+  }
+
+  def e15StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    streamDedupFold(Tables.load(spark, dir, "documents"))
+
   def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // The existing side probes the PERSISTED index artifacts, filtered
@@ -1418,6 +1496,7 @@ object Dedup {
     "d12_boilerplate_spans" -> d12BoilerplateSpans _,
     "d11_source_overlap" -> d11SourceOverlap _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
+    "e15_stream_dedup" -> e15StreamDedup _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
     "d07_contamination" -> d07Contamination _,
@@ -1649,6 +1728,50 @@ object Dedup {
          |  GROUP BY 1),
          |cand AS (
          |${bandJoinsSql("UNION", "newsig", "oldsig", canonical = false)}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |$sharedCountsSql,
+         |nearmatch AS (
+         |  SELECT s.doc_a AS doc_id, min(s.doc_b) AS near_match
+         |  FROM shared s
+         |  JOIN sizes sa ON s.doc_a = sa.doc_id
+         |  JOIN sizes sb ON s.doc_b = sb.doc_id
+         |  WHERE s.shared / (sa.n + sb.n - s.shared) >= $ClusterThreshold
+         |  GROUP BY 1)
+         |SELECT i.doc_id,
+         |       CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+         |            WHEN near_match IS NOT NULL THEN 'near_dup'
+         |            ELSE 'keep' END AS verdict,
+         |       coalesce(exact_match, near_match) AS match_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncrementalMod = 0) i
+         |LEFT JOIN exactmatch USING (doc_id)
+         |LEFT JOIN nearmatch USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // d10's template with a growing existing side: a doc in stream batch
+    // k is probed against the corpus plus stream batches < k; the batch
+    // ordinal is pure doc_id arithmetic, so the fold needs no recursion.
+    "e15_stream_dedup" ->
+      s"""WITH $shinglesSql,
+         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $sigColsSql
+         |        FROM h GROUP BY doc_id),
+         |newsig AS (SELECT * FROM sig WHERE doc_id % $IncrementalMod = 0),
+         |exactmatch AS (
+         |  SELECT i.doc_id, min(e.doc_id) AS exact_match
+         |  FROM documents i JOIN documents e
+         |    ON md5(i.text) = md5(e.text)
+         |   AND i.doc_id % $IncrementalMod = 0
+         |   AND (e.doc_id % $IncrementalMod <> 0 OR
+         |        (e.doc_id // $IncrementalMod) % $NumStreamBatches <
+         |        (i.doc_id // $IncrementalMod) % $NumStreamBatches)
+         |  GROUP BY 1),
+         |cand0 AS (
+         |${bandJoinsSql("UNION", "newsig", "sig", canonical = false)}),
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM cand0
+         |  WHERE doc_b % $IncrementalMod <> 0 OR
+         |        (doc_b // $IncrementalMod) % $NumStreamBatches <
+         |        (doc_a // $IncrementalMod) % $NumStreamBatches),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |$sharedCountsSql,
          |nearmatch AS (

@@ -424,15 +424,28 @@ object Similarity {
     val q = v.select(col("vec_id"), col("embedding").as("qe"),
       col("nrm").as("qn"), col("bucket"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
-    val scored = q.join(
+    // the in-bucket pairing is quadratic in bucket size, so a skewed
+    // corpus (hot sources → hot sign-bit cells) must not land one cell's
+    // n² work on one reducer: the adaptive cell join splits hot cells
+    // across tasks with an identical pair set (r9 sf1skew measurement:
+    // 71.6 s → see PERF.md round-10 addendum)
+    // score each pair ONCE and project the embeddings away BEFORE the
+    // two-phase rank: the ranking windows sort/shuffle every surviving
+    // pair row, and carrying two 64-float arrays through those sorts
+    // (plus re-deriving the dot in the final projection) made the pair
+    // stream ~14× wider than the (ids, label, cosine) tuple it needs
+    val scored = graft.plans.Scale.adaptiveSaltedCellJoin(
+        q,
         v.select(col("vec_id").as("neighbor_id"), col("embedding"),
           col("nrm"), col("label").as("neighbor_label"), col("bucket")),
-        Seq("bucket"))
+        "bucket")
       .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("neighbor_label"),
+        cos.as("cosine"))
     Scale.twoPhaseTopKRanked(scored, col("vec_id"),
-        Seq(cos.desc, col("neighbor_id").asc), KnnK, "rank")
+        Seq(col("cosine").desc, col("neighbor_id").asc), KnnK, "rank")
       .select(col("vec_id"), col("neighbor_id"), col("rank"),
-        col("neighbor_label"), round(cos, 6).as("cosine"))
+        col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("vec_id").asc, col("rank").asc)
   }
 

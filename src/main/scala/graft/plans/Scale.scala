@@ -67,6 +67,35 @@ object Scale {
     else big.join(small, Seq(key))
   }
 
+  /** Cell-equi pair join (`probe ⋈ index` on `key`) with PER-KEY adaptive
+    * salting — the skew treatment for SELF-PAIR shapes (kNN within LSH
+    * buckets, within-cell SemDeDup) where cost is quadratic in the cell
+    * size: a Zipfian corpus concentrates rows into few hot cells, and a
+    * plain cell-equi shuffle lands each hot cell's n² pair work on ONE
+    * reducer (measured: s09 8.7× slower under a 90/20 hot-key mix while
+    * 30 of 32 cores idle). Per cell, the probe side splits into
+    * s = ceil(n²/targetPairsPerTask) slices (capped) and the index side
+    * replicates to every slice, so one cell's pair work spreads over s
+    * tasks while every probe row still meets every index row in its
+    * cell — the result set is IDENTICAL to the plain join, only the
+    * fan-out changes. Cold cells get s=1: no replication, no extra rows.
+    * The per-cell histogram costs one narrow count pass over the index
+    * side; ~cells rows broadcast back to both sides. */
+  def adaptiveSaltedCellJoin(probe: DataFrame, index: DataFrame, key: String,
+      targetPairsPerTask: Long = 2000000L, maxSalt: Int = 256): DataFrame = {
+    val fan = broadcast(index.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .select(col(key), least(greatest(
+          ceil(col("__n") * col("__n") / lit(targetPairsPerTask.toDouble)), lit(1.0)),
+        lit(maxSalt.toDouble)).cast("int").as("__s")))
+    val p = probe.join(fan, Seq(key))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), col("__s")).cast("int"))
+      .drop("__s")
+    val i = index.join(fan, Seq(key))
+      .withColumn("__salt", explode(sequence(lit(0), col("__s") - 1)))
+      .drop("__s")
+    p.join(i, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-probe results per (big-plan semantic hash, input-files digest,
     * key, threshold). The files digest folds each source file's
     * length+mtime in, so overwriting the underlying table in place

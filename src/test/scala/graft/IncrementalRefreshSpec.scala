@@ -126,15 +126,24 @@ class IncrementalRefreshSpec extends SparkSpec {
     val refreshJobs = countJobs {
       refreshedLabels = labelSet(Dedup.refreshedClusterLabels(spark, oldDir, newDir))
     }
+    val refreshRounds = Dedup.lastPropagationRounds.get()
     val scratchJobs = countJobs {
       assert(labelSet(Dedup.minLabelComponents(Dedup.lshEdges(spark, newDir)))
         === refreshedLabels, "refresh must equal the from-scratch label table")
     }
+    val scratchRounds = Dedup.lastPropagationRounds.get()
     assert(refreshedLabels.contains((100L, 0L)), "batch doc joins the chain cluster")
-    info(s"refresh build jobs=$refreshJobs, from-scratch jobs=$scratchJobs")
-    assert(refreshJobs < scratchJobs,
-      s"contracted refresh ($refreshJobs jobs) must beat the corpus-wide " +
-        s"propagation loop ($scratchJobs jobs)")
+    info(s"refresh: $refreshJobs jobs / $refreshRounds propagation rounds; " +
+      s"from-scratch: $scratchJobs jobs / $scratchRounds rounds")
+    // the scale contract is the LOOP DEPTH: the refresh propagates over
+    // the CONTRACTED batch-scale graph (existing components collapsed to
+    // their label), so it must converge in fewer rounds than the
+    // corpus-wide loop over the full chain. (Total job counts are a
+    // constant-factor proxy that path compression invalidated — at this
+    // fixture size both paths are dominated by fixed per-call overhead.)
+    assert(refreshRounds < scratchRounds,
+      s"contracted refresh loop ($refreshRounds rounds) must be shallower than " +
+        s"the corpus-wide propagation loop ($scratchRounds rounds)")
 
     // cold serve: drop only the CATALOG entry (files persist, as after a
     // JVM restart) — d08's serve path must re-register and read the

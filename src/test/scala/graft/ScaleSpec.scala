@@ -19,6 +19,27 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("adaptive salted cell join: identical pair set, hot cell fans out, " +
+      "cold cells stay single-slice") {
+    // hot cell: 300 rows on key 7 (self-pair cost 90k); cold cells: ≤ 3 rows
+    val rows = spark.range(330)
+      .select(when($"id" < 300, lit(7L)).otherwise($"id" % 10 + 100L).as("cell"),
+        $"id".as("vid"))
+    val probe = rows.select($"cell", $"vid")
+    val index = rows.select($"cell", $"vid".as("nid"))
+    val plain = probe.join(index, Seq("cell")).select($"cell", $"vid", $"nid")
+    val routed = Scale.adaptiveSaltedCellJoin(probe, index, "cell",
+        targetPairsPerTask = 10000L, maxSalt = 8)
+      .select($"cell", $"vid", $"nid")
+    assert(routed.exceptAll(plain).isEmpty && plain.exceptAll(routed).isEmpty,
+      "adaptive salting must not change the joined pair multiset")
+    // the hot cell's 90k pairs must not land on one reducer: with a 10k
+    // pair target its slices spread over several shuffle partitions
+    val hotParts = routed.where($"cell" === 7L)
+      .select(spark_partition_id()).distinct().count()
+    assert(hotParts > 1, s"hot cell must fan out across tasks, saw $hotParts partition(s)")
+  }
+
   test("skew-aware join salts on a skewed fixture, stays plain otherwise, same result") {
     // 90% of 20k rows share one hot key → the 1/64 row sample must see it
     val big = spark.range(20000)

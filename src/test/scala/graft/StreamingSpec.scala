@@ -206,4 +206,58 @@ class StreamingSpec extends SparkSpec {
     val r = batch.select($"duration_s").as[Long].collect()
     assert(r.forall(_ >= 0))
   }
+
+  test("e15 twin: foreachBatch dedup stream (corpus index + growing stream index) " +
+      "equals the ordered batch fold, including a cross-batch duplicate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.streaming.DedupStream
+    // crafted pair: a batch-0 stream doc (21000: %7=0, (÷7)%3=0) and its
+    // byte-identical echo in batch 2 (21014: %7=0, (÷7)%3=2), with a text
+    // that exists NOWHERE in the corpus — so the echo's exact_dup verdict
+    // can only come from the stream-side index appended by the earlier
+    // micro-batch, never from the corpus index
+    val docsRaw = Tables.load(spark, sf, "documents")
+    val uniqueText = "zz unique stream only token sequence " +
+      "alpha beta gamma delta epsilon zeta eta theta"
+    val (origId, echoId) = (21000L, 21014L)
+    val docs = docsRaw.select($"doc_id", $"text").unionByName(
+      Seq((origId, uniqueText), (echoId, uniqueText)).toDF("doc_id", "text"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft-dstream").toString
+    val corpus = docs.where($"doc_id" % Dedup.IncrementalMod =!= 0)
+    Dedup.withBatchIndex(corpus) { (idx, sh) =>
+      idx.write.parquet(s"$base/corpus_index")
+      sh.write.parquet(s"$base/corpus_shingles")
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.verdictStream(mem.toDF().toDF("doc_id", "text"),
+      spark.read.parquet(s"$base/corpus_index"),
+      spark.read.parquet(s"$base/corpus_shingles"),
+      s"$base/out", s"$base/ckpt")
+    try {
+      val streamDocs = docs
+        .where($"doc_id" % Dedup.IncrementalMod === 0)
+        .withColumn("b",
+          expr(s"(doc_id div ${Dedup.IncrementalMod}) % ${Dedup.NumStreamBatches}"))
+        .collect()
+      (0 until Dedup.NumStreamBatches).foreach { i =>
+        mem.addData(streamDocs.filter(_.getLong(2) == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable() // one micro-batch per stream batch
+      }
+    } finally q.stop()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"verdict", $"match_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val streamed = asSet(spark.read.parquet(s"$base/out/verdicts"))
+    val fold = asSet(Dedup.streamDedupFold(docs))
+    assert(streamed === fold, "stream must equal the ordered batch fold")
+    assert(streamed.contains((echoId, "exact_dup", origId)),
+      s"the batch-2 echo of a batch-0 doc must be caught via the stream index: " +
+        streamed.filter(_._1 == echoId))
+  }
 }
