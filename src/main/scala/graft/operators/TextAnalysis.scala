@@ -33,9 +33,20 @@ object TextAnalysis {
     // with persist at sf0.1) and pre-aggregating on (doc_id, lang, bg)
     // shuffles the full bigram stream on a wide key before either
     // consumer's own (cheaper) aggregate (2.3s → 3.8s, measured round 5)
-    val bigrams = docs.select(col("doc_id"), col("lang"), explode(expr(
-        """CASE WHEN length(text) >= 2
-          |THEN transform(sequence(1, length(text)-1), i -> substring(text, i, 2))
+    // bigrams via a one-pass char split + O(1) element_at pairing, NOT
+    // substring(text, i, 2): UTF8String.substring scans from the string
+    // start to find the i-th char boundary, so the transform over all i
+    // is O(len²) per document. The char-array form is O(len) and yields
+    // the identical bigram multiset (the DuckDB oracle keeps its
+    // substring form; the filter drops any empty-string artifact of the
+    // empty-pattern split so c has exactly one element per char).
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ''), x -> x != '')").as("c"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(c) >= 2
+          |THEN transform(sequence(1, size(c)-1),
+          |               i -> concat(element_at(c, i), element_at(c, i+1)))
           |ELSE array() END""".stripMargin)).as("bg"))
     val profile = bigrams.where(col("doc_id") % 5 =!= 0)
       .groupBy(col("lang").as("p_lang"), col("bg"))
