@@ -112,6 +112,25 @@ object InvariantProps extends Properties("graft.invariants") {
         plain.groupBy(identity).view.mapValues(_.length).toMap
     }
 
+  property("adaptive salted cell join equals the plain cell join for any " +
+      "(distribution, pair target, cap)") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(120, Gen.frequency(6 -> Gen.const(3L), 1 -> Gen.chooseNum(0L, 9L))),
+      Gen.chooseNum(1L, 500L),
+      Gen.chooseNum(1, 16)) { (cells, target, cap) =>
+      val probe = cells.zipWithIndex.map { case (c, i) => (c, i.toLong) }
+        .toDF("cell", "vid").repartition(5)
+      val index = cells.zipWithIndex.map { case (c, i) => (c, i.toLong + 1000L) }
+        .toDF("cell", "nid").repartition(3)
+      def ms(df: org.apache.spark.sql.DataFrame) = df
+        .select($"cell", $"vid", $"nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      ms(graft.plans.Scale.adaptiveSaltedCellJoin(probe, index, "cell",
+        targetPairsPerTask = target, maxSalt = cap)) ==
+        ms(probe.join(index, Seq("cell")))
+    }
+
   property("simBands pigeonhole at EVERY width: hamming-8 pair shares a clean band") =
     Prop.forAllNoShrink(
       Gen.chooseNum(2, 3),
