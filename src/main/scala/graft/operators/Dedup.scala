@@ -483,12 +483,19 @@ object Dedup {
       "Similarity.s02 (LSH buckets) / s03 (IVF)")
     val v = normedOf(vecs)
     val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    // score each pair ONCE in the (codegen'd) projection and take top-k
+    // over narrow rows: ordering directly by the dot expression made
+    // TakeOrderedAndProject re-evaluate it per heap COMPARISON — with
+    // both embeddings riding along in every row — measured ~3× the whole
+    // query at 20k vectors (see PERF.md round-10 addendum)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .orderBy(cos.desc, col("a.vec_id").asc, col("b.vec_id").asc)
-      .limit(100)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label_a"), col("b.label").as("label_b"),
-        round(cos, 6).as("cosine"))
+        cos.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(100)
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   def d05EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
