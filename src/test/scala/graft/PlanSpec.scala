@@ -399,6 +399,15 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"cell join lost its equi key:\n$plan")
   }
 
+  test("s09: the knn pair join is salted cell-equi — salt in the join key, no cartesian") {
+    val plan = formatted(Similarity.s09KnnGraph(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn pairing must never be all-pairs:\n$plan")
+    // the adaptive cell salting must survive in the physical join key —
+    // losing it re-serializes every hot cell onto one reducer
+    assert(plan.contains("__salt"), s"salt column missing from the pair join:\n$plan")
+  }
+
   test("e12: user profile is two user-keyed aggregate trees — no window over the raw stream") {
     val plan = formatted(EventsAnalytics.e12UserProfile(spark, sf))
     assert(!plan.contains("Window"), s"no window should be needed:\n$plan")
