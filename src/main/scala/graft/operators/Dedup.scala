@@ -83,13 +83,22 @@ object Dedup {
   // ---------------------------------------------------------------------
   // d02 — exact n-gram Jaccard near-dup: shingle inverted-index self-join.
   // ---------------------------------------------------------------------
-  /** Guard shared by the exact inverted-index baselines (d02, d06): their
-    * pair stage is quadratic in per-shingle document frequency, so they
-    * refuse corpora beyond the doc cap — at scale use d03 (pairs) / d08
-    * (clusters), whose candidates come from bounded band joins. */
+  /** Doc cap for the exact INVERTED-INDEX baselines (d02, d06). A
+    * separate knob from [[BaselineMaxVectors]] on purpose: their pair
+    * stage is quadratic in per-shingle DOCUMENT FREQUENCY, not in corpus
+    * size — measured 12.6 s at 50k docs (r9 sf1 leg) where d05's
+    * all-pairs form costs ~2.5 minutes at 20k vectors, so sharing d05's
+    * 25k cap refused corpora these baselines handle in seconds (the r10
+    * sweep lost both rows at sf1 to exactly that). 100k ≈ 4× the
+    * measured point ≈ under a minute on boilerplate-free corpora;
+    * template-heavy corpora can still blow the df² term — at scale use
+    * d03/d08, whose candidates come from bounded band joins. */
+  val BaselineMaxDocs: Long = envLong("GRAFT_BASELINE_MAX_DOCS", 100000L)
+
+  /** Guard shared by the exact inverted-index baselines (d02, d06). */
   private def requireExactBaselineCorpus(docs: DataFrame, op: String): Unit =
-    requireBaselineSize(docs.count(),
-      BaselineMaxVectors, op, "Dedup.minhashLsh / lshClusters (banded LSH)")
+    requireBaselineSize(docs.count(), BaselineMaxDocs, op,
+      "Dedup.minhashLsh / lshClusters (banded LSH)", "GRAFT_BASELINE_MAX_DOCS")
 
   /** Exact n-gram Jaccard near-dup over ANY (doc_id, text) frame — the
     * quadratic exactness baseline; refuses over-cap inputs. */
@@ -465,11 +474,11 @@ object Dedup {
           s"$name must be a positive integer, got '$s'"))
     }
 
-  private[graft] def requireBaselineSize(n: Long, cap: Long, op: String, alt: String): Unit =
+  private[graft] def requireBaselineSize(n: Long, cap: Long, op: String, alt: String,
+      knob: String = "GRAFT_BASELINE_MAX_VECTORS"): Unit =
     require(n <= cap,
       s"$op is an exactness baseline with super-linear pair cost: input has $n rows > " +
-        s"cap $cap; use $alt at scale, or raise GRAFT_BASELINE_MAX_VECTORS (the shared " +
-        "row cap for all quadratic-family baselines) for a deliberate eval run")
+        s"cap $cap; use $alt at scale, or raise $knob for a deliberate eval run")
 
   /** All-pairs cosine near-dup over ANY (vec_id, embedding, label)
     * frame — the quadratic exactness baseline; refuses over-cap inputs. */
@@ -1112,6 +1121,15 @@ object Dedup {
     // blocks are freed by the ContextCleaner once the caller drops the
     // Dataset (the minLabelComponents idiom) or eagerly via
     // [[freeCheckpoint]].
+    //
+    // Honest-cost note (r10 forensics, PERF.md): before this release
+    // discipline existed, repeated d10 calls re-served the PREVIOUS
+    // call's leaked batch caches, benching a cache read (~0.7 s at
+    // sf0.1-local) instead of the real per-batch probe (~3 s there, a
+    // per-stage fixed-latency floor that is scale-invariant — the same
+    // stages dominate nothing at sf1). Round-9's frozen-classes scaling
+    // legs pre-dated the fix, so its published d10 rows carry the
+    // subsidized number.
     val result = out.localCheckpoint()
     cand.unpersist(false)
     shInc.unpersist(false)

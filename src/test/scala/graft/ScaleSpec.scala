@@ -169,6 +169,24 @@ class ScaleSpec extends SparkSpec {
     Dedup.requireBaselineSize(10, Dedup.BaselineMaxVectors, "d05", "s02") // under cap: fine
   }
 
+  test("the doc-corpus baselines carry their own (higher) cap: 50k docs run, " +
+      "the vector cap stays tight") {
+    import graft.operators.Dedup
+    // r10 regression: d02/d06 shared d05's 25k-vector cap and refused the
+    // 50k-doc sf1 corpus their inverted-index pair stage handles in
+    // seconds. The two cost models get separate knobs.
+    assert(Dedup.BaselineMaxDocs > 50000L,
+      "inverted-index baselines must admit the measured 50k-doc corpus")
+    assert(Dedup.BaselineMaxVectors <= 25000L,
+      "the all-pairs vector cap stays at its measured ~5-minute bound")
+    val msg = intercept[IllegalArgumentException] {
+      Dedup.requireBaselineSize(Dedup.BaselineMaxDocs + 1, Dedup.BaselineMaxDocs,
+        "d02_ngram_jaccard", "Dedup.minhashLsh", "GRAFT_BASELINE_MAX_DOCS")
+    }.getMessage
+    assert(msg.contains("GRAFT_BASELINE_MAX_DOCS"),
+      s"over-cap refusal must name the right override knob: $msg")
+  }
+
   test("bucketed co-join plans without exchanges") {
     val orders = Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_totalprice")
     val lines = Tables.load(spark, sf, "lineitem").select($"l_orderkey".as("o_orderkey"), $"l_extendedprice")
