@@ -154,6 +154,47 @@ object CartSql {
       |ORDER BY total_abandoned_carts DESC, part_a ASC, part_b ASC
       |LIMIT 100""".stripMargin)
 
+  /** q03 in the reference's LITERAL dialect (py:222-246): 3-arg
+    * `DATEADD(MONTH,-n,'${carts.last_datetime}')` over a conf-substituted
+    * scalar param — Spark 4.1.2 parses the Databricks form natively (unit
+    * keyword first arg, ANSI string→timestamp coercion on the literal), so
+    * a user pasting reference SQL needs NO rewrite. The param is captured
+    * the reference's way too: scalar fetch → `spark.conf.set` → `${var}`
+    * substitution (S8/S9, py:78-82). Deliberate deviations, as in every
+    * twin: engine column names and a unique ORDER BY tiebreak (the
+    * reference's bare `ORDER BY increase DESC LIMIT 100` is
+    * nondeterministic across ties). */
+  def q03RefDialectSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, Seq("orders"))
+    graft.sources.Ingest.captureScalar(spark,
+      spark.sql("SELECT date_format(max(o_orderdate), 'yyyy-MM-dd') FROM orders"),
+      "carts.last_datetime")
+    run(spark, dir,
+      """SELECT abandonment_last_month.l_partkey,
+        |       COALESCE(abandonment_month_before_last.total_abandoned_carts,0) AS prev_month_orders,
+        |       COALESCE(abandonment_last_month.total_abandoned_carts,0) AS last_month_orders,
+        |       COALESCE(abandonment_last_month.total_abandoned_carts,0) - COALESCE(abandonment_month_before_last.total_abandoned_carts,0) AS increase
+        |FROM (
+        |    SELECT lineitem.l_partkey, COUNT(DISTINCT orders.o_orderkey) AS total_abandoned_carts
+        |    FROM lineitem
+        |    RIGHT JOIN orders ON lineitem.l_orderkey = orders.o_orderkey
+        |    WHERE orders.o_orderstatus = 'O' AND YEAR(orders.o_orderdate) = YEAR(DATEADD(MONTH,-1,'${carts.last_datetime}')) AND MONTH(orders.o_orderdate) = MONTH(DATEADD(MONTH,-1,'${carts.last_datetime}'))
+        |    GROUP BY lineitem.l_partkey
+        |) AS abandonment_last_month
+        |LEFT JOIN (
+        |    SELECT lineitem.l_partkey, COUNT(DISTINCT orders.o_orderkey) AS total_abandoned_carts
+        |    FROM lineitem
+        |    RIGHT JOIN orders ON lineitem.l_orderkey = orders.o_orderkey
+        |    WHERE orders.o_orderstatus = 'O' AND YEAR(orders.o_orderdate) = YEAR(DATEADD(MONTH,-2,'${carts.last_datetime}')) AND MONTH(orders.o_orderdate) = MONTH(DATEADD(MONTH,-2,'${carts.last_datetime}'))
+        |    GROUP BY lineitem.l_partkey
+        |) AS abandonment_month_before_last
+        |  ON abandonment_last_month.l_partkey = abandonment_month_before_last.l_partkey
+        |GROUP BY abandonment_last_month.l_partkey, prev_month_orders, last_month_orders
+        |HAVING increase > 0
+        |ORDER BY increase DESC, abandonment_last_month.l_partkey ASC
+        |LIMIT 100""".stripMargin)
+  }
+
   /** q04 as SQL: HAVING on an alias (py:242/274 shape). */
   def q04Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
     """WITH anchor AS (SELECT year(max(o_orderdate)) AS y FROM orders),

@@ -106,4 +106,26 @@ class SqlParitySpec extends SparkSpec {
     assert(r.getInt(0) === 2019 && r.getInt(1) === 12)
     assert(r.getDate(2).toString === "2019-11-15")
   }
+
+  test("reference nested-DATEADD month-start idiom (py:467) == date_trunc rewrite") {
+    // `DATEADD(DAY,1-DAY(DATEADD(MONTH,-11,ts)),DATEADD(MONTH,-11,ts))`
+    // — the reference's month-start-11-months-back spine bound, built from
+    // DATEADD alone. Must equal the engine's date_trunc form on every day
+    // of a year, including end-of-month clamp days (Jan 31 − 11 months).
+    val diffs = spark.sql(
+      """SELECT d FROM (
+        |  SELECT explode(sequence(DATE'2023-01-01', DATE'2023-12-31')) AS d)
+        |WHERE CAST(DATEADD(DAY, 1-DAY(DATEADD(MONTH,-11,d)), DATEADD(MONTH,-11,d)) AS DATE)
+        |   <> CAST(date_trunc('MONTH', add_months(d, -11)) AS DATE)""".stripMargin)
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("q03 reference-dialect twin (DATEADD + ${carts.last_datetime} substitution) " +
+      "== DataFrame builder") {
+    // the full py:222-246 text on the synthetic schema: a user pasting the
+    // reference's DATEADD dialect — conf-var and all — gets the engine's
+    // exact q03 rows with no rewrite.
+    sameRows(CartAnalytics.q03MomIncrease(spark, sf), CartSql.q03RefDialectSql(spark, sf))
+  }
 }
