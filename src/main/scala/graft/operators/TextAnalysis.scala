@@ -32,7 +32,13 @@ object TextAnalysis {
     // materializing 3.5M rows costs serialization + storage (2.3s → 4.6s
     // with persist at sf0.1) and pre-aggregating on (doc_id, lang, bg)
     // shuffles the full bigram stream on a wide key before either
-    // consumer's own (cheaper) aggregate (2.3s → 3.8s, measured round 5)
+    // consumer's own (cheaper) aggregate (2.3s → 3.8s, measured round 5;
+    // re-measured round 10 at sf1: 9.9s → 28.3s — the wide-key shuffle
+    // gets relatively WORSE with scale). The split predicates push below
+    // each branch's explode, so the two consumers scan disjoint 80%/20%
+    // doc slices — "both branches" costs ~one corpus pass total, and the
+    // train branch partial-aggregates map-side onto ~|langs|×|bigrams|
+    // keys before its shuffle.
     // bigrams via a one-pass char split + O(1) element_at pairing, NOT
     // substring(text, i, 2): UTF8String.substring scans from the string
     // start to find the i-th char boundary, so the transform over all i
