@@ -140,21 +140,28 @@ object TextAnalysis {
   // (winnowing-style); fingerprint = min window hash. Robust to small
   // edits anywhere outside the minimal window.
   // ---------------------------------------------------------------------
-  /** Rolling-window fingerprinting over ANY (doc_id, text) frame. */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val wins = docs
+  /** Rolling-window fingerprinting over ANY (doc_id, text) frame.
+    *
+    * MAP-ONLY: every window of a doc lives in that doc's own row, so the
+    * per-doc min/count/distinct are array folds over a per-row hash list —
+    * no explode, no shuffle, no two-pass distinct aggregate. The earlier
+    * explode→groupBy(doc_id) shape shuffled the entire 4-gram stream
+    * (~|words| rows per doc, measured 7× growth at 10× data) to reunite
+    * rows that started out together; at 100 TB that shuffle is the whole
+    * cost. Docs with < 4 words produce no windows and are dropped, exactly
+    * as explode-of-empty dropped them (oracle parity). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 4
-          |THEN transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))
-          |ELSE array() END""".stripMargin)).as("win"))
-    wins.select(col("doc_id"), h31(col("win")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fingerprint"),
-        count(lit(1)).as("n_windows"),
-        countDistinct(col("h")).as("n_distinct_windows"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))").as("wins"))
+      .select(col("doc_id"), transform(col("wins"), win => h31(win)).as("hs"))
+      .select(col("doc_id"),
+        array_min(col("hs")).as("fingerprint"),
+        size(col("hs")).cast("long").as("n_windows"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct_windows"))
       .orderBy(col("doc_id").asc)
-  }
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.load(spark, dir, "documents"))

@@ -302,6 +302,36 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < Tables.load(spark, sf, "documents").count())
   }
 
+  test("t04 fingerprint: map-only array fold equals the explode/groupBy definition") {
+    // fixture covers every branch: a doc with repeated windows (distinct <
+    // total), a 4-word doc (exactly one window), and a 3-word doc that must
+    // be ABSENT (explode-of-empty semantics the oracle shares)
+    val docs = Seq(
+      (1L, "a b c d e a b c d"), // windows incl. "a b c d" twice
+      (2L, "w x y z"),           // exactly one window
+      (3L, "too few words")      // dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_windows") === 6L)
+    assert(r1.getAs[Long]("n_distinct_windows") === 5L, "duplicate window hashes once")
+    // the independent definition: explode windows, hash, group
+    import graft.functions.SharedHash.h31
+    val expected = docs
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(split(text, '\\s+')) >= 4
+          |THEN transform(sequence(1, size(split(text, '\\s+'))-3),
+          |     i -> concat_ws(' ', slice(split(text, '\\s+'), i, 4)))
+          |ELSE array() END""".stripMargin)).as("win"))
+      .select($"doc_id", h31($"win").as("h"))
+      .groupBy($"doc_id")
+      .agg(min($"h").as("fingerprint"), count(lit(1)).as("n_windows"),
+        countDistinct($"h").as("n_distinct_windows"))
+    val actual = TextAnalysis.fingerprint(docs)
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
+
   test("reference golden semantics: zero-fill rows survive the outer joins") {
     // q05's FULL JOIN must keep nations with zero abandoned orders
     // (reference dbc cmds 16/19/47: None-keyed + zero rows are the signal)

@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"per-row projection must not shuffle:\n$plan")
   }
 
+  test("t04: fingerprint is map-only — no aggregate, only the result-sort exchange") {
+    val plan = formatted(TextAnalysis.t04Fingerprint(spark, sf))
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"),
+      s"per-doc folds must be array expressions, not a groupBy:\n${plan.take(2000)}")
+    // formatted explain prints each node twice (tree + detail), so the one
+    // allowed rangepartitioning exchange for the final ORDER BY counts as 2
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"only the final ORDER BY may shuffle (narrow rows):\n${plan.take(2000)}")
+  }
+
   test("d03: persisted signature table is served from cache (InMemoryTableScan)") {
     val df = Dedup.d03MinhashLsh(spark, sf)
     df.count() // materialize caches
