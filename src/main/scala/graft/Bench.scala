@@ -75,6 +75,17 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    // The driver's stdout capture keeps only a ~2 KB TAIL (BENCH_r06–r09
+    // all arrived `parsed: null`): 106 full-name entries alone are ~2.7 KB,
+    // so the stdout line uses the unique pre-underscore prefix of each
+    // query name (q01, d05, e15, …) at 2-decimal precision (~1.4 KB total).
+    // The file artifacts below keep full names and full precision.
+    def jnum2(v: Double) =
+      if (v == v.floor && v.abs < 1e15) v.toString
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsShort = results.map { case (k, v, _, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + jnum2(v)
+    }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -88,7 +99,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
-    println(line)
+    // Compact contract line (fits the driver's 2 KB stdout tail); keys are
+    // the unique query-name prefixes, full detail in the file artifacts.
+    val shortLine =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","full":"target/bench_last.json"}"""
+    println(shortLine)
     // Self-contained official artifact: the driver's stdout capture keeps
     // only a 2 KB tail (BENCH_r06/r07 both arrived with `parsed: null`),
     // so the full JSON line is also written to files a human — or the

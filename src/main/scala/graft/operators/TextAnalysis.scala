@@ -27,18 +27,12 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   /** Language-ID over ANY (doc_id, text, lang) frame. */
   def languageId(docs: DataFrame): DataFrame = {
-    // NOT persisted, NOT pre-aggregated: both measured slower — the
-    // explode is codegen-cheap to recompute for the two consumers, while
-    // materializing 3.5M rows costs serialization + storage (2.3s → 4.6s
-    // with persist at sf0.1) and pre-aggregating on (doc_id, lang, bg)
-    // shuffles the full bigram stream on a wide key before either
-    // consumer's own (cheaper) aggregate (2.3s → 3.8s, measured round 5;
-    // re-measured round 10 at sf1: 9.9s → 28.3s — the wide-key shuffle
-    // gets relatively WORSE with scale). The split predicates push below
-    // each branch's explode, so the two consumers scan disjoint 80%/20%
-    // doc slices — "both branches" costs ~one corpus pass total, and the
-    // train branch partial-aggregates map-side onto ~|langs|×|bigrams|
-    // keys before its shuffle.
+    // Profile build is the only bigram-stream shuffle left: the 80%
+    // train explode partial-aggregates map-side onto ~|langs|×|bigrams|
+    // keys. (The historical alternatives both measured slower: persisting
+    // the shared explode 2.3s → 4.6s at sf0.1; pre-aggregating on the
+    // wide (doc_id, lang, bg) key 2.3s → 3.8s, and 9.9s → 28.3s at sf1 —
+    // the wide-key shuffle gets relatively WORSE with scale.)
     // bigrams via a one-pass char split + O(1) element_at pairing, NOT
     // substring(text, i, 2): UTF8String.substring scans from the string
     // start to find the i-th char boundary, so the transform over all i
@@ -46,25 +40,41 @@ object TextAnalysis {
     // the identical bigram multiset (the DuckDB oracle keeps its
     // substring form; the filter drops any empty-string artifact of the
     // empty-pattern split so c has exactly one element per char).
-    val bigrams = docs
+    val bigramArr =
+      """CASE WHEN size(c) >= 2
+        |THEN transform(sequence(1, size(c)-1),
+        |               i -> concat(element_at(c, i), element_at(c, i+1)))
+        |ELSE array() END""".stripMargin
+    val bigrams = docs.where(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ''), x -> x != '')").as("c"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """CASE WHEN size(c) >= 2
-          |THEN transform(sequence(1, size(c)-1),
-          |               i -> concat(element_at(c, i), element_at(c, i+1)))
-          |ELSE array() END""".stripMargin)).as("bg"))
-    val profile = bigrams.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"), explode(expr(bigramArr)).as("bg"))
+    val profile = bigrams
       .groupBy(col("lang").as("p_lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("bg").asc)))
       .where(col("rk") <= 20)
-    val testBg = bigrams.where(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("lang"), col("bg")).distinct()
-    val scored = testBg.join(profile, Seq("bg"))
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
+    // Classification is MAP-ONLY (the t04 idiom): the old shape exploded
+    // the holdout's bigrams, ran a corpus-wide DISTINCT shuffle, joined
+    // the profile, and aggregated — reuniting values that never had to
+    // leave their row. Instead each holdout doc folds to its per-row
+    // distinct bigram set, and a |langs|-row broadcast of the per-language
+    // top-20 arrays scores every language via array_intersect in the same
+    // projection. score>0 replicates the inner join's drop of languages
+    // (and docs) with zero overlap; array sizes make the identical count
+    // because both sides are distinct sets.
+    val profileArr = profile.groupBy(col("p_lang"))
+      .agg(collect_list(col("bg")).as("p_bgs"))
+    val scored = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ''), x -> x != '')").as("c"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"array_distinct($bigramArr)").as("bgs"))
+      .crossJoin(broadcast(profileArr))
+      .select(col("doc_id"), col("lang"), col("p_lang"),
+        size(array_intersect(col("bgs"), col("p_bgs"))).cast("long").as("score"))
+      .where(col("score") > 0)
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang").asc)))
       .where(col("rk") === 1)

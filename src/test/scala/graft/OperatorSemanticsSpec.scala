@@ -332,6 +332,49 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
   }
 
+  test("t01 language id: broadcast-profile array scoring equals the explode/distinct/join definition") {
+    // fixture exercises every semantic edge of the map-only rewrite:
+    // doc 5 overlaps one profile, doc 10 ties two profiles (tie-break
+    // p_lang ASC), doc 15 shares no bigram with ANY profile and must be
+    // ABSENT (the inner join's drop, now the score>0 filter), doc 20 has
+    // repeated bigrams that must score once (distinct-set semantics)
+    val docs = Seq(
+      (1L, "abab", "aa"), (2L, "abab", "aa"), (3L, "xyxy", "zz"), (4L, "xyzx", "zz"),
+      (5L, "abba", "aa"),   // holdout: overlaps aa only
+      (10L, "baxy", "aa"),  // holdout: ties aa and zz
+      (15L, "qqqq", "aa"),  // holdout: no profile overlap -> dropped
+      (20L, "ababab", "aa") // holdout: repeated "ab" scores once
+    ).toDF("doc_id", "text", "lang")
+    val actual = TextAnalysis.languageId(docs)
+    // independent old-shape definition: full explode, distinct holdout
+    // bigrams, inner join to the per-lang top-20 profile, count, rank
+    val bigrams = docs
+      .select($"doc_id", $"lang", explode(expr(
+        """CASE WHEN length(text) >= 2
+          |THEN transform(sequence(1, length(text)-1), i -> substring(text, i, 2))
+          |ELSE array() END""".stripMargin)).as("bg"))
+    val profile = bigrams.where($"doc_id" % 5 =!= 0)
+      .groupBy($"lang".as("p_lang"), $"bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"p_lang").orderBy($"cnt".desc, $"bg".asc)))
+      .where($"rk" <= 20)
+    val scored = bigrams.where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"lang", $"bg").distinct()
+      .join(profile, Seq("bg"))
+      .groupBy($"doc_id", $"lang", $"p_lang").agg(count(lit(1)).as("score"))
+    val expected = scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"p_lang".asc)))
+      .where($"rk" === 1)
+      .select($"doc_id", $"lang".as("actual_lang"),
+        $"p_lang".as("predicted_lang"), $"score")
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+    val byId = actual.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet === Set(5L, 10L, 20L), "doc 15 dropped: zero overlap")
+    assert(byId(10L).getAs[String]("predicted_lang") === "aa", "tie-break p_lang asc")
+    assert(byId(20L).getAs[Long]("score") === 2L, "repeated bigram counts once ('ab','ba')")
+  }
+
   test("reference golden semantics: zero-fill rows survive the outer joins") {
     // q05's FULL JOIN must keep nations with zero abandoned orders
     // (reference dbc cmds 16/19/47: None-keyed + zero rows are the signal)
