@@ -102,5 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         DotProductD(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bigram_codes"),
+      new ExpressionInfo(classOf[BigramCodes].getName, "graft_bigram_codes"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_bigram_codes`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BigramCodes(children.head)
+      }))
   }
 }

@@ -27,28 +27,22 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   /** Language-ID over ANY (doc_id, text, lang) frame. */
   def languageId(docs: DataFrame): DataFrame = {
-    // Profile build is the only bigram-stream shuffle left: the 80%
-    // train explode partial-aggregates map-side onto ~|langs|×|bigrams|
-    // keys. (The historical alternatives both measured slower: persisting
-    // the shared explode 2.3s → 4.6s at sf0.1; pre-aggregating on the
-    // wide (doc_id, lang, bg) key 2.3s → 3.8s, and 9.9s → 28.3s at sf1 —
-    // the wide-key shuffle gets relatively WORSE with scale.)
-    // bigrams via a one-pass char split + O(1) element_at pairing, NOT
-    // substring(text, i, 2): UTF8String.substring scans from the string
-    // start to find the i-th char boundary, so the transform over all i
-    // is O(len²) per document. The char-array form is O(len) and yields
-    // the identical bigram multiset (the DuckDB oracle keeps its
-    // substring form; the filter drops any empty-string artifact of the
-    // empty-pattern split so c has exactly one element per char).
-    val bigramArr =
-      """CASE WHEN size(c) >= 2
-        |THEN transform(sequence(1, size(c)-1),
-        |               i -> concat(element_at(c, i), element_at(c, i+1)))
-        |ELSE array() END""".stripMargin
+    // Bigrams travel as PRIMITIVE codepoint-pair codes (the codegen'd
+    // graft_bigram_codes expression: one UTF-8 walk per row emitting
+    // array<long>), not as two-char strings: the string formulation
+    // (split to a per-char array + concat per bigram) allocates ~35M
+    // short-lived strings per 50k docs and the explode feeding profile
+    // building spent its time in that churn. Code order/equality match
+    // the string form exactly (UTF-8 byte order IS codepoint order, the
+    // encoding is injective), so the profile's count + tie-break select
+    // the same bigrams and the DuckDB oracle keeps its substring form —
+    // BigramCodesSpec pins the equivalence. (Historical alternatives
+    // that measured slower: persisting the shared explode 2.3s → 4.6s
+    // at sf0.1; pre-aggregating on the wide (doc_id, lang, bg) key
+    // 9.9s → 28.3s at sf1 — the wide-key shuffle worsens with scale.)
     val bigrams = docs.where(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ''), x -> x != '')").as("c"))
-      .select(col("doc_id"), col("lang"), explode(expr(bigramArr)).as("bg"))
+        explode(expr("graft_bigram_codes(text)")).as("bg"))
     val profile = bigrams
       .groupBy(col("lang").as("p_lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
@@ -59,18 +53,16 @@ object TextAnalysis {
     // the holdout's bigrams, ran a corpus-wide DISTINCT shuffle, joined
     // the profile, and aggregated — reuniting values that never had to
     // leave their row. Instead each holdout doc folds to its per-row
-    // distinct bigram set, and a |langs|-row broadcast of the per-language
-    // top-20 arrays scores every language via array_intersect in the same
-    // projection. score>0 replicates the inner join's drop of languages
-    // (and docs) with zero overlap; array sizes make the identical count
-    // because both sides are distinct sets.
+    // distinct bigram-code set, and a |langs|-row broadcast of the
+    // per-language top-20 code arrays scores every language via
+    // array_intersect in the same projection. score>0 replicates the
+    // inner join's drop of languages (and docs) with zero overlap; array
+    // sizes make the identical count because both sides are distinct sets.
     val profileArr = profile.groupBy(col("p_lang"))
       .agg(collect_list(col("bg")).as("p_bgs"))
     val scored = docs.where(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ''), x -> x != '')").as("c"))
-      .select(col("doc_id"), col("lang"),
-        expr(s"array_distinct($bigramArr)").as("bgs"))
+        expr("array_distinct(graft_bigram_codes(text))").as("bgs"))
       .crossJoin(broadcast(profileArr))
       .select(col("doc_id"), col("lang"), col("p_lang"),
         size(array_intersect(col("bgs"), col("p_bgs"))).cast("long").as("score"))
