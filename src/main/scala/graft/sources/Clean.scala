@@ -1,6 +1,8 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** Safe self-overwrite of a managed table (SURVEY.md §7.4 hazard 1).
   *
@@ -8,13 +10,104 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (`TyreStore Challenge.py:162-166`) — legal on Delta thanks to snapshot
   * isolation, but on a parquet managed table Spark throws "Cannot
   * overwrite a path that is also being read from". The engine equivalent
-  * materializes through a staging table and swaps, which is also the
-  * right shape for a petabyte table on a real cluster: the rewrite is a
-  * single distributed write job, and the swap is metadata-only.
+  * writes the rewrite into a fresh versioned directory and atomically
+  * re-points the table there, which recovers the two Delta behaviors the
+  * rewrite actually relies on:
+  *
+  *  - **no missing-table window**: the swap is ONE catalog operation
+  *    (`ALTER TABLE ... SET LOCATION`), so `spark.table` never fails
+  *    mid-swap (the old staged RENAME-aside/RENAME-back dance had a
+  *    window where the name did not exist);
+  *  - **reader snapshot isolation**: the previous version's files stay
+  *    on disk until a later rewrite vacuums them, so a scan that listed
+  *    its files before the swap keeps reading a consistent snapshot —
+  *    exactly what Delta's `delta.carts` readers get during `py:162-166`.
+  *
+  * Single-writer by assumption (Delta's writer-writer optimistic
+  * concurrency is out of scope — the reference pipeline has one writer).
+  * At cluster scale this is also the right shape: the rewrite is one
+  * distributed write job and the swap is metadata-only.
   */
 object Clean {
 
+  /** Versions kept on disk: the current one plus `KeepSnapshots - 1`
+    * predecessors; older `v=N` dirs are vacuumed best-effort after a
+    * successful swap. 2 = current + previous, enough for any reader that
+    * started before the swap to finish its scan. */
+  val KeepSnapshots = 2
+
   /** Rewrite `db.table` as `transform(db.table)`.
+    *
+    * Same-schema rewrites (the reference's shape: a filter) go through
+    * the snapshot path above. Bucketed rewrites — and any transform that
+    * CHANGES the table schema — fall back to the staged-swap path,
+    * because bucket spec and schema live on the catalog ENTRY, which
+    * `SET LOCATION` deliberately does not touch.
+    */
+  def rewriteTable(spark: SparkSession, db: String, table: String,
+      bucket: Option[(String, Int)] = None)(
+      transform: DataFrame => DataFrame): Unit = {
+    val fq = s"`$db`.`$table`"
+    val rewritten = transform(spark.table(fq))
+    // either path clears crashed-run staging/old leftovers first, so a
+    // swap-path crash followed by a snapshot-path rerun (or vice versa)
+    // cannot strand catalog entries or warehouse dirs
+    Ingest.dropTableAndLocation(spark, db, s"${table}__staging")
+    Ingest.dropTableAndLocation(spark, db, s"${table}__old")
+    if (bucket.isEmpty && rewritten.schema == spark.table(fq).schema)
+      rewriteTableSnapshot(spark, db, table, rewritten)
+    else
+      rewriteTableSwap(spark, db, table, bucket, rewritten)
+  }
+
+  /** Snapshot path: write `v=N+1` next to the current files, one atomic
+    * `SET LOCATION`, then vacuum versions older than [[KeepSnapshots]].
+    * A crash before the ALTER leaves the live table untouched (the
+    * half-written `v=N+1` is overwritten by the next attempt); a crash
+    * after it leaves the swap complete. Never zero live copies. */
+  private def rewriteTableSnapshot(spark: SparkSession, db: String,
+      table: String, rewritten: DataFrame): Unit = {
+    val fq = s"`$db`.`$table`"
+    val ident = TableIdentifier(table, Some(db))
+    val current = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    // version root: adopt `<db-location>/<table>__snap/` on first use;
+    // later rewrites recognize their own `v=N` layout and continue it
+    val (root, next) = current.getName match {
+      case VersionDir(n) => (current.getParent, n + 1)
+      case _ =>
+        val dbLoc = new Path(spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
+        (new Path(dbLoc, s"${table}__snap"), 1L)
+    }
+    val target = new Path(root, s"v=$next")
+    // materialize BEFORE the swap: the write reads the current location
+    // while writing the new one — disjoint paths, no self-overwrite
+    rewritten.write.mode(SaveMode.Overwrite).format("parquet").save(target.toString)
+    spark.sql(s"ALTER TABLE $fq SET LOCATION '${target.toString}'")
+    spark.catalog.refreshTable(s"$db.$table")
+    // vacuum: only `v=N` dirs under OUR root, never the original managed
+    // dir (a pre-snapshot reader may still be scanning it; it falls out
+    // of scope when the table is dropped)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case VersionDir(n) if n <= next - KeepSnapshots =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    } catch { case _: java.io.IOException => () } // vacuum is best-effort
+  }
+
+  private object VersionDir {
+    private val Re = "v=([0-9]+)".r
+    def unapply(name: String): Option[Long] = name match {
+      case Re(n) => Some(n.toLong)
+      case _ => None
+    }
+  }
+
+  /** Staged-swap path (bucketed / schema-changing rewrites).
     *
     * Swap order keeps the data recoverable at every step: the live table
     * is renamed aside (not dropped) before staging takes its name, so a
@@ -27,18 +120,12 @@ object Clean {
     * every later equi-join on `key` against an equally-bucketed table
     * plans with no exchange (Pipeline's orders⋈lineitem).
     */
-  def rewriteTable(spark: SparkSession, db: String, table: String,
-      bucket: Option[(String, Int)] = None)(
-      transform: DataFrame => DataFrame): Unit = {
+  private def rewriteTableSwap(spark: SparkSession, db: String, table: String,
+      bucket: Option[(String, Int)], rewritten: DataFrame): Unit = {
     val fq = s"`$db`.`$table`"
     val staging = s"`$db`.`${table}__staging`"
     val old = s"`$db`.`${table}__old`"
-    // re-runnability: clear any staging/old leftovers (catalog entry AND
-    // warehouse dir) from a previous crashed run before writing
-    Ingest.dropTableAndLocation(spark, db, s"${table}__staging")
-    Ingest.dropTableAndLocation(spark, db, s"${table}__old")
-    val writer = transform(spark.table(fq))
-      .write.mode(SaveMode.Overwrite).format("parquet")
+    val writer = rewritten.write.mode(SaveMode.Overwrite).format("parquet")
     bucket.fold(writer) { case (key, n) => writer.bucketBy(n, key).sortBy(key) }
       .saveAsTable(staging)
     spark.sql(s"ALTER TABLE $fq RENAME TO $old")

@@ -86,7 +86,7 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
-  test("Clean: self-overwrite via staging swap (the Delta-snapshot hazard)") {
+  test("Clean: self-overwrite (the Delta-snapshot hazard) keeps results exact") {
     Ingest.saveAsTable(
       Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"), "graftdb", "carts_clean_spec")
     // direct overwrite-while-reading would throw on a parquet managed table
@@ -94,6 +94,38 @@ class SourcesSpec extends SparkSpec {
     val back = spark.table("`graftdb`.`carts_clean_spec`")
     assert(back.count() === 2)
     assert(back.select("pk").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("Clean: snapshot rewrite — atomic re-point, previous version retained, vacuum at depth 2") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def location: org.apache.hadoop.fs.Path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("carts_snap_spec", Some("graftdb"))).location)
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"), "graftdb", "carts_snap_spec")
+    val v0 = location
+    val fs = v0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Clean.rewriteTable(spark, "graftdb", "carts_snap_spec")(_.where($"price" > 0))
+    val v1 = location
+    assert(v1.getName === "v=1", s"adopted version layout, got $v1")
+    // reader snapshot isolation: the pre-rewrite files still exist and
+    // still read as the OLD snapshot — an in-flight scan stays consistent
+    assert(fs.exists(v0), "previous version vacuumed too early")
+    assert(spark.read.parquet(v0.toString).count() === 3)
+    assert(spark.table("`graftdb`.`carts_snap_spec`").count() === 2)
+
+    Clean.rewriteTable(spark, "graftdb", "carts_snap_spec")(_.where($"pk" =!= 3L))
+    val v2 = location
+    assert(v2.getName === "v=2")
+    assert(fs.exists(v1), "KeepSnapshots=2 keeps current + previous")
+    assert(spark.table("`graftdb`.`carts_snap_spec`").select("pk").as[Long]
+      .collect().toSet === Set(1L))
+
+    Clean.rewriteTable(spark, "graftdb", "carts_snap_spec")(identity)
+    assert(location.getName === "v=3")
+    assert(!fs.exists(v1), "v=1 is beyond retention after the third rewrite")
+    assert(fs.exists(v2))
   }
 
   test("Clean: re-runnable after a crash that left staging/old leftovers") {
