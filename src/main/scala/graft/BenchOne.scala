@@ -13,6 +13,11 @@ object BenchOne {
     val iters = if (args.length > 2) args(2).toInt else 3
     val spark = Session.get("graft-bench-one")
     val fn = SparkEntry.queries(name)
+    if (args.contains("--explain")) {
+      fn(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     val times = (1 to iters).map { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

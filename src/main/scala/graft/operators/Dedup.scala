@@ -456,11 +456,15 @@ object Dedup {
     * s02/s03 (ANN) and d03/d08 (dedup/clustering) paths instead.
     * Overridable for eval runs that accept the cost.
     *
-    * Default sized from measurement, not guesswork: the round-9 sf1
-    * study clocked d05 at 142–185 s for 20k vectors on local[32]
-    * (PERF.md §r9); pair cost is quadratic, so 25k ≈ 1.6× that — a
-    * worst-case accidental run stays under ~5 minutes. The old 100k
-    * default admitted a ~1 h run while claiming to be a guard. */
+    * Default sized from measurement, not guesswork: after the salted
+    * codegen'd pair join (round 10) d05 runs 20k vectors in ~7 s on
+    * local[32]; quadratic extrapolation puts 25k at ~11 s and keeps a
+    * worst-case accidental run well under a minute. (History: the r9
+    * study clocked the old interpreted BNLJ form at 142–185 s for the
+    * same 20k, and the original 100k default admitted a ~1 h run while
+    * claiming to be a guard — the cap was first cut to 25k, then the
+    * join was fixed.) Kept at 25k: the baseline's JOB is ground truth
+    * for the bucketed paths at eval scale, not production scale. */
   val BaselineMaxVectors: Long = envLong("GRAFT_BASELINE_MAX_VECTORS", 25000L)
 
   /** Validated env-var long parse: a typo'd override fails with the
@@ -491,16 +495,31 @@ object Dedup {
     requireBaselineSize(n, BaselineMaxVectors, "d05_embedding_neardup",
       "Similarity.s02 (LSH buckets) / s03 (IVF)")
     val v = normedOf(vecs)
-    val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    // The pair generator is the adaptive salted SELF-join over ONE
+    // constant cell, NOT the natural theta join `a.vec_id < b.vec_id`:
+    // a pure inequality condition plans as BroadcastNestedLoopJoin,
+    // which runs OUTSIDE whole-stage codegen — every pair paid an
+    // interpreted condition eval and an interpreted graft_dot (142 s
+    // for 20k vectors, r9 sf1 study). The salted form is an EQUI join
+    // on (cell, slice), so the n²/targetPairs slices hash-join inside
+    // codegen with the cosine fused into the same stage, and the pair
+    // work spreads over slices instead of one broadcast loop per
+    // stream partition. Identical pair multiset (the Scale spec's
+    // property), then the `<` filter keeps each unordered pair once.
+    val cell = "__allpairs_cell"
+    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("label").as("label_a")).withColumn(cell, lit(0))
+    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("label").as("label_b")).withColumn(cell, lit(0))
     // score each pair ONCE in the (codegen'd) projection and take top-k
     // over narrow rows: ordering directly by the dot expression made
     // TakeOrderedAndProject re-evaluate it per heap COMPARISON — with
     // both embeddings riding along in every row — measured ~3× the whole
     // query at 20k vectors (see PERF.md round-10 addendum)
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label_a"), col("b.label").as("label_b"),
-        cos.as("cosine"))
+    graft.plans.Scale.adaptiveSaltedCellJoin(va, vb, cell)
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        (expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(100)
       .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),

@@ -89,6 +89,21 @@ class PlanSpec extends SparkSpec {
       s"signature/shingle caches not used:\n${plan.take(2000)}")
   }
 
+  test("d05: all-pairs baseline plans a codegen'd equi join — no nested-loop, no cartesian") {
+    // the theta form (vec_id < vec_id) planned BroadcastNestedLoopJoin,
+    // which executes OUTSIDE whole-stage codegen: every pair paid an
+    // interpreted condition + interpreted graft_dot (142 s vs 7 s at 20k
+    // vectors). The salted single-cell self-join must keep it equi.
+    val plan = formatted(Dedup.d05EmbeddingNeardup(spark, sf))
+    // the constant-cell fan histogram still rides a 1-row broadcast
+    // (the repo's scalar-join idiom — the constant key folds out of the
+    // equi condition); the PAIR join itself must be an equi shuffle join
+    assert(!plan.contains("CartesianProduct"),
+      s"d05 planned a cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"d05 pair join fell back to a non-codegen loop:\n${plan.take(2000)}")
+  }
+
   test("d16: containment candidates come from the band join — no cartesian anywhere") {
     val plan = formatted(Dedup.d16ContainmentAudit(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
