@@ -183,4 +183,30 @@ object InvariantProps extends Properties("graft.invariants") {
         math.abs(row.getAs[Double]("mean_value") - mean) < 1e-9 &&
         math.abs(row.getAs[Double]("stddev_value") - stddev) < 1e-9
     }
+
+  // arbitrary well-formed unicode including astral codepoints (whole
+  // surrogate pairs) — the inputs where a byte-walk bigram decoder
+  // could drift from the string definition. Lone surrogates are
+  // deliberately absent: they are ill-formed UTF-16 that Spark's
+  // String→UTF8String conversion replaces before any expression runs.
+  private val unicodeTextGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("é", "ß", "中", "文", "א", " "),
+    1 -> Gen.oneOf("𝄞", "😀", "𐍈")
+  )).map(_.mkString)
+
+  property("graft_bigram_codes equals the codepoint-pair definition for any unicode text") =
+    Prop.forAllNoShrink(Gen.listOf(unicodeTextGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      rows.isEmpty || {
+        val got = rows.toDF("id", "text")
+          .select(col("id"), expr("graft_bigram_codes(text)").as("codes"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        rows.forall { case (id, t) =>
+          val cps = t.codePoints().toArray
+          val want = cps.zip(cps.drop(1)).map { case (a, b) => a.toLong * 0x110000L + b }.toSeq
+          got(id) == want
+        }
+      }
+    }
 }
