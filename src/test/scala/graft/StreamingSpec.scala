@@ -260,4 +260,18 @@ class StreamingSpec extends SparkSpec {
       s"the batch-2 echo of a batch-0 doc must be caught via the stream index: " +
         streamed.filter(_._1 == echoId))
   }
+
+  test("e15 artifact-served fold equals the text-derived fold on the driver corpus") {
+    import graft.operators.Dedup
+    // the CORRECTNESS-row wrapper probes the persisted index artifacts
+    // (the stream's economics); the generic fold re-derives every
+    // existing side from text — verdicts must be identical
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"verdict", $"match_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val served = asSet(Dedup.e15StreamDedup(spark, sf))
+    val generic = asSet(Dedup.streamDedupFold(Tables.load(spark, sf, "documents")))
+    assert(served === generic)
+  }
 }
