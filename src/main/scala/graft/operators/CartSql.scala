@@ -68,6 +68,83 @@ object CartSql {
       |GROUP BY launch_month
       |ORDER BY launch_month ASC""".stripMargin)
 
+  /** q06 as SQL: supplier-nation variant of q05 — chained LEFT then
+    * RIGHT join (left-deep, the reference's py:318-330 shape), agg
+    * subquery, FULL JOIN zero-fill. */
+  def q06Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT n_name,
+      |       coalesce(total_abandoned_orders, 0) AS total_abandoned_orders,
+      |       coalesce(total_abandoned_value, 0.0) AS total_abandoned_value
+      |FROM (
+      |  SELECT s_nationkey,
+      |         count(DISTINCT o_orderkey) AS total_abandoned_orders,
+      |         coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+      |           AS total_abandoned_value
+      |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |       RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY s_nationkey) agg
+      |FULL JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY total_abandoned_orders DESC, n_name ASC""".stripMargin)
+
+  /** q07 as SQL: equi-join on a COMPUTED key (the reference's zip-concat
+    * join, py:343 — here the rebuilt customer name). */
+  def q07Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT c_mktsegment,
+      |       count(DISTINCT o_orderkey) AS abandoned_orders,
+      |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+      |         AS abandoned_value
+      |FROM orders LEFT JOIN customer
+      |  ON concat('Customer#', lpad(CAST(o_custkey AS STRING), 9, '0')) = c_name
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY c_mktsegment
+      |ORDER BY abandoned_orders DESC, c_mktsegment ASC""".stripMargin)
+
+  /** q09 as SQL: HAVING-on-derived-launch-year via a scalar subquery
+    * (py:415-439 shape), top-100. */
+  def q09Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """SELECT l_partkey, year(launch_ts) AS launch_year,
+      |       coalesce(abandoned_orders, 0) AS abandoned_orders
+      |FROM (
+      |  SELECT l_partkey, min(o_orderdate) AS launch_ts,
+      |         CASE WHEN l_partkey IS NULL THEN 0
+      |              ELSE count(DISTINCT CASE WHEN o_orderstatus = 'O'
+      |                                       THEN o_orderkey END) END AS abandoned_orders
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_partkey) launch
+      |WHERE year(launch_ts) = (SELECT year(min(o_orderdate)) FROM orders)
+      |ORDER BY abandoned_orders DESC, l_partkey ASC
+      |LIMIT 100""".stripMargin)
+
+  /** q11 as SQL: the DAILY gap-fill (py:496-515 shape) — 90-day spine
+    * anchored on MAX(o_orderdate) via a bounds CTE, two fact grains. */
+  def q11Sql(spark: SparkSession, dir: String): DataFrame = run(spark, dir,
+    """WITH bounds AS (
+      |  SELECT CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      |spine AS (
+      |  SELECT explode(sequence(date_sub(hi, 89), hi, interval 1 day)) AS date FROM bounds),
+      |o_agg AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         count(DISTINCT o_orderkey) AS o_cnt,
+      |         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS o_val
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |  GROUP BY date),
+      |i_agg AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS i_cnt,
+      |         coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS i_val
+      |  FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY date)
+      |SELECT date,
+      |       coalesce(o_cnt, 0) AS total_abandoned_orders,
+      |       coalesce(o_val, 0.0) AS total_value_orders,
+      |       coalesce(i_cnt, 0.0) AS total_abandoned_items,
+      |       coalesce(i_val, 0.0) AS total_value_items
+      |FROM spine LEFT JOIN o_agg USING (date)
+      |           LEFT JOIN i_agg USING (date)
+      |ORDER BY date ASC""".stripMargin)
+
   /** q10 as SQL: the reference's first table-materializing query
     * (py:449-515 shape) — calendar spine from a bounds CTE, two
     * aggregated fact subqueries at different grains LEFT JOINed onto the

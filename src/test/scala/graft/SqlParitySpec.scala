@@ -29,8 +29,24 @@ class SqlParitySpec extends SparkSpec {
     sameRows(CartAnalytics.q05AbandonedByCustomerNation(spark, sf), CartSql.q05Sql(spark, sf))
   }
 
+  test("q06 SQL text (chained LEFT-then-RIGHT left-deep join) == DataFrame builder") {
+    sameRows(CartAnalytics.q06AbandonedBySupplierNation(spark, sf), CartSql.q06Sql(spark, sf))
+  }
+
+  test("q07 SQL text (computed-key equi join) == DataFrame builder") {
+    sameRows(CartAnalytics.q07ComputedKeyJoin(spark, sf), CartSql.q07Sql(spark, sf))
+  }
+
   test("q08 SQL text (GROUP BY alias) == DataFrame builder") {
     sameRows(CartAnalytics.q08LaunchCohorts(spark, sf), CartSql.q08Sql(spark, sf))
+  }
+
+  test("q09 SQL text (scalar-subquery launch-year filter) == DataFrame builder") {
+    sameRows(CartAnalytics.q09LaunchYearTopParts(spark, sf), CartSql.q09Sql(spark, sf))
+  }
+
+  test("q11 SQL text (daily spine gapfill, bounds CTE) == DataFrame builder") {
+    sameRows(CartAnalytics.q11DailyGapfill(spark, sf), CartSql.q11Sql(spark, sf))
   }
 
   test("q10 SQL text (spine gapfill, GROUP BY alias, multi-key ORDER BY on aliases) " +
