@@ -71,9 +71,14 @@ object Clean {
     val ident = TableIdentifier(table, Some(db))
     val current = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
     // version root: adopt `<db-location>/<table>__snap/` on first use;
-    // later rewrites recognize their own `v=N` layout and continue it
+    // later rewrites recognize their own layout and continue it. The
+    // root must carry the `__snap` marker, not just a `v=N` basename —
+    // a user's EXTERNAL table could legitimately sit at a
+    // partition-style `v=3` directory, and treating its parent as our
+    // root would vacuum sibling partitions.
     val (root, next) = current.getName match {
-      case VersionDir(n) => (current.getParent, n + 1)
+      case VersionDir(n) if Option(current.getParent)
+          .exists(_.getName.endsWith("__snap")) => (current.getParent, n + 1)
       case _ =>
         val dbLoc = new Path(spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
         (new Path(dbLoc, s"${table}__snap"), 1L)

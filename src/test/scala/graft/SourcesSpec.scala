@@ -128,6 +128,30 @@ class SourcesSpec extends SparkSpec {
     assert(fs.exists(v2))
   }
 
+  test("Clean: snapshot rewrite does not hijack a user table parked at a v=N path") {
+    // an EXTERNAL table whose location happens to be a partition-style
+    // v=3 directory must NOT be treated as our version layout — its
+    // parent lacks the __snap marker, so the rewrite adopts a fresh
+    // root and never vacuums the user's sibling directories
+    val base = s"$tmpDir/userpart"
+    Seq((1L, 10.0), (2L, 0.0)).toDF("pk", "price")
+      .write.parquet(s"$base/v=3")
+    Seq((9L, 9.0)).toDF("pk", "price").write.parquet(s"$base/v=1") // sibling
+    spark.sql(s"CREATE TABLE `graftdb`.`user_vdir` (pk BIGINT, price DOUBLE) " +
+      s"USING parquet LOCATION '$base/v=3'")
+    Clean.rewriteTable(spark, "graftdb", "user_vdir")(_.where($"price" > 0))
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "user_vdir", Some("graftdb"))).location)
+    assert(loc.getParent.getName === "user_vdir__snap", s"adopted fresh root, got $loc")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v=1")),
+      "user's sibling directory must survive")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/v=3")),
+      "user's original directory must survive")
+    assert(spark.table("`graftdb`.`user_vdir`").count() === 1)
+  }
+
   test("Clean: re-runnable after a crash that left staging/old leftovers") {
     import org.apache.spark.sql.functions.col
     Ingest.saveAsTable(
