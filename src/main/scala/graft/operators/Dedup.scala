@@ -1103,22 +1103,42 @@ object Dedup {
     * pushdown into the doc_id-clustered shingle table). Cost: batch
     * derivation + collided-bucket index reads — never corpus-linear. */
   def incrementalDedup(incoming: DataFrame, existingIndex: DataFrame,
-      existingShingles: DataFrame): DataFrame = {
+      existingShingles: DataFrame): DataFrame =
+    incrementalDedupProgram(incoming, existingIndex, existingIndex,
+      existingShingles, (_, _) => lit(true))
+
+  /** The incremental-verdict program, generalized with a per-pair
+    * admissibility predicate so an ORDERED fold (e15: batch i may only
+    * match corpus docs and batches < i) runs as ONE Spark program
+    * instead of one program per batch. `matchIndex` holds every row
+    * eligible as a match TARGET and MAY overlap `incoming` (inadmissible
+    * pairs — self-pairs, same/later batches — are removed by `pairOk`);
+    * `verifyIndex`/`verifyShingles` feed the exact-verify stage and must
+    * be DISJOINT from `incoming` (an incoming doc's shingles/size come
+    * from the batch-side derivation — any overlap would double-count
+    * shared shingles in the Jaccard verify). */
+  private def incrementalDedupProgram(incoming: DataFrame,
+      matchIndex: DataFrame, verifyIndex: DataFrame,
+      verifyShingles: DataFrame,
+      pairOk: (Column, Column) => Column): DataFrame = {
     val exactMatch = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(existingIndex.select(col("text_md5").as("h"), col("doc_id").as("m")), Seq("h"))
+      .join(matchIndex.select(col("text_md5").as("h"), col("doc_id").as("m")), Seq("h"))
+      .where(pairOk(col("doc_id"), col("m")))
       .groupBy(col("doc_id")).agg(min(col("m")).as("exact_match"))
     val shInc = shinglesOf(incoming.select(col("doc_id"), col("text")))
     val sigInc = lshSignatures(shInc)
-    // band lookups into the existing index only — disjoint sides, so no
-    // doc_a < doc_b canonicalization. Persisted: consumed by both the
+    // band lookups into the match index only — pairOk removes
+    // inadmissible pairs (incl. self-matches when the sides overlap), so
+    // no doc_a < doc_b canonicalization. Persisted: consumed by both the
     // touched-doc restriction and the verify join.
-    val cand = bandCandidates(sigInc, existingIndex, canonical = false)
+    val cand = bandCandidates(sigInc, matchIndex, canonical = false)
+      .where(pairOk(col("doc_a"), col("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = cand.select(col("doc_b").as("doc_id")).distinct()
-    val shEx = existingShingles.join(touched, Seq("doc_id"), "left_semi")
+    val shEx = verifyShingles.join(touched, Seq("doc_id"), "left_semi")
     val sh = shInc.unionAll(shEx.select(col("doc_id"), col("shingle")))
     val sizes = sigInc.select(col("doc_id"), col("n"))
-      .unionAll(existingIndex.select(col("doc_id"), col("n")))
+      .unionAll(verifyIndex.select(col("doc_id"), col("n")))
     val nearMatch = thresholdEdges(sharedCounts(cand, sh), sizes)
       .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("near_match"))
     val out = incoming.select(col("doc_id"))
@@ -1227,28 +1247,31 @@ object Dedup {
     outs.reduce(_ unionAll _).orderBy(col("doc_id").asc)
   }
 
-  /** e15 serves the fold the way the foreachBatch stream it twins runs:
-    * every batch 3-arg-probes the PERSISTED index/shingle artifacts
-    * (corpus rows + the already-indexed earlier batches — per-doc rows
-    * are corpus-independent, so filtering the full-corpus artifact
-    * equals the stream's "persisted + appended" state), instead of
-    * re-shingling the whole existing corpus once per micro-batch as the
-    * generic fold must. Verdicts are identical (oracle re-derives from
-    * raw text); cost drops from NumStreamBatches corpus shingle passes
-    * to NumStreamBatches batch-scale probes. */
+  /** e15 serves the fold the way the foreachBatch stream it twins runs —
+    * probing the PERSISTED index/shingle artifacts (per-doc rows are
+    * corpus-independent, so filtering the full-corpus artifact equals
+    * the stream's "persisted + appended" state) — and it runs the WHOLE
+    * ordered fold as ONE program: all stream docs probe the full match
+    * index at once, with the batch ordering enforced by the pair
+    * predicate "target is corpus, or an earlier batch". That predicate
+    * IS the fold semantics (batch i's admissible match set), so the
+    * verdicts equal the three sequential per-batch programs
+    * (StreamingSpec pins one-shot ≡ text-derived loop; the oracle
+    * re-derives from raw text) without paying three serial
+    * materializations. The verify side stays corpus-only — stream docs'
+    * shingles/sizes come from the batch derivation exactly once. */
   def e15StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val idx = persistedDedupIndex(spark, dir)
     val shs = persistedShingles(spark, dir)
-    def existingAt(i: Int) = col("doc_id") % IncrementalMod =!= 0 ||
-      (col("doc_id") % IncrementalMod === 0 && streamBatchExpr < i)
-    val outs = (0 until NumStreamBatches).map { i =>
-      val incoming = docs
-        .where(col("doc_id") % IncrementalMod === 0 && streamBatchExpr === i)
-        .select(col("doc_id"), col("text"))
-      incrementalDedup(incoming, idx.where(existingAt(i)), shs.where(existingAt(i)))
-    }
-    outs.reduce(_ unionAll _).orderBy(col("doc_id").asc)
+    def isCorpus(c: Column) = c % IncrementalMod =!= 0
+    def ordinal(c: Column) = expr(s"(${c.toString} div $IncrementalMod) % $NumStreamBatches")
+    incrementalDedupProgram(
+      docs.where(col("doc_id") % IncrementalMod === 0).select(col("doc_id"), col("text")),
+      idx,
+      idx.where(isCorpus(col("doc_id"))),
+      shs.where(isCorpus(col("doc_id"))),
+      (a, b) => isCorpus(b) || ordinal(b) < ordinal(a))
   }
 
   def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
