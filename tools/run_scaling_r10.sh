@@ -15,7 +15,7 @@
 set -u
 cd /root/repo
 REPO=$PWD
-OUT=$REPO/target/scaling_r10
+OUT=$REPO/target/scaling_r10_final
 mkdir -p "$OUT"
 if [ ! -d "$OUT/classes" ]; then
   cp -r target/scala-2.13/classes "$OUT/classes"
