@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver reads only a ~2 KB stdout TAIL of `sbt "runMain graft.Bench"`
+// and tries to parse the bench contract line from it as JSON. Two sbt
+// decorations have defeated that parse even when the line itself fit
+// (BENCH_r10: full line visible in the tail, still `parsed: null`):
+//  - sbt's logger wraps forked output as `[info] {...}` — route forked
+//    run output straight to stdout instead;
+//  - sbt appends `[success] Total time: ...` AFTER the last program line —
+//    suppress it so the bare JSON line can be the final line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

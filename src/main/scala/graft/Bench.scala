@@ -83,8 +83,18 @@ object Bench {
     def jnum2(v: Double) =
       if (v == v.floor && v.abs < 1e15) v.toString
       else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // The compact line keys on the pre-underscore prefix (q01, d17, …).
+    // Nothing used to enforce prefix uniqueness — a future query sharing
+    // a prefix would silently emit duplicate JSON keys and the driver's
+    // parse would drop one query's number. Colliding prefixes fall back
+    // to the full name, so a collision costs bytes, never data.
+    val dupPrefixes = results.groupBy(_._1.takeWhile(_ != '_'))
+      .collect { case (p, g) if g.size > 1 => p }.toSet
+    def shortKey(k: String) = {
+      val p = k.takeWhile(_ != '_'); if (dupPrefixes(p)) k else p
+    }
     val qsShort = results.map { case (k, v, _, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + jnum2(v)
+      "\"" + shortKey(k) + "\":" + jnum2(v)
     }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
@@ -101,8 +111,24 @@ object Bench {
       s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
     // Compact contract line (fits the driver's 2 KB stdout tail); keys are
     // the unique query-name prefixes, full detail in the file artifacts.
-    val shortLine =
+    // The per-query form is ~1.4 KB at 106 queries — close to the limit —
+    // so past ~1.6 KB it degrades to family totals + the slowest rows
+    // (still valid per the contract: "queries" maps name→seconds) rather
+    // than overflowing the tail and losing the whole line.
+    val perQueryLine =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","full":"target/bench_last.json"}"""
+    val shortLine =
+      if (perQueryLine.length <= 1600) perQueryLine
+      else {
+        val fams = results.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+          .map { case (f, g) =>
+            "\"" + f + "\":" + jnum2(g.collect { case (_, v, _, _, _) if v >= 0 => v }.sum)
+          }.mkString("{", ",", "}")
+        val slowest = results.sortBy(-_._2).take(12)
+          .map { case (k, v, _, _, _) => "\"" + shortKey(k) + "\":" + jnum2(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slowest,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","full":"target/bench_last.json"}"""
+      }
     println(shortLine)
     // Self-contained official artifact: the driver's stdout capture keeps
     // only a 2 KB tail (BENCH_r06/r07 both arrived with `parsed: null`),
@@ -125,5 +151,10 @@ object Bench {
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     writeOut(java.nio.file.Paths.get(s"target/bench_history/bench_$stamp.json"))
     spark.stop()
+    // Printed AGAIN as the program's final statement — after spark.stop(),
+    // so no shutdown logging can trail it and the contract line is the
+    // last line of stdout (build.sbt routes forked run output straight to
+    // stdout and suppresses sbt's closing [success] line).
+    println(shortLine)
   }
 }

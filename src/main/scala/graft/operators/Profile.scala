@@ -59,7 +59,7 @@ object Profile {
     // persisted: the per-column branches below each reference this 1-row
     // frame; the cache substitution makes them share ONE scan+aggregate
     val wide = df.agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val perCol = numericCols.map { c =>
       val mean = wide(s"${c}__mean")
       wide.select(

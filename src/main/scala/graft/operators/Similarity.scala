@@ -394,7 +394,7 @@ object Similarity {
     // recomputed inside the L² pair rows
     val centArr = centroidArr(spark, dir)
       .withColumn("nrm", sqrt(expr(ddot("cent", "cent"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val a = centArr.select(col("label").as("label_a"), col("cent").as("ca"),
       col("nrm").as("na"))
     val b = centArr.select(col("label").as("label_b"), col("cent").as("cb"),

@@ -203,7 +203,7 @@ object TextAnalysis {
     val counts = docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val top = counts.orderBy(col("freq").desc, col("word").asc).limit(100)
     val total = counts.agg(sum(col("freq")).as("tot"))
     // rank of a = |{b : b ≤ a in (freq desc, word asc) order}|; the same
@@ -283,7 +283,7 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("word"))
       .withColumn("score", col("tf") / col("df"))
@@ -417,7 +417,7 @@ object TextAnalysis {
     // persisted: three consumers (shape stats, stop list, stop coverage)
     val wc = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val ws = wc.groupBy(col("doc_id"))
       .agg(max(col("c")).as("max_word_freq"), sum(col("c")).as("n_words"))
     val stop = wc.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
@@ -471,7 +471,7 @@ object TextAnalysis {
           |THEN transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))
           |ELSE array() END""".stripMargin)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val train = dbg.where(col("doc_id") % 5 =!= 0)
       .groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
     val scored = dbg.join(train, Seq("bg"), "left_outer")
@@ -510,7 +510,7 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Dedup.persistOnce)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("word"))
       .groupBy(col("doc_id"))

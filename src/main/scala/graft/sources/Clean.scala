@@ -32,9 +32,13 @@ object Clean {
 
   /** Versions kept on disk: the current one plus `KeepSnapshots - 1`
     * predecessors; older `v=N` dirs are vacuumed best-effort after a
-    * successful swap. 2 = current + previous, enough for any reader that
-    * started before the swap to finish its scan. */
-  val KeepSnapshots = 2
+    * successful swap. Default 2 = current + previous, enough for any
+    * reader that started before the swap to finish its scan; deployments
+    * with longer-running readers raise GRAFT_KEEP_SNAPSHOTS (floored at
+    * 2 — 1 would vacuum the version a pre-swap reader is still
+    * scanning, exactly the isolation this path exists to provide). */
+  val KeepSnapshots: Long =
+    math.max(2L, graft.operators.Dedup.envLong("GRAFT_KEEP_SNAPSHOTS", 2L))
 
   /** Rewrite `db.table` as `transform(db.table)`.
     *
@@ -54,11 +58,66 @@ object Clean {
     // cannot strand catalog entries or warehouse dirs
     Ingest.dropTableAndLocation(spark, db, s"${table}__staging")
     Ingest.dropTableAndLocation(spark, db, s"${table}__old")
-    if (bucket.isEmpty && rewritten.schema == spark.table(fq).schema)
+    // The snapshot path must also be refused when the CURRENT table is
+    // bucketed: `SET LOCATION` keeps the catalog entry (including its
+    // bucket spec) and only re-points the files, so a plain
+    // rewriteTable(bucket = None) on a previously-bucketed table would
+    // point a still-bucketed catalog entry at plain parquet — later
+    // scans fail ("Invalid bucket file") or wrongly elide exchanges.
+    // Instead fall through to the staged swap and RE-APPLY the existing
+    // bucket spec, so a filter-rewrite of a bucketed table stays
+    // bucketed (the property its exchange-free joins depend on).
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table, Some(db)))
+    val existingBucket: Option[(String, Int)] = meta.bucketSpec.map { bs =>
+      require(bs.bucketColumnNames.size == 1 && bs.sortColumnNames.size <= 1,
+        s"rewriteTable: $fq has a multi-column bucket spec ($bs); " +
+          "re-applying it through a rewrite is not implemented — pass the " +
+          "spec explicitly once multi-column bucketing exists in this engine")
+      (bs.bucketColumnNames.head, bs.numBuckets)
+    }
+    if (bucket.isEmpty && existingBucket.isEmpty &&
+        rewritten.schema == spark.table(fq).schema)
       rewriteTableSnapshot(spark, db, table, rewritten)
     else
-      rewriteTableSwap(spark, db, table, bucket, rewritten)
+      rewriteTableSwap(spark, db, table, bucket.orElse(existingBucket), rewritten)
   }
+
+  /** Drop `db.table` AND the snapshot machinery the rewrites built for
+    * it: plain `DROP TABLE` on a managed table deletes only the CURRENT
+    * location — after snapshot rewrites that is `…__snap/v=N`, so the
+    * retained predecessor versions (and, for a table adopted from a
+    * pre-snapshot managed dir, the original dir) would leak on disk.
+    * This is the drop the pipeline should use for rewrite-managed
+    * tables. Uses the catalog location BEFORE dropping, so external
+    * tables at user-chosen `v=N`-style paths (which never get a
+    * `__snap` root) are untouched beyond the normal drop. */
+  def dropTableWithSnapshots(spark: SparkSession, db: String, table: String): Unit = {
+    val ident = TableIdentifier(table, Some(db))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    if (spark.sessionState.catalog.tableExists(ident)) {
+      val current = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+      val fs = current.getFileSystem(hadoopConf)
+      if (fs.exists(current)) fs.delete(current, true)
+      snapRoot(spark, db, table).foreach { root =>
+        if (fs.exists(root)) fs.delete(root, true)
+      }
+      // the pre-adoption managed dir (warehouse/<db>.db/<table>) if the
+      // table was adopted into the __snap layout from one
+      val managed = new Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$table")
+      if (fs.exists(managed)) fs.delete(managed, true)
+    }
+  }
+
+  /** The `__snap` version root the snapshot path would use for
+    * `db.table`, if the database exists. */
+  private def snapRoot(spark: SparkSession, db: String, table: String): Option[Path] =
+    if (spark.sessionState.catalog.databaseExists(db))
+      Some(new Path(
+        new Path(spark.sessionState.catalog.getDatabaseMetadata(db).locationUri),
+        s"${table}__snap"))
+    else None
 
   /** Snapshot path: write `v=N+1` next to the current files, one atomic
     * `SET LOCATION`, then vacuum versions older than [[KeepSnapshots]].
@@ -142,5 +201,16 @@ object Clean {
         throw e
     }
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    // A swap resets the layout to a plain managed location, so any
+    // `__snap` version root left by earlier snapshot rewrites is now
+    // unreferenced — vacuum it (best-effort). The swap path makes no
+    // reader-isolation promise (it just dropped `__old`, the pre-swap
+    // data), so deleting retained versions here is consistent.
+    snapRoot(spark, db, table).foreach { root =>
+      try {
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 }
