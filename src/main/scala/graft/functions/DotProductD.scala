@@ -116,5 +116,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         BigramCodes(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_trigram_h31"),
+      new ExpressionInfo(classOf[TrigramH31].getName, "graft_trigram_h31"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_trigram_h31`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TrigramH31(children.head)
+      }))
   }
 }

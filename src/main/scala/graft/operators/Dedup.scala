@@ -45,13 +45,30 @@ object Dedup {
     * materialization instead of re-scanning and re-exploding the corpus.
     * MEMORY_AND_DISK: at 100 TB this spills per-executor rather than
     * failing. */
+  private val trigramsExpr = expr(
+    """CASE WHEN size(w) >= 3
+      |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
+      |ELSE array() END""".stripMargin)
+
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     persistOnce(docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 3
-          |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
-          |ELSE array() END""".stripMargin)).as("shingle"))
+      .select(col("doc_id"), explode(trigramsExpr).as("shingle"))
+      .distinct())
+
+  /** Distinct (doc_id, shingle-h31) pairs — the HASHED shingle frame.
+    * The shingle strings are built and hashed inside the map stage and
+    * never reach a shuffle: the distinct runs over two longs. The r11
+    * d17 decomposition showed the string-shingle `distinct` owning
+    * ~10 s of the 13 s sf1 wall-clock — the same string-churn wall t01
+    * hit (PERF.md) — while every candidate-side consumer (anchors, df
+    * cap, probe index) only ever needs the hash. Exact verification
+    * re-derives STRING shingles for the docs surviving candidates touch
+    * (dup-rate-proportional, not corpus-proportional — see
+    * [[containmentSketch]]). */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    persistOnce(docs
+      .select(col("doc_id"), explode(expr("graft_trigram_h31(text)")).as("h"))
       .distinct())
 
   /** `persist(MEMORY_AND_DISK)` that consults the CacheManager first:
@@ -884,37 +901,72 @@ object Dedup {
     * docs·K·df_max. */
   val AnchorDfCap: Long = envLong("GRAFT_D17_DF_CAP", 1024L)
 
-  /** The sketch's candidate stream: bottom-K anchor shingles per doc
-    * probing the df-capped full shingle inverted index. Exposed to the
-    * recall/fanout spec so the cap's candidate bound is assertable
+  /** Minimum matched-anchor count for a candidate pair to reach exact
+    * verification (env-tunable; 1 restores verify-every-collision).
+    *
+    * The verify stage — joining every candidate pair against both full
+    * shingle sets — owns the d17 wall-clock (14.7 s of the sf1 total in
+    * the r10 study), and on a word-salad corpus ~99% of single-anchor
+    * collisions are spurious pairs at containment far below the 0.9
+    * threshold. The matched-anchor count is FREE: it is sitting in the
+    * candidate join before the `.distinct()` discards it. Requiring
+    * ≥ 2 distinct anchor hits (from either probe direction — max is
+    * taken over both) prunes the spurious wave before the expensive
+    * join touches it.
+    *
+    * Recall arithmetic (the sketch's contract is miss ≤ (1-c)^K at
+    * m=1): at m=2 the smaller doc's direction misses w.p.
+    * ≤ (1-c)^K + K·c·(1-c)^(K-1) — at the 0.9 containment threshold
+    * that is ≤ 0.37% vs 0.01%, and a FULLY contained doc (c = 1, the
+    * excerpt case) is still found deterministically because all of its
+    * anchors hit. Docs with fewer than [[MinAnchorHits]] usable anchors
+    * (< 2·3-word texts under the df cap) are exempted down to their own
+    * anchor count, so tiny docs keep the m=1 guarantee. The DuckDB
+    * oracle mirrors the prune exactly (deterministic given h31), and
+    * the recall spec re-asserts ≥95% against exhaustive truth. */
+  val MinAnchorHits: Long = envLong("GRAFT_D17_MIN_ANCHOR_HITS", 2L)
+
+  /** The sketch's candidate stream: bottom-K anchor shingle-hashes per
+    * doc probing the df-capped hashed shingle inverted index. Exposed to
+    * the recall/fanout spec so the cap's candidate bound is assertable
     * without re-deriving the join. */
   private[graft] def sketchCandidates(docs: DataFrame, dfCap: Long): DataFrame =
-    sketchCandidatesOf(shinglesOf(docs.select(col("doc_id"), col("text"))), dfCap)
+    sketchCandidatesHashed(
+      hashedShinglesOf(docs.select(col("doc_id"), col("text"))), dfCap)
 
   /** [[sketchCandidates]] over an already-built (and typically already
-    * persisted) shingle frame, so callers that also need the shingles —
-    * [[containmentSketch]] scores candidates against them — build and
-    * cache the explode exactly once instead of twice. */
-  private[graft] def sketchCandidatesOf(sh: DataFrame, dfCap: Long): DataFrame = {
-    val hashed = sh.select(col("doc_id"), h31(col("shingle")).as("h"), col("shingle"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("h").asc, col("shingle").asc)
-    val anchors = hashed
-      .withColumn("rk", row_number().over(byDoc))
-      .where(col("rk") <= AnchorK)
-      .select(col("doc_id"), col("h"))
-    // Probe join on the 60→31-bit hash, not the shingle string: the
-    // shuffle carries longs; a hash collision can only ADD a candidate
-    // (or, on the df side, only make the cap MORE conservative), and
-    // the exact verify stage discards phantoms.
-    val dfOk = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    * persisted) HASHED shingle frame — distinct (doc_id, h) rows.
+    *
+    * Everything here travels as longs. The probe joins on the 60→31-bit
+    * hash, never the shingle string: a hash collision can only ADD a
+    * candidate (or, on the df side, only make the cap MORE
+    * conservative), and the exact verify stage discards phantoms.
+    * Anchors are the K smallest distinct hashes per doc, computed with a
+    * bounded per-doc fold (collect over ≤ doc-length values, sort, take
+    * K) instead of a corpus-wide window sort; the per-doc usable-anchor
+    * count rides the anchor row as `need`, so the [[MinAnchorHits]]
+    * prune needs no extra join and a doc with fewer than MinAnchorHits
+    * anchors keeps its m=1 findability. */
+  private[graft] def sketchCandidatesHashed(hs: DataFrame, dfCap: Long): DataFrame = {
+    val anchors = hs.groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(col("h"))), 1, AnchorK).as("anchor_hs"))
+      .select(col("doc_id"), explode(col("anchor_hs")).as("h"),
+        least(lit(MinAnchorHits), size(col("anchor_hs")).cast("long")).as("need"))
+    val dfOk = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select(col("h"))
-    val index = hashed.join(dfOk, Seq("h"), "left_semi")
+    val index = hs.join(dfOk, Seq("h"), "left_semi")
+    // hs is distinct per (doc, h) and a doc's anchors are distinct
+    // values, so each matched anchor contributes exactly one row per
+    // (pair, probe direction) — count(*) IS the matched-anchor count
     anchors.as("p")
       .join(index.as("q"),
         col("p.h") === col("q.h") && col("p.doc_id") =!= col("q.doc_id"))
-      .select(least(col("p.doc_id"), col("q.doc_id")).as("doc_a"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("doc_b"))
+      .groupBy(least(col("p.doc_id"), col("q.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("doc_b"),
+        col("p.doc_id").as("probe"))
+      .agg(count(lit(1)).as("m"), first(col("p.need")).as("need"))
+      .where(col("m") >= col("need"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -923,9 +975,24 @@ object Dedup {
     * (miss ≤ (1-c)^K) rather than resemblance, at an explicit probe-side
     * df cap. */
   def containmentSketch(docs: DataFrame, dfCap: Long): DataFrame = {
-    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    scoreContainment(sketchCandidatesOf(sh, dfCap), sh, sizes)
+    val base = docs.select(col("doc_id"), col("text"))
+    // candidates consumed twice below (touched-doc restriction + verify
+    // join), and the surviving set is tiny post-prune — persist it
+    val cand = persistOnce(
+      sketchCandidatesHashed(hashedShinglesOf(base), dfCap))
+    // Exact verification re-derives STRING shingles only for docs a
+    // surviving candidate touches: verify cost is proportional to the
+    // dup rate, not the corpus — at 100 TB the full-corpus string
+    // explode+distinct never happens on this path. sharedCounts /
+    // scoreContainment read shingles and sizes only for pair members,
+    // so the restriction is output-identical to scoring against the
+    // full corpus frame.
+    val touched = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shT = shinglesOf(base.join(touched, Seq("doc_id"), "left_semi"))
+    val sizes = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    scoreContainment(cand, shT, sizes)
   }
 
   /** [[containmentSketch]] at the default [[AnchorDfCap]]. */
@@ -1950,20 +2017,25 @@ object Dedup {
     "d17_containment_sketch" ->
       s"""WITH $excerptAugSql,
          |${shinglesSqlOver("aug")},
-         |h AS (SELECT doc_id, ${h31Sql("shingle")} AS h, shingle FROM sh),
+         |hs AS (SELECT DISTINCT doc_id, ${h31Sql("shingle")} AS h FROM sh),
          |anchors AS (
-         |  SELECT doc_id, h FROM (
+         |  SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS ka
+         |  FROM (
          |    SELECT doc_id, h,
-         |           row_number() OVER (PARTITION BY doc_id
-         |                              ORDER BY h ASC, shingle ASC) AS rk
-         |    FROM h)
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk
+         |    FROM hs)
          |  WHERE rk <= $AnchorK),
-         |dfok AS (SELECT h FROM h GROUP BY h HAVING count(*) <= $AnchorDfCap),
-         |idx AS (SELECT doc_id, h FROM h WHERE h IN (SELECT h FROM dfok)),
+         |dfok AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= $AnchorDfCap),
+         |idx AS (SELECT doc_id, h FROM hs WHERE h IN (SELECT h FROM dfok)),
+         |hits AS (
+         |  SELECT least(p.doc_id, q.doc_id) AS doc_a,
+         |         greatest(p.doc_id, q.doc_id) AS doc_b,
+         |         p.doc_id AS probe, count(*) AS m, min(p.ka) AS ka
+         |  FROM anchors p JOIN idx q ON p.h = q.h AND p.doc_id <> q.doc_id
+         |  GROUP BY 1, 2, 3),
          |cand AS (
-         |  SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_a,
-         |                  greatest(p.doc_id, q.doc_id) AS doc_b
-         |  FROM anchors p JOIN idx q ON p.h = q.h AND p.doc_id <> q.doc_id),
+         |  SELECT DISTINCT doc_a, doc_b FROM hits
+         |  WHERE m >= least($MinAnchorHits, ka)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |$sharedCountsSql
          |$scoreContainmentSql""".stripMargin,

@@ -1,30 +1,24 @@
 package graft.tools
-
+import graft._
 import org.apache.spark.sql.functions._
-
-/** Scratch profiler for d17's stages (see PERF.md): anchor+candidate
-  * derivation vs the exact verify/score tail. */
 object ProbeD17 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/testdata-local/sf1")
-    val spark = graft.Session.get("probe-d17")
-    def time(tag: String)(f: => Long): Unit =
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"[probe] $tag run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      }
-    val docs = graft.operators.Dedup.excerptAugmented(spark, dir)
-    time("candidates only") {
-      val n = graft.operators.Dedup.sketchCandidates(docs,
-        graft.operators.Dedup.AnchorDfCap).count()
-      spark.catalog.clearCache()
-      n
+    val spark = Session.get("probe-d17")
+    val D = graft.operators.Dedup
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($r)"); r
     }
-    time("full d17") {
-      val n = graft.operators.Dedup.containmentSketch(docs).count()
+    for (round <- 1 to 2) {
+      println(s"[probe] --- round $round")
+      val docs = D.excerptAugmented(spark, dir).select(col("doc_id"), col("text"))
+      val hs = D.hashedShinglesOf(docs)
+      t("hashed shingles")(hs.count())
+      val cand = D.sketchCandidatesHashed(hs, D.AnchorDfCap)
+      t("candidates")(cand.count())
+      t("full d17")(D.containmentSketch(docs).count())
       spark.catalog.clearCache()
-      n
     }
     spark.stop()
   }
