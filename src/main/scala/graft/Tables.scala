@@ -38,20 +38,144 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
-    if (name == "events") {
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      df.schema("ts").dataType match {
-        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampType    => df
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case other => throw new IllegalArgumentException(
-          s"$path: events.ts surfaced as $other; expected nanos-as-long LongType, " +
-            "TimestampType, or TimestampNTZType. The generator's physical schema " +
-            "changed again — extend Tables.load for the new type.")
-      }
-    } else df
+    conform(spark.read.parquet(path), name, path)
   }
+
+  // -------------------------------------------------------------------
+  // Load-time schema contract (VERDICT r10 task 4). Round 9 lost 15
+  // queries to ONE table's parquet logical-type change surfacing as a
+  // different Spark type; the events-only adaptation above generalizes
+  // here to every table: each column has an expected name and a CLASS of
+  // acceptable surfaced types (with a normalizing cast where consumers
+  // need one canonical form). Drift inside a class loads fine; a missing
+  // column or a type outside its class fails LOUDLY, naming the file,
+  // the column, what surfaced, and what the contract accepts — instead
+  // of letting downstream queries mis-analyze. Extra columns pass
+  // through (a generator may add columns without breaking consumers).
+  // -------------------------------------------------------------------
+  import org.apache.spark.sql.types._
+
+  /** A class of acceptable surfaced types for one contract column. */
+  private[graft] sealed abstract class Cls(val label: String) {
+    def ok(t: DataType): Boolean
+    /** Normalize an accepted type to the canonical form consumers were
+      * written against (identity for most classes). */
+    def adapt(df: DataFrame, c: String, t: DataType): DataFrame = df
+  }
+  /** Integer-valued keys/counts: any integral width. Spark widens
+    * int32/int64 join keys automatically, so no cast is needed. */
+  private case object Integral extends Cls("integral (int/long/short)") {
+    def ok(t: DataType): Boolean = t match {
+      case _: IntegerType | _: LongType | _: ShortType => true; case _ => false
+    }
+  }
+  /** Fractional measures: float/double/decimal. */
+  private case object Fractional extends Cls("fractional (float/double/decimal)") {
+    def ok(t: DataType): Boolean = t match {
+      case _: DoubleType | _: FloatType | _: DecimalType => true; case _ => false
+    }
+  }
+  private case object Str extends Cls("string") {
+    def ok(t: DataType): Boolean = t.isInstanceOf[StringType]
+  }
+  /** Event-time instants. The generator has shipped three physical
+    * encodings of `events.ts` (TESTDATA drift, round 9):
+    *  - TIMESTAMP(NANOS): rejected by Spark's converter unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    [[graft.Session]]), under which it surfaces as nanos-since-epoch
+    *    LongType → convert to TimestampType (micro precision,
+    *    floor-truncated like DuckDB's TIMESTAMP_NS→TIMESTAMP read);
+    *  - TIMESTAMP(MICROS, adjusted-to-UTC): TimestampType → pass;
+    *  - TIMESTAMP(MICROS, no tz): TimestampNTZType → cast (session tz is
+    *    pinned UTC, so wall-clock maps to the same instants). */
+  private case object Stamp extends Cls(
+      "timestamp (nanos-as-long / TimestampType / TimestampNTZType)") {
+    def ok(t: DataType): Boolean = t match {
+      case _: LongType | _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    override def adapt(df: DataFrame, c: String, t: DataType): DataFrame = t match {
+      case _: LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case _: TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+  /** Day-granular dates (order/ship dates): the generator writes
+    * TIMESTAMP(MILLIS); a future DATE or NTZ encoding reads the same to
+    * the date-part consumers. NTZ normalizes to TimestampType so both
+    * engines agree on the instant under the pinned UTC session. */
+  private case object Day extends Cls("date (DateType/TimestampType/NTZ)") {
+    def ok(t: DataType): Boolean = t match {
+      case _: DateType | _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    override def adapt(df: DataFrame, c: String, t: DataType): DataFrame = t match {
+      case _: TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+  /** Embedding vectors: array of float, canonically FLOAT — graft_dot's
+    * codegen reads packed floats, so a double-element drift casts down
+    * (the synthetic embeddings are float32-valued either way). */
+  private case object FloatVec extends Cls("array<float> (or array<double>)") {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(_: FloatType | _: DoubleType, _) => true; case _ => false
+    }
+    override def adapt(df: DataFrame, c: String, t: DataType): DataFrame = t match {
+      case ArrayType(_: DoubleType, _) =>
+        df.withColumn(c, col(c).cast(ArrayType(FloatType)))
+      case _ => df
+    }
+  }
+
+  /** Expected columns per table (name → acceptable type class). */
+  private[graft] val contract: Map[String, Seq[(String, Cls)]] = Map(
+    "region" -> Seq("r_regionkey" -> Integral, "r_name" -> Str),
+    "nation" -> Seq("n_nationkey" -> Integral, "n_name" -> Str,
+      "n_regionkey" -> Integral),
+    "customer" -> Seq("c_custkey" -> Integral, "c_name" -> Str,
+      "c_nationkey" -> Integral, "c_acctbal" -> Fractional,
+      "c_mktsegment" -> Str),
+    "supplier" -> Seq("s_suppkey" -> Integral, "s_name" -> Str,
+      "s_nationkey" -> Integral, "s_acctbal" -> Fractional),
+    "part" -> Seq("p_partkey" -> Integral, "p_name" -> Str,
+      "p_brand" -> Str, "p_type" -> Str, "p_size" -> Integral,
+      "p_retailprice" -> Fractional),
+    "orders" -> Seq("o_orderkey" -> Integral, "o_custkey" -> Integral,
+      "o_orderstatus" -> Str, "o_totalprice" -> Fractional,
+      "o_orderdate" -> Day, "o_orderpriority" -> Str),
+    "lineitem" -> Seq("l_orderkey" -> Integral, "l_partkey" -> Integral,
+      "l_suppkey" -> Integral, "l_linenumber" -> Integral,
+      "l_quantity" -> Fractional, "l_extendedprice" -> Fractional,
+      "l_discount" -> Fractional, "l_tax" -> Fractional,
+      "l_returnflag" -> Str, "l_linestatus" -> Str, "l_shipdate" -> Day),
+    "events" -> Seq("event_id" -> Integral, "ts" -> Stamp,
+      "user_id" -> Integral, "event_type" -> Str, "value" -> Fractional,
+      "props" -> Str),
+    "documents" -> Seq("doc_id" -> Integral, "text" -> Str,
+      "lang" -> Str, "source" -> Str, "n_chars" -> Integral),
+    "embeddings" -> Seq("vec_id" -> Integral, "embedding" -> FloatVec,
+      "label" -> Integral))
+
+  /** Check `df` against `name`'s contract and normalize accepted drift.
+    * Unknown table names (user-supplied frames routed through load)
+    * pass through unchecked. */
+  private[graft] def conform(df: DataFrame, name: String, path: String): DataFrame =
+    contract.get(name).fold(df) { cols =>
+      cols.foldLeft(df) { case (acc, (c, cls)) =>
+        val field = acc.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: column `$c` missing from $name " +
+              s"(found: ${acc.schema.fieldNames.mkString(", ")}). The " +
+              "generator's schema changed — extend Tables.contract if the " +
+              "rename is intentional."))
+        if (!cls.ok(field.dataType)) throw new IllegalArgumentException(
+          s"$path: $name.`$c` surfaced as ${field.dataType}; " +
+            s"the contract accepts ${cls.label}. The generator's physical " +
+            "schema changed — extend Tables.contract for the new type.")
+        cls.adapt(acc, c, field.dataType)
+      }
+    }
 
   /** Snapshot memo key for dir-keyed scalar-probe memos (anchor date,
     * doc count, pack max-id): the dir plus a content fingerprint of its

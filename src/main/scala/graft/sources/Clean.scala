@@ -192,6 +192,20 @@ object Clean {
     val writer = rewritten.write.mode(SaveMode.Overwrite).format("parquet")
     bucket.fold(writer) { case (key, n) => writer.bucketBy(n, key).sortBy(key) }
       .saveAsTable(staging)
+    // After snapshot rewrites the live data sits under `__snap/v=N` while
+    // the PRE-ADOPTION managed dir lingers for old readers — but RENAME
+    // validates that the target name's default location is free, so a
+    // swap over a snapshot-layout table would die with
+    // LOCATION_ALREADY_EXISTS (spec-pinned). Clear the stale default dir
+    // when it is not the live location; the swap path makes no
+    // reader-isolation promise, so dropping it here is consistent.
+    val ident = TableIdentifier(table, Some(db))
+    val current = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val defaultLoc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
+    if (current.toUri.getPath != defaultLoc.toUri.getPath) {
+      val fs = defaultLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(defaultLoc)) fs.delete(defaultLoc, true)
+    }
     spark.sql(s"ALTER TABLE $fq RENAME TO $old")
     try spark.sql(s"ALTER TABLE $staging RENAME TO $fq")
     catch {

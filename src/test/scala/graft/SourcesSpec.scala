@@ -152,6 +152,89 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("`graftdb`.`user_vdir`").count() === 1)
   }
 
+  test("Clean: a pre-swap reader finishes on its snapshot while a post-swap " +
+      "reader sees the new version (concurrent-reader window)") {
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"),
+      "graftdb", "carts_isolation_spec")
+    // open a scan BEFORE the rewrite and force planning, so its file
+    // listing is fixed — the in-flight-reader shape the snapshot path's
+    // retained previous version exists for
+    val pre = spark.table("`graftdb`.`carts_isolation_spec`")
+    pre.queryExecution.executedPlan // plan (and list files) now
+    Clean.rewriteTable(spark, "graftdb", "carts_isolation_spec")(_.where($"price" > 0))
+    // pre-swap reader: still the OLD snapshot, consistently
+    assert(pre.select("pk").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "a reader planned before the swap must finish on its snapshot")
+    // post-swap reader: the new version
+    assert(spark.table("`graftdb`.`carts_isolation_spec`")
+      .select("pk").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("Clean: plain rewrite of a BUCKETED table keeps the bucket spec " +
+      "(snapshot path refused; staged swap re-applies it)") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    Ingest.saveAsTableBucketed(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"),
+      "graftdb", "carts_bucketed_spec", "pk", 4)
+    def meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("carts_bucketed_spec", Some("graftdb")))
+    assert(meta.bucketSpec.nonEmpty, "fixture must start bucketed")
+    // bucket = None on a bucketed table: SET LOCATION would point the
+    // still-bucketed catalog entry at plain parquet ("Invalid bucket
+    // file" on later scans) — the guard must take the swap path and
+    // RE-APPLY the spec instead
+    Clean.rewriteTable(spark, "graftdb", "carts_bucketed_spec")(_.where($"price" > 0))
+    val bs = meta.bucketSpec
+    assert(bs.nonEmpty && bs.get.numBuckets === 4 &&
+      bs.get.bucketColumnNames === Seq("pk"),
+      s"rewrite must preserve the bucket spec, got $bs")
+    assert(spark.table("`graftdb`.`carts_bucketed_spec`")
+      .select("pk").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("Clean: dropTableWithSnapshots reclaims the version root and the " +
+      "pre-adoption managed dir (plain DROP TABLE would leak both)") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"),
+      "graftdb", "carts_drop_spec")
+    val managed = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("carts_drop_spec", Some("graftdb"))).location)
+    val fs = managed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Clean.rewriteTable(spark, "graftdb", "carts_drop_spec")(_.where($"price" > 0))
+    Clean.rewriteTable(spark, "graftdb", "carts_drop_spec")(identity)
+    val snapRoot = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("carts_drop_spec", Some("graftdb"))).location)
+      .getParent
+    assert(snapRoot.getName === "carts_drop_spec__snap")
+    assert(fs.exists(managed), "pre-adoption managed dir is retained while live")
+    Clean.dropTableWithSnapshots(spark, "graftdb", "carts_drop_spec")
+    assert(!spark.catalog.tableExists("graftdb.carts_drop_spec"))
+    assert(!fs.exists(snapRoot), "retained snapshot versions must not leak on drop")
+    assert(!fs.exists(managed), "the pre-adoption managed dir must not leak on drop")
+  }
+
+  test("Clean: a swap-path rewrite vacuums the stale __snap root the " +
+      "snapshot layout left behind") {
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"),
+      "graftdb", "carts_reswap_spec")
+    Clean.rewriteTable(spark, "graftdb", "carts_reswap_spec")(_.where($"price" > 0))
+    val snap = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "carts_reswap_spec", Some("graftdb"))).location).getParent
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(snap.getName === "carts_reswap_spec__snap" && fs.exists(snap))
+    // bucketed rewrite = swap path: the layout resets to a managed
+    // location and the now-unreferenced version root is vacuumed
+    Clean.rewriteTable(spark, "graftdb", "carts_reswap_spec",
+      bucket = Some(("pk", 2)))(identity)
+    assert(!fs.exists(snap), "stale __snap root must be vacuumed by the swap")
+    assert(spark.table("`graftdb`.`carts_reswap_spec`")
+      .select("pk").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("Clean: re-runnable after a crash that left staging/old leftovers") {
     import org.apache.spark.sql.functions.col
     Ingest.saveAsTable(
@@ -305,7 +388,8 @@ class SourcesSpec extends SparkSpec {
   private def eventsFixture(dir: String)(ts: org.apache.spark.sql.Column): Unit =
     spark.range(3)
       .selectExpr("id AS event_id", "timestamp'2024-01-01 00:00:01' AS ts",
-        "id AS user_id", "'view' AS event_type", "1.0 AS value")
+        "id AS user_id", "'view' AS event_type", "1.0 AS value",
+        "'{\"k\": 1}' AS props")
       .withColumn("ts", ts)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
@@ -362,5 +446,95 @@ class SourcesSpec extends SparkSpec {
       "q14 reads only orders; a broken events file must not block it")
     assert(graft.operators.CartSql.q01Sql(spark, dir).count() > 0,
       "q01 SQL reads lineitem+orders; a broken events file must not block it")
+  }
+
+  // -------------------------------------------------------------------
+  // Load-time schema contract for ALL tables (VERDICT r10 task 4): the
+  // events-only defense above, generalized. One case per drift class.
+  // -------------------------------------------------------------------
+
+  test("schema contract: integral-width drift (int64→int32 key) loads fine") {
+    val dir = s"$tmpDir/drift-intwidth"
+    spark.range(3).selectExpr("CAST(id AS INT) AS c_custkey", "'n' AS c_name",
+        "CAST(1 AS INT) AS c_nationkey", "1.5 AS c_acctbal", "'SEG' AS c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val df = Tables.load(spark, dir, "customer")
+    assert(df.schema("c_custkey").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.count() === 3L)
+  }
+
+  test("schema contract: DATE-encoded order date loads through the Day class") {
+    val dir = s"$tmpDir/drift-date"
+    spark.range(2).selectExpr("id AS o_orderkey", "id AS o_custkey",
+        "'O' AS o_orderstatus", "10.0 AS o_totalprice",
+        "DATE'1997-03-01' AS o_orderdate", "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Tables.load(spark, dir, "orders")
+    assert(df.selectExpr("year(o_orderdate)").first().getInt(0) === 1997)
+  }
+
+  test("schema contract: double-element embedding drift casts down to array<float> " +
+      "(graft_dot's codegen contract)") {
+    val dir = s"$tmpDir/drift-dvec"
+    Seq((1L, Array(0.5d, 0.25d), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.load(spark, dir, "embeddings")
+    assert(df.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val d = df.selectExpr("graft_dot(embedding, embedding)").first().getDouble(0)
+    assert(math.abs(d - 0.3125) < 1e-6)
+  }
+
+  test("schema contract: out-of-class type drift in a NON-events table fails " +
+      "loudly, naming file and column") {
+    val dir = s"$tmpDir/drift-badtype"
+    spark.range(2).selectExpr("id AS l_orderkey", "id AS l_partkey",
+        "id AS l_suppkey", "CAST(1 AS INT) AS l_linenumber",
+        "'five' AS l_quantity", "9.0 AS l_extendedprice", "0.1 AS l_discount",
+        "0.0 AS l_tax", "'A' AS l_returnflag", "'O' AS l_linestatus",
+        "timestamp'1997-01-01 00:00:00' AS l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = intercept[IllegalArgumentException](Tables.load(spark, dir, "lineitem"))
+    assert(e.getMessage.contains(s"$dir/lineitem.parquet") &&
+      e.getMessage.contains("l_quantity") &&
+      e.getMessage.contains("StringType"), e.getMessage)
+  }
+
+  test("schema contract: a missing column fails loudly, naming what was found") {
+    val dir = s"$tmpDir/drift-missingcol"
+    Seq((1L, "text only")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException](Tables.load(spark, dir, "documents"))
+    assert(e.getMessage.contains("lang") && e.getMessage.contains("doc_id, text"),
+      e.getMessage)
+  }
+
+  test("schema contract: extra columns pass through untouched") {
+    val dir = s"$tmpDir/drift-extracol"
+    Seq((0, "AFRICA", "bonus")).toDF("r_regionkey", "r_name", "r_comment")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val df = Tables.load(spark, dir, "region")
+    assert(df.columns.toSeq === Seq("r_regionkey", "r_name", "r_comment"))
+  }
+
+  test("schema break in a NON-events table cannot poison queries that never " +
+      "read it (drifted part; q14 + q01 SQL stay green)") {
+    import java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    val dir = s"$tmpDir/poisoned-part"
+    Files.createDirectories(Paths.get(dir))
+    Seq("orders", "lineitem").foreach { t =>
+      Files.copy(Paths.get(sf, s"$t.parquet"), Paths.get(dir, s"$t.parquet"),
+        REPLACE_EXISTING)
+    }
+    spark.range(2).selectExpr("id AS p_partkey", "'p' AS p_name",
+        "'B' AS p_brand", "'SMALL' AS p_type", "CAST(1 AS INT) AS p_size",
+        "'expensive' AS p_retailprice") // out-of-class: string price
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    intercept[IllegalArgumentException](Tables.load(spark, dir, "part"))
+    assert(graft.operators.CartAnalytics.q14CtePivot(spark, dir).count() > 0,
+      "q14 reads only orders; a broken part file must not block it")
+    assert(graft.operators.CartSql.q01Sql(spark, dir).count() > 0,
+      "q01 SQL reads lineitem+orders; a broken part file must not block it")
   }
 }

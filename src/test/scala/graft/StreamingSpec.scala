@@ -261,6 +261,91 @@ class StreamingSpec extends SparkSpec {
         streamed.filter(_._1 == echoId))
   }
 
+  // last state-operator progress row of a query (no-data timeout batches
+  // also report one, so scan recentProgress from the end)
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      .toSeq.headOption.getOrElse(-1L)
+
+  test("MemoryStream sessionization across 3 triggers: nothing closes early, " +
+      "the watermark closes idle sessions, and their state is evicted") {
+    // File replay cannot pin trigger-boundary behavior (one file = one
+    // batch, watermark jumps once); this drives THREE explicit triggers
+    // with advancing event time and asserts the state store's row count
+    // from the progress metrics — eviction, not just emission.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("mem_sess_3trig")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // trigger 1: five users, two events each, 5 min apart (one open
+      // session per user; watermark still before every timeout)
+      mem.addData((1 to 5).flatMap(u =>
+        Seq(Event(u * 10L, ts(0), u, "a", 1.0),
+          Event(u * 10L + 1, ts(5), u, "a", 2.0))): _*)
+      q.processAllAvailable()
+      assert(spark.table("mem_sess_3trig").isEmpty,
+        "no session may close before the watermark passes its gap")
+      assert(lastStateRows(q) === 5L,
+        s"one state row per open user session, got ${lastStateRows(q)}")
+      // trigger 2: one far-future event (user 9) drags the watermark
+      // (1 h delay) past every session's 30-min-gap timeout
+      mem.addData(Event(99, ts(300), 9, "a", 1.0))
+      q.processAllAvailable()
+      // trigger 3: further still, so user 9's own first session times
+      // out too and every pending timeout has provably fired
+      mem.addData(Event(100, ts(600), 9, "a", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("mem_sess_3trig")
+        .select($"user_id", $"n_events", $"total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert((1 to 5).forall(u => closed.contains((u.toLong, 2L, 3.0))),
+        s"users 1-5 must each close one 2-event session: $closed")
+      assert(closed.exists(_._1 == 9L), "user 9's first session must have timed out")
+      // EVICTION: users 1-5 and user 9's first session are out of the
+      // store; at most user 9's open second session remains
+      assert(lastStateRows(q) <= 1L,
+        s"closed sessions must leave the state store, got ${lastStateRows(q)} rows")
+    } finally q.stop()
+  }
+
+  test("MemoryStream dedup across 3 triggers: within-watermark replays drop, " +
+      "state is evicted once the watermark passes, post-eviction replay survives") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("mem_dedup_3trig")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val originals = (0 until 30).map(i => Event(i.toLong, ts(i % 5), i % 3, "c", 1.0))
+      mem.addData(originals: _*)
+      q.processAllAvailable()
+      assert(lastStateRows(q) === 30L, "one state row per distinct id inside the watermark")
+      // trigger 2: replays of 10 ids still inside the watermark — all drop
+      mem.addData(originals.take(10).map(e =>
+        e.copy(ts = new Timestamp(e.ts.getTime + 60000L))): _*)
+      q.processAllAvailable()
+      assert(spark.table("mem_dedup_3trig").count() === 30L,
+        "within-watermark replays must be suppressed")
+      // trigger 3: event time jumps 10 h — watermark (1 h delay) passes
+      // every stored id, so the store evicts them
+      mem.addData(Event(1000L, ts(600), 0, "c", 1.0))
+      q.processAllAvailable()
+      assert(lastStateRows(q) <= 1L,
+        s"ids behind the watermark must be evicted, got ${lastStateRows(q)} rows")
+      // a replay of an EVICTED id is indistinguishable from new data —
+      // that is dropDuplicatesWithinWatermark's documented contract (the
+      // state bound is bought with watermark-scoped dedup, exactly why
+      // e13's batch twin uses min-ts semantics over the full replay log)
+      mem.addData(Event(0L, ts(601), 0, "c", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("mem_dedup_3trig").where($"event_id" === 0L).count() === 2L,
+        "post-eviction replay passes through: state is bounded by the watermark")
+    } finally q.stop()
+  }
+
   test("e15 artifact-served fold equals the text-derived fold on the driver corpus") {
     import graft.operators.Dedup
     // the CORRECTNESS-row wrapper probes the persisted index artifacts

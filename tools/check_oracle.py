@@ -11,6 +11,11 @@ import pandas as pd
 import numpy as np
 
 PYUF = "--pyuf" in sys.argv
+# --only=d03,s,t restricts to queries whose name starts with any prefix
+# (for over-cap corpora where the refused baselines have no Spark output
+# and their quadratic oracle SQL would grind DuckDB)
+ONLY = [p for a in sys.argv if a.startswith("--only=")
+        for p in a[len("--only="):].split(",") if p]
 argv = [a for a in sys.argv if not a.startswith("--")]
 SF = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 OUT = argv[2] if len(argv) > 2 else "/tmp/vout"
@@ -69,6 +74,8 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 n_pass = n_fail = 0
 for name in sorted(oracle):
+    if ONLY and not any(name.startswith(p) for p in ONLY):
+        continue
     sql = oracle[name]
     try:
         if PYUF and "RECURSIVE" in sql:
