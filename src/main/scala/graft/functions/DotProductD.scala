@@ -130,5 +130,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramH31(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_trigram_h60"),
+      new ExpressionInfo(classOf[TrigramH60].getName, "graft_trigram_h60"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_trigram_h60`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TrigramH60(children.head)
+      }))
   }
 }

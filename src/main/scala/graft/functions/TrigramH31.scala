@@ -66,6 +66,35 @@ case class TrigramH31(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_trigram_h60(text)` — [[TrigramH31]]'s stream before the mod:
+  * the raw 60-bit [[SharedHash.hash60]] of each trigram. For consumers
+  * that join/count on shingle hashes and never need the minhash
+  * permutation domain, 60 bits makes a collision-induced count drift
+  * (~2⁻⁶⁰ per shingle pair) negligible at any corpus size. */
+case class TrigramH60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_trigram_h60 expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_trigram_h60"
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramH31.computeH60(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = ctx.addReferenceObj("trigramH60", TrigramH31,
+        "graft.functions.TrigramH31$")
+      s"${ev.value} = (ArrayData) $helper.computeH60($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramH60 =
+    copy(child = newChild)
+}
+
 object TrigramH31 {
   private val EmptyCodes: ArrayData = ArrayData.toArrayData(Array.empty[Long])
   private val Space: Array[Byte] = Array(' '.toByte)
@@ -75,7 +104,10 @@ object TrigramH31 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  def compute(s: UTF8String): ArrayData = {
+  def compute(s: UTF8String): ArrayData = hashStream(s, toH31 = true)
+  def computeH60(s: UTF8String): ArrayData = hashStream(s, toH31 = false)
+
+  private def hashStream(s: UTF8String, toH31: Boolean): ArrayData = {
     // the same split semantics as Spark's split(text, "\\s+"): Java
     // regex, limit -1 (trailing empty tokens kept)
     val tokens = s.toString.split("\\s+", -1)
@@ -100,7 +132,8 @@ object TrigramH31 {
       var v = 0L
       var j = 0
       while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      out(i) = (v >>> 4) % SharedHash.P31
+      val h60 = v >>> 4
+      out(i) = if (toH31) h60 % SharedHash.P31 else h60
       i += 1
     }
     ArrayData.toArrayData(out)

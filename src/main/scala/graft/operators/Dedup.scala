@@ -71,6 +71,17 @@ object Dedup {
       .select(col("doc_id"), explode(expr("graft_trigram_h31(text)")).as("h"))
       .distinct())
 
+  /** [[hashedShinglesOf]] with the RAW 60-bit hash — for consumers that
+    * join/count on shingle identity and never need the minhash
+    * permutation domain (d07/d15's contamination joins). At 60 bits a
+    * collision-induced count drift is ~2⁻⁶⁰ per shingle pair —
+    * negligible at any corpus size — and the DuckDB oracles mirror the
+    * same hash, so the gate compares identical computations. */
+  private[graft] def hashed60ShinglesOf(docs: DataFrame): DataFrame =
+    persistOnce(docs
+      .select(col("doc_id"), explode(expr("graft_trigram_h60(text)")).as("h"))
+      .distinct())
+
   /** `persist(MEMORY_AND_DISK)` that consults the CacheManager first:
     * re-persisting an already-cached plan is harmless (CacheManager
     * dedupes on the canonicalized plan) but logs
@@ -721,15 +732,22 @@ object Dedup {
     * the fixture wrappers below split the driver corpus on doc_id % 10
     * as the eval stand-in. */
   def contaminationPairs(train: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val eval_ = shinglesOf(evalDocs)
-      .select(col("doc_id").as("eval_id"), col("shingle"))
+    // Join and count on the 60-bit trigram hash, never the shingle
+    // string (r11: the string join owned d07's 30x second-decade growth
+    // flag — the pair-output Σ_s dfE(s)·dfT(s) is intrinsic to exact
+    // contamination, but each of those rows was paying string hashing
+    // and ~60-byte shuffle width for what 16 bytes of longs express).
+    // Counts over distinct h60 equal counts over distinct shingles up to
+    // a ~2⁻⁶⁰-per-pair collision, and the oracle mirrors the same hash.
+    val eval_ = hashed60ShinglesOf(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("h"))
     val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-    val trainSh = shinglesOf(train)
-      .select(col("doc_id").as("train_id"), col("shingle"))
+    val trainSh = hashed60ShinglesOf(train)
+      .select(col("doc_id").as("train_id"), col("h"))
     val nEvalDocs = evalDocs.count()
     val evalSide =
       if (nEvalDocs <= ContaminationBroadcastMaxEvalDocs) broadcast(eval_) else eval_
-    val overlap = evalSide.join(trainSh, Seq("shingle"))
+    val overlap = evalSide.join(trainSh, Seq("h"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val frac = col("shared").cast("double") / col("n_eval")
@@ -1969,12 +1987,13 @@ object Dedup {
 
     "d07_contamination" ->
       s"""WITH $shinglesSql,
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |hs AS (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, h FROM hs WHERE doc_id % 10 = 0),
          |evsizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
-         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |tr AS (SELECT doc_id AS train_id, h FROM hs WHERE doc_id % 10 <> 0),
          |overlap AS (
          |  SELECT eval_id, train_id, count(*) AS shared
-         |  FROM ev JOIN tr USING (shingle)
+         |  FROM ev JOIN tr USING (h)
          |  GROUP BY 1, 2)
          |SELECT eval_id, train_id, shared, n_eval
          |FROM overlap JOIN evsizes USING (eval_id)
@@ -1985,12 +2004,13 @@ object Dedup {
 
     "d15_decontaminate_apply" ->
       s"""WITH $shinglesSql,
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |hs AS (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, h FROM hs WHERE doc_id % 10 = 0),
          |evsizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
-         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |tr AS (SELECT doc_id AS train_id, h FROM hs WHERE doc_id % 10 <> 0),
          |overlap AS (
          |  SELECT eval_id, train_id, count(*) AS shared
-         |  FROM ev JOIN tr USING (shingle)
+         |  FROM ev JOIN tr USING (h)
          |  GROUP BY 1, 2),
          |dirty AS (
          |  SELECT DISTINCT train_id

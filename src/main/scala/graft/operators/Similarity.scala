@@ -517,15 +517,29 @@ object Similarity {
   val SemTau = 0.4
 
   def s12Semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = cellRanked(spark, dir).where(col("cr") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-    val cos = expr(dotExpr.format("a.embedding", "b.embedding")) / (col("a.nrm") * col("b.nrm"))
-    val pruned = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .where(cos >= SemTau)
-      .groupBy(col("b.vec_id").as("vec_id"))
-      .agg(min(col("a.vec_id")).as("kept_by"))
+    // One row per vec; PERSISTED because three plan references consume
+    // it (both sides of the pair sweep + the verdict join) — unpersisted
+    // it re-ran the centroid broadcast + double window per reference,
+    // and under s13's extra join the re-runs compounded (r11 sf10 study:
+    // s13 at 359 s vs s12's 8.5 s on the same corpus).
+    val assigned = Dedup.persistOnce(cellRanked(spark, dir).where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell")))
+    // The pair sweep is the SALTED cell-equi join, not a plain self-join
+    // on `cell`: cell cardinality is ~the label count (8-10), so a plain
+    // equi-join lands every pair in ≤10 of the shuffle partitions and
+    // SortMergeJoin buffers each cell's whole population per key group —
+    // the d05 lesson (PERF.md r9) applied to the within-cell sweep. The
+    // salted form spreads cell×cell blocks over n²/targetPairs slices,
+    // with the cosine fused into the codegen'd probe stage.
+    val va = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val vb = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cell"))
+    val cos = expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb"))
+    val pruned = graft.plans.Scale.adaptiveSaltedCellJoin(va, vb, "cell")
+      .where(col("vec_a") < col("vec_b") && cos >= SemTau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"))
     assigned.select(col("vec_id"), col("cell"))
       .join(pruned, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
