@@ -123,8 +123,8 @@ object Similarity {
   private[graft] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
     seedCentroidsOf(normed(spark, dir))
 
-  private def seedCentroidsOf(v: DataFrame): DataFrame =
-    v.where(col("vec_id") < IvfCells)
+  private def seedCentroidsOf(v: DataFrame, k: Int = IvfCells): DataFrame =
+    v.where(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("ce"))
       .withColumn("cn", sqrt(expr(ddot("ce", "ce"))))
@@ -171,13 +171,22 @@ object Similarity {
   /** Train IVF centroids over ANY (vec_id, embedding, label) frame —
     * the DataFrame-in trainer. Pair with
     * [[graft.sources.Artifacts.servePersisted]] for the
-    * build-once-serve-many deployment shape on your own table. */
-  def trainCentroids(corpus: DataFrame): DataFrame =
-    computeTrainedCentroidsOf(normedOf(corpus))
+    * build-once-serve-many deployment shape on your own table.
+    *
+    * `k` is the deployment's scale knob: the SemDeDup / IVF contract is
+    * that cell population stays BOUNDED as the corpus grows (grow k ∝ n
+    * so the Σ cell² sweep and per-probe scan cost stay linear per
+    * decade). The dir-keyed fixture queries pin k = [[IvfCells]] so the
+    * static DuckDB oracle mirrors reproduce them; a deployment growing
+    * its corpus passes its own k here. */
+  def trainCentroids(corpus: DataFrame, k: Int = IvfCells,
+      iters: Int = IvfIters): DataFrame =
+    computeTrainedCentroidsOf(normedOf(corpus), k, iters)
 
-  private def computeTrainedCentroidsOf(v: DataFrame): DataFrame = {
-    var cents = seedCentroidsOf(v)
-    (1 to IvfIters).foreach { _ =>
+  private def computeTrainedCentroidsOf(v: DataFrame, k: Int = IvfCells,
+      iters: Int = IvfIters): DataFrame = {
+    var cents = seedCentroidsOf(v, k)
+    (1 to iters).foreach { _ =>
       val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
       val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
       val assigned = v.join(broadcast(cents))
@@ -202,13 +211,47 @@ object Similarity {
   private def cellRanked(spark: SparkSession, dir: String): DataFrame =
     cellRankedOf(normed(spark, dir), trainedCentroids(spark, dir))
 
+  /** The k-row centroid table fetched to the driver, sorted by cent_id —
+    * the index is kilobytes, and inlining it as a literal makes cell
+    * assignment a MAP-ONLY pass. The alternative (broadcast join + a
+    * row_number window partitioned by vec_id) hash-shuffled n×k rows at
+    * every consumer: at 200k vectors × k=64 the ProbeSemK study measured
+    * that shuffle DOMINATING the Σ cell² sweep it feeds (214 s vs the
+    * 7× smaller intrinsic pair work) — the assignment, not the sweep,
+    * was the scale ceiling of the whole IVF family. */
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    cents.select(col("cent_id").cast("long"), col("ce"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+
   /** Rank a normed frame's rows by centroid cosine (cr = 1 is the home
-    * cell) — the shared assignment stage of the IVF family. */
-  private def cellRankedOf(v: DataFrame, cents: DataFrame): DataFrame = {
-    val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
-    v.join(broadcast(cents))
-      .withColumn("cr", row_number().over(wCell))
+    * cell) — the shared assignment stage of the IVF family. Map-only:
+    * per row, the literal centroid array is scored with the SAME
+    * left-to-right double fold as [[ddotMixed]] and argsorted by
+    * (cosine desc, cent_id asc) — bit-identical to the former
+    * window-ranked form (same fold, same total order, ties to the
+    * smaller cent_id), with zero exchanges. Output schema matches the
+    * old join form: v.* ++ (cent_id, ce, cn) ++ cr. */
+  private def cellRankedOf(v: DataFrame, cents: DataFrame): DataFrame =
+    cellRankedLit(v, collectCents(cents))
+
+  private def cellRankedLit(v: DataFrame, cl: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val vCols = v.columns.toSeq
+    v.withColumn("__cents", typedlit(cl))
+      .withColumn("__ranked", expr(
+        """array_sort(
+          |  transform(__cents, c -> struct(
+          |    aggregate(zip_with(embedding, c._2, (x, y) -> cast(x AS double) * y),
+          |              cast(0.0 AS double), (acc, q) -> acc + q) / (nrm * c._3) AS cc,
+          |    c._1 AS cent_id, c._2 AS ce, c._3 AS cn)),
+          |  (a, b) -> CASE WHEN a.cc > b.cc THEN -1 WHEN a.cc < b.cc THEN 1
+          |                 WHEN a.cent_id < b.cent_id THEN -1
+          |                 WHEN a.cent_id > b.cent_id THEN 1 ELSE 0 END)"""
+          .stripMargin.replace("\n", " ")))
+      .select(vCols.map(col) :+ posexplode(col("__ranked")): _*)
+      .select(vCols.map(col) ++ Seq(col("col.cent_id").as("cent_id"),
+        col("col.ce").as("ce"), col("col.cn").as("cn"),
+        (col("pos") + 1).cast("int").as("cr")): _*)
   }
 
   /** IVF ANN over ARBITRARY corpus/probe frames and a given centroid
@@ -216,11 +259,12 @@ object Similarity {
     * live in their home cell; each probe searches only its own home
     * cell via a cell-equi join. */
   def annIvf(corpus: DataFrame, probes: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = cellRankedOf(normedOf(corpus), cents)
+    val cl = collectCents(cents) // one driver fetch serves both sides
+    val assigned = cellRankedLit(normedOf(corpus), cl)
       .where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val q = cellRankedOf(normedOf(probes), cents)
+    val q = cellRankedLit(normedOf(probes), cl)
       .where(col("cr") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
@@ -260,10 +304,11 @@ object Similarity {
     * the corpus stays singly-assigned, so a neighbor can't repeat. */
   def annIvfMultiprobe(corpus: DataFrame, probes: DataFrame, cents: DataFrame,
       nprobe: Int = NProbe): DataFrame = {
-    val assigned = cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
+    val cl = collectCents(cents) // one driver fetch serves both sides
+    val assigned = cellRankedLit(normedOf(corpus), cl).where(col("cr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val qprobe = cellRankedOf(normedOf(probes), cents).where(col("cr") <= nprobe)
+    val qprobe = cellRankedLit(normedOf(probes), cl).where(col("cr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
@@ -516,14 +561,41 @@ object Similarity {
   // ---------------------------------------------------------------------
   val SemTau = 0.4
 
-  def s12Semdedup(spark: SparkSession, dir: String): DataFrame = {
-    // One row per vec; PERSISTED because three plan references consume
-    // it (both sides of the pair sweep + the verdict join) — unpersisted
-    // it re-ran the centroid broadcast + double window per reference,
-    // and under s13's extra join the re-runs compounded (r11 sf10 study:
-    // s13 at 359 s vs s12's 8.5 s on the same corpus).
-    val assigned = Dedup.persistOnce(cellRanked(spark, dir).where(col("cr") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell")))
+  def s12Semdedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupFromAssigned(Dedup.persistOnce(cellRanked(spark, dir)
+      .where(col("cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"))))
+
+  /** SemDeDup over ANY (vec_id, embedding, label) frame under a given
+    * centroid set (from [[trainCentroids]] or a served artifact) — the
+    * DataFrame-in deployment shape. Cost is Σ cell² pairs, so the
+    * caller bounds cells by growing k with the corpus (see
+    * [[trainCentroids]]); the keep-lowest rule keeps the prune set
+    * deterministic under any k. */
+  def semDedup(corpus: DataFrame, cents: DataFrame): DataFrame =
+    semDedupFromAssigned(Dedup.persistOnce(
+      cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id").as("cell"))))
+
+  /** Diagnostic for the k knob: (max cell population, Σ cell²) of a
+    * corpus under a centroid set — the intrinsic pair count the
+    * [[semDedup]] sweep pays. Used by the ProbeSemK scale study. */
+  private[graft] def semDedupCellSizes(corpus: DataFrame, cents: DataFrame): (Long, Long) = {
+    val sizes = cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+    val r = sizes.agg(max(col("n")), sum(col("n") * col("n"))).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def semDedupFromAssigned(assigned: DataFrame): DataFrame = {
+    // `assigned`: one row per vec; PERSISTED because three plan
+    // references consume it (both sides of the pair sweep + the verdict
+    // join) — unpersisted it re-ran the centroid broadcast + double
+    // window per reference, and under s13's extra join the re-runs
+    // compounded (r11 sf10 study: s13 at 359 s vs s12's 8.5 s on the
+    // same corpus).
     // The pair sweep is the SALTED cell-equi join, not a plain self-join
     // on `cell`: cell cardinality is ~the label count (8-10), so a plain
     // equi-join lands every pair in ≤10 of the shuffle partitions and
@@ -555,8 +627,29 @@ object Similarity {
   // served corpus). One doc-keyed filter over the s12 verdicts plus a
   // vec_id-equi label join; serves from the same cached index build.
   // ---------------------------------------------------------------------
+  /** s12's verdict frame as a PERSISTED CATALOG ARTIFACT — the SemDeDup
+    * prune set is index state exactly like d08's cluster labels: the
+    * Σ cell² sweep runs ONCE per corpus and every consumer (s13 now; any
+    * later reader, in this session or the next JVM) pays a table scan.
+    * Keyed by corpus dir + content fingerprint + the semantic hash of
+    * the defining plan, so a changed tau / K / centroid rule can never
+    * serve stale verdicts. Columns are exact (ids + a status string — no
+    * floats), so the parquet round-trip is bit-identical to recompute. */
+  private[graft] def semVerdictsArtifactName(spark: SparkSession, dir: String): String =
+    "semv_" + graft.sources.Artifacts.key(spark, dir, s12Semdedup(spark, dir))
+
+  private[graft] def semVerdicts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, semVerdictsArtifactName(spark, dir)) {
+      s12Semdedup(spark, dir)
+    }
+
+  /** Test hook: drop the persisted verdict artifact (entry + files) to
+    * force a truly cold rebuild. */
+  private[graft] def clearSemVerdictsCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, semVerdictsArtifactName(spark, dir))
+
   def s13SemanticApply(spark: SparkSession, dir: String): DataFrame = {
-    val kept = s12Semdedup(spark, dir).where(col("status") === "kept")
+    val kept = semVerdicts(spark, dir).where(col("status") === "kept")
       .select(col("vec_id"), col("cell"))
     kept.join(graft.Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("label")), Seq("vec_id"))

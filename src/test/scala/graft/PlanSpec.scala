@@ -298,10 +298,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
-  test("s07: cell stats partial-aggregate after the broadcast assignment (no corpus shuffle before agg)") {
+  test("s07: cell stats partial-aggregate after a MAP-ONLY assignment (no join, no window, no corpus shuffle before agg)") {
     val plan = formatted(Similarity.s07IvfCellStats(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"centroids must broadcast to the assignment pass:\n$plan")
+    // the centroid table is inlined as a literal, so assignment needs no
+    // join at all — the former broadcast+window form shuffled n×k rows
+    assert(!plan.contains("Join"), s"assignment should be a literal map pass:\n$plan")
+    assert(!plan.contains("Window"), s"no vec_id window should remain:\n$plan")
     assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*""")) >= 2,
       s"expected partial+final aggregate pair over the cells:\n$plan")
   }
