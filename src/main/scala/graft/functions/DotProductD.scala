@@ -82,6 +82,70 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_dot_fd(a, b)` — double-precision dot product of a float array
+  * against a double array: the centroid-distance fold of the IVF family
+  * (embedding is float, trained centroids are double). Same bit-exact
+  * left-to-right summation as the `aggregate(zip_with(a, b, (x, y) ->
+  * cast(x AS double) * y), 0d, (acc, q) -> acc + q)` formulation it
+  * replaces (so the DuckDB mirrors are unchanged), minus the
+  * HigherOrderFunction's per-element lambda interpretation — the same
+  * ~20× win [[DotProductD]] bought the float×float pair sweep. */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_fd expects (array<float>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_fd"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering graft-native functions; attach with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`.
@@ -129,6 +193,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramH31(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_fd"),
+      new ExpressionInfo(classOf[DotProductFD].getName, "graft_dot_fd"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_dot_fd`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        DotProductFD(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cell_top1"),
+      new ExpressionInfo(classOf[CellTop1].getName, "graft_cell_top1"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_cell_top1`",
+              "expectedNum" -> "3",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CellTop1(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_trigram_h60"),

@@ -98,12 +98,14 @@ object Similarity {
 
   /** Double-precision fold dot for mixed float-array × double-array
     * inputs (centroid distances): identical left-to-right IEEE summation
-    * to [[dotSql]]'s list_reduce, so training is oracle-mirrorable. Off
-    * the per-pair hot path (corpus×K rows, not corpus×corpus), where the
-    * codegen'd graft_dot matters. */
+    * to [[dotSql]]'s list_reduce, so training is oracle-mirrorable.
+    * Codegen'd (graft_dot_fd) since r11: "corpus×K rows" stops being off
+    * the hot path once K grows with the corpus — at 200k vectors × k=64
+    * the interpreted aggregate(zip_with(...)) fold owned the training
+    * stage (ProbeSemK thread dumps showed ZipWith.eval inside the
+    * assignment sort projection). */
   private def ddotMixed(fa: String, da: String): String =
-    s"aggregate(zip_with($fa, $da, (x, y) -> cast(x AS double) * y), " +
-      "cast(0.0 AS double), (acc, q) -> acc + q)"
+    s"graft_dot_fd($fa, $da)"
 
   /** k-means centroids trained with [[IvfIters]] deterministic Lloyd
     * iterations: seeded from the first K vectors (cast to double), each
@@ -187,12 +189,27 @@ object Similarity {
       iters: Int = IvfIters): DataFrame = {
     var cents = seedCentroidsOf(v, k)
     (1 to iters).foreach { _ =>
-      val centCos = expr(ddotMixed("embedding", "ce")) / (col("nrm") * col("cn"))
-      val wCell = Window.partitionBy(col("vec_id")).orderBy(centCos.desc, col("cent_id").asc)
-      val assigned = v.join(broadcast(cents))
-        .withColumn("cr", row_number().over(wCell))
-        .where(col("cr") === 1)
-        .select(col("cent_id"), col("embedding"))
+      // Assignment is a map pass over a ONE-ROW broadcast of the whole
+      // centroid set (array-aggregated), argmaxed per vector by the same
+      // (cosine desc, cent_id asc) total order the former
+      // broadcast-join + vec_id-window form ranked by — bit-identical,
+      // but nothing shuffles before the (cent_id, dim) partial
+      // aggregate. The former window hash-shuffled n×k rows carrying
+      // BOTH arrays and spilled at corpus-sized k (ProbeSemK r11, 200k
+      // vectors × k=256: UnsafeSorter spill files in the thread dumps).
+      // collect_list's nondeterministic order is harmless: the argmax
+      // comparator is a total order (ties on cent_id), so the result is
+      // independent of array order. Stays LAZY (no driver fetch of an
+      // intermediate centroid frame), so the served-artifact key keeps
+      // hashing the training DERIVATION, and training never executes
+      // during artifact-name computation.
+      val centsArr = cents
+        .agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("ca"))
+      val assigned = v.crossJoin(broadcast(centsArr))
+        .select(
+          expr("element_at(ca, graft_cell_top1(embedding, nrm, ca)).cent_id")
+            .as("cent_id"),
+          col("embedding"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
         .groupBy(col("cent_id"), col("dim0"))
@@ -209,7 +226,7 @@ object Similarity {
     * cell) — the shared assignment stage of s03 (cr = 1 only) and s05
     * (queries also probe cr ≤ NProbe). */
   private def cellRanked(spark: SparkSession, dir: String): DataFrame =
-    cellRankedOf(normed(spark, dir), trainedCentroids(spark, dir))
+    cellTop1Lit(normed(spark, dir), collectCents(trainedCentroids(spark, dir)))
 
   /** The k-row centroid table fetched to the driver, sorted by cent_id —
     * the index is kilobytes, and inlining it as a literal makes cell
@@ -224,25 +241,35 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
       .sortBy(_._1)
 
-  /** Rank a normed frame's rows by centroid cosine (cr = 1 is the home
-    * cell) — the shared assignment stage of the IVF family. Map-only:
-    * per row, the literal centroid array is scored with the SAME
-    * left-to-right double fold as [[ddotMixed]] and argsorted by
-    * (cosine desc, cent_id asc) — bit-identical to the former
-    * window-ranked form (same fold, same total order, ties to the
-    * smaller cent_id), with zero exchanges. Output schema matches the
-    * old join form: v.* ++ (cent_id, ce, cn) ++ cr. */
-  private def cellRankedOf(v: DataFrame, cents: DataFrame): DataFrame =
-    cellRankedLit(v, collectCents(cents))
+  /** cr = 1 only — the common case (every corpus-side consumer): the
+    * codegen'd graft_cell_top1 argmax picks the home cell in one native
+    * loop, no per-centroid struct allocation (which dominated at
+    * corpus-sized k), no explode. Same schema as
+    * `cellRankedLit(...).where(cr === 1)` and bit-identical content. */
+  private def cellTop1Lit(v: DataFrame, cl: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val vCols = v.columns.toSeq
+    v.withColumn("__cents", typedlit(cl))
+      .withColumn("__best",
+        expr("element_at(__cents, graft_cell_top1(embedding, nrm, __cents))"))
+      .select(vCols.map(col) ++ Seq(col("__best._1").as("cent_id"),
+        col("__best._2").as("ce"), col("__best._3").as("cn"),
+        lit(1).as("cr")): _*)
+  }
 
+  /** Full ranking (cr = 1..k) for the multi-probe side: per row the
+    * literal centroid array is scored with the same fold and argsorted
+    * by (cosine desc, cent_id asc) — bit-identical to the former
+    * broadcast-join + vec_id-window form, with zero exchanges. Output
+    * schema matches the old join form: v.* ++ (cent_id, ce, cn) ++ cr.
+    * Probe frames only (small); corpus-side consumers take
+    * [[cellTop1Lit]], which skips the per-centroid struct churn. */
   private def cellRankedLit(v: DataFrame, cl: Seq[(Long, Seq[Double], Double)]): DataFrame = {
     val vCols = v.columns.toSeq
     v.withColumn("__cents", typedlit(cl))
       .withColumn("__ranked", expr(
         """array_sort(
           |  transform(__cents, c -> struct(
-          |    aggregate(zip_with(embedding, c._2, (x, y) -> cast(x AS double) * y),
-          |              cast(0.0 AS double), (acc, q) -> acc + q) / (nrm * c._3) AS cc,
+          |    graft_dot_fd(embedding, c._2) / (nrm * c._3) AS cc,
           |    c._1 AS cent_id, c._2 AS ce, c._3 AS cn)),
           |  (a, b) -> CASE WHEN a.cc > b.cc THEN -1 WHEN a.cc < b.cc THEN 1
           |                 WHEN a.cent_id < b.cent_id THEN -1
@@ -260,12 +287,10 @@ object Similarity {
     * cell via a cell-equi join. */
   def annIvf(corpus: DataFrame, probes: DataFrame, cents: DataFrame): DataFrame = {
     val cl = collectCents(cents) // one driver fetch serves both sides
-    val assigned = cellRankedLit(normedOf(corpus), cl)
-      .where(col("cr") === 1)
+    val assigned = cellTop1Lit(normedOf(corpus), cl)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
-    val q = cellRankedLit(normedOf(probes), cl)
-      .where(col("cr") === 1)
+    val q = cellTop1Lit(normedOf(probes), cl)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
     val cos = expr(dotExpr.format("qe", "embedding")) / (col("qn") * col("nrm"))
@@ -305,7 +330,7 @@ object Similarity {
   def annIvfMultiprobe(corpus: DataFrame, probes: DataFrame, cents: DataFrame,
       nprobe: Int = NProbe): DataFrame = {
     val cl = collectCents(cents) // one driver fetch serves both sides
-    val assigned = cellRankedLit(normedOf(corpus), cl).where(col("cr") === 1)
+    val assigned = cellTop1Lit(normedOf(corpus), cl)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cent_id").as("cell"))
     val qprobe = cellRankedLit(normedOf(probes), cl).where(col("cr") <= nprobe)
@@ -575,7 +600,7 @@ object Similarity {
     * deterministic under any k. */
   def semDedup(corpus: DataFrame, cents: DataFrame): DataFrame =
     semDedupFromAssigned(Dedup.persistOnce(
-      cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
+      cellTop1Lit(normedOf(corpus), collectCents(cents))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cent_id").as("cell"))))
 
@@ -583,7 +608,7 @@ object Similarity {
     * corpus under a centroid set — the intrinsic pair count the
     * [[semDedup]] sweep pays. Used by the ProbeSemK scale study. */
   private[graft] def semDedupCellSizes(corpus: DataFrame, cents: DataFrame): (Long, Long) = {
-    val sizes = cellRankedOf(normedOf(corpus), cents).where(col("cr") === 1)
+    val sizes = cellTop1Lit(normedOf(corpus), collectCents(cents))
       .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
     val r = sizes.agg(max(col("n")), sum(col("n") * col("n"))).first()
     (r.getLong(0), r.getLong(1))

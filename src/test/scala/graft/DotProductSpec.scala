@@ -43,6 +43,80 @@ class DotProductSpec extends SparkSpec {
     assert(interpreted.first().isNullAt(0))
   }
 
+  private val builtinDotFD =
+    "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * y), " +
+      "cast(0.0 AS double), (acc, v) -> acc + v)"
+
+  test("graft_dot_fd equals the interpreted mixed fold bit-for-bit on random vectors") {
+    val rnd = new Random(43)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.between(-10f, 10f)),
+      Array.fill(64)(rnd.between(-10.0, 10.0))))
+    val out = rows.toDF("a", "b")
+      .select(expr("graft_dot_fd(a, b)").as("custom"), expr(builtinDotFD).as("builtin"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot_fd nulls on length mismatch and rejects wrong types") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(expr("graft_dot_fd(a, b)")).first().isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot_fd(array(1.0D), array(1.0D))").collect()
+    }
+    assert(err.getMessage.contains("graft_dot_fd"))
+  }
+
+  test("graft_cell_top1 equals the comparator-argsort form on random centroids (incl. ties)") {
+    val rnd = new Random(44)
+    // low-resolution vectors so cosine TIES actually occur and exercise
+    // the cent_id tiebreak
+    val cents = (0L until 16L).map(i =>
+      (i, Seq.fill(8)(rnd.between(-2, 3).toDouble), 1.0 + (i % 3)))
+    val rows = Seq.fill(300)(Array.fill(8)(rnd.between(-2, 3).toFloat))
+    val df = rows.toDF("embedding")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)")))
+      .where(col("nrm") > 0)
+      .withColumn("__cents", typedlit(cents))
+    val argsortForm = expr(
+      """element_at(array_sort(
+        |  transform(__cents, c -> struct(
+        |    graft_dot_fd(embedding, c._2) / (nrm * c._3) AS cc, c._1 AS cent_id)),
+        |  (a, b) -> CASE WHEN a.cc > b.cc THEN -1 WHEN a.cc < b.cc THEN 1
+        |                 WHEN a.cent_id < b.cent_id THEN -1
+        |                 WHEN a.cent_id > b.cent_id THEN 1 ELSE 0 END), 1).cent_id"""
+        .stripMargin.replace("\n", " "))
+    val top1Form = expr("element_at(__cents, graft_cell_top1(embedding, nrm, __cents))._1")
+    val out = df.select(argsortForm.as("sorted"), top1Form.as("native")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_cell_top1 participates in whole-stage codegen and nulls on empty centroid arrays") {
+    // embedding derives from id so constant folding can't pre-evaluate
+    val df = spark.range(2).select(
+        expr("array(cast(1.0 + id AS float), cast(2.0 - id AS float))").as("embedding"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)")))
+      .withColumn("__cents", typedlit(Seq((0L, Seq(1.0, 0.0), 1.0), (1L, Seq(0.0, 1.0), 1.0))))
+      .select(expr("graft_cell_top1(embedding, nrm, __cents)").as("pos"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined &&
+      !plan.contains("CodegenFallback"),
+      s"graft_cell_top1 fell out of whole-stage codegen:\n$plan")
+    // id=0 → (1,2): cos favors dim-2-heavy centroid 1 → position 2;
+    // id=1 → (2,1): centroid 0 → position 1
+    assert(df.orderBy(col("pos")).collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+    val empty = spark.sql(
+      "SELECT graft_cell_top1(array(cast(1.0 AS float)), 1.0D, " +
+        "CAST(array() AS ARRAY<STRUCT<cent_id: BIGINT, ce: ARRAY<DOUBLE>, cn: DOUBLE>>))")
+    assert(empty.first().isNullAt(0))
+  }
+
   test("graft_dot participates in whole-stage codegen (no CodegenFallback)") {
     val df = spark.range(4).select(
         expr("transform(sequence(1, 8), i -> cast(i * (id + 1) AS float))").as("a"),
