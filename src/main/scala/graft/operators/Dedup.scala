@@ -184,7 +184,7 @@ object Dedup {
     * consumed by 8 band self-joins (16 plan references) plus verify-side
     * lookups — one row per doc, so the cache is tiny. Shared by d03 and
     * d08 (CacheManager dedupes the identical plan). */
-  private def lshSignatures(sh: DataFrame): DataFrame =
+  private[graft] def lshSignatures(sh: DataFrame): DataFrame =
     persistOnce(sh.select(col("doc_id"), h31(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(perm(0, col("h"))).as("mh0"),
@@ -210,7 +210,7 @@ object Dedup {
     * identical (same bands, same keys, same doc_a < doc_b dedup), so
     * the DuckDB oracle keeps the 8-way union form and the results
     * cannot drift. */
-  private def bandCandidates(left: DataFrame, right: DataFrame,
+  private[graft] def bandCandidates(left: DataFrame, right: DataFrame,
       canonical: Boolean): DataFrame = {
     def bandRows(sig: DataFrame): DataFrame =
       sig.select(col("doc_id"), explode(array((0 until NumBands).map(jb =>
