@@ -236,5 +236,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramH60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_canon"),
+      new ExpressionInfo(classOf[CanonText].getName, "graft_canon"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_canon`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CanonText(children.head)
+      }))
   }
 }

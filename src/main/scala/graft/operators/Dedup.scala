@@ -1620,8 +1620,12 @@ object Dedup {
     * wrapper exploits this; a real corpus with non-negative ids keeps
     * its plain min). */
   def canonicalDedup(docs: DataFrame): DataFrame = {
-    val canon = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // graft_canon ≡ trim(regexp_replace(regexp_replace(lower(text),
+    // "[^a-z0-9 ]", ""), " +", " ")) — one codegen byte-walk instead of
+    // two regex scans + four per-row string materializations (equality
+    // spec-pinned incl. unicode edge cases; the DuckDB oracle keeps the
+    // regex formulation, so the md5 keys stay cross-checked per row)
+    val canon = expr("graft_canon(text)")
     docs
       .groupBy(md5(canon).as("canon_hash"))
       // keeper = smallest ORIGINAL id: synthetics live at negative ids,
