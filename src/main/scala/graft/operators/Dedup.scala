@@ -662,19 +662,37 @@ object Dedup {
       // components converge in O(log diameter) rounds instead of
       // O(diameter) (measured: the skewed sf1 knn graph spent ~18 s in
       // diameter-bound rounds; see PERF.md round-10 addendum)
+      // convergence is OBSERVED during the same job that materializes
+      // the round's checkpoint (a CollectMetrics node over the rows as
+      // they stream into the cached blocks) — the former
+      // `where(changed).count()` was a SECOND full job + scan per round,
+      // and with per-round fixed cost dominating the loop at scale
+      // (r10 d10 decomposition) halving the jobs halves the floor. The
+      // old label also no longer rides into the checkpoint: the metric
+      // consumes it before the projection narrows to (doc_id, label).
+      // Task retries can only over-count `changed` (never under-count),
+      // so a lost block costs at most one extra round, never a
+      // premature exit.
+      val obs = org.apache.spark.sql.Observation()
       val next = relaxed.as("l")
         .join(relaxed.select(col("doc_id").as("hop_id"), col("label").as("hop_label")),
           col("l.label") === col("hop_id"), "left_outer")
         .select(col("l.doc_id").as("doc_id"), col("l.old_label").as("old_label"),
           least(col("l.label"), coalesce(col("hop_label"), col("l.label"))).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
+          .as("changed"))
+        .select(col("doc_id"), col("label"))
         .localCheckpoint()
-      val changed = next.where(col("label") =!= col("old_label")).count()
+      val changed = obs.get("changed") match {
+        case null => 0L // empty round (no edge-touching docs at all)
+        case n: java.lang.Long => n.longValue()
+      }
       // checkpoint blocks are NOT CacheManager entries (clearCache can't
       // free them), so release each superseded round explicitly; edges
       // and the final labels stay pinned only until the returned query
       // runs and the Datasets are GC'd (ContextCleaner frees the blocks)
       freeCheckpoint(labels)
-      labels = next.select(col("doc_id"), col("label"))
+      labels = next
       converged = changed == 0
     }
     lastPropagationRounds.set(rounds)

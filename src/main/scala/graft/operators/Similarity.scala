@@ -486,10 +486,14 @@ object Similarity {
   // window bounded by a single vector's bucket matches. Vectors alone in
   // their bucket yield no edges — the documented LSH recall trade, same
   // as s02 (production would union multiple hash tables to close it).
+  // The finished edge set is served as a persisted catalog artifact
+  // ([[knnGraph]]): s09 and s11 are two consumers of one build.
   // ---------------------------------------------------------------------
   val KnnK = 3
 
-  def s09KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** The ranked kNN edge rows (no global order) — the artifact body the
+    * bucket-equi build produces and [[knnGraph]] persists. */
+  private[graft] def knnGraphRanked(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir).withColumn("bucket", bucketCol("embedding"))
     val q = v.select(col("vec_id"), col("embedding").as("qe"),
       col("nrm").as("qn"), col("bucket"))
@@ -516,8 +520,33 @@ object Similarity {
         Seq(col("cosine").desc, col("neighbor_id").asc), KnnK, "rank")
       .select(col("vec_id"), col("neighbor_id"), col("rank"),
         col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
-      .orderBy(col("vec_id").asc, col("rank").asc)
   }
+
+  /** The kNN graph as a PERSISTED CATALOG ARTIFACT — the edge set is
+    * index state exactly like the IVF centroids and s12's verdicts: the
+    * bucketed pair sweep runs ONCE per corpus and every consumer (s09's
+    * presentation, s11's components, any later session) pays a table
+    * scan. Keyed by corpus dir + content fingerprint + the semantic
+    * hash of the defining plan, so a changed K / bucket rule / salt
+    * scheme can never serve stale edges. Columns round-trip exactly
+    * (ids, a label string, and a round(·,6) double — parquet stores the
+    * double bit-identically), so serve ≡ rebuild row-for-row. */
+  private[graft] def knnArtifactName(spark: SparkSession, dir: String): String =
+    "knng_" + graft.sources.Artifacts.key(spark, dir, knnGraphRanked(spark, dir))
+
+  private[graft] def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, knnArtifactName(spark, dir)) {
+      knnGraphRanked(spark, dir)
+    }
+
+  /** Test hook: drop the persisted edge artifact (entry + files) to
+    * force a truly cold rebuild. */
+  private[graft] def clearKnnGraphCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, knnArtifactName(spark, dir))
+
+  def s09KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir)
+      .orderBy(col("vec_id").asc, col("rank").asc)
 
   // ---------------------------------------------------------------------
   // s10 — ANN recall audit: per query, how many of the exact brute-force
@@ -557,12 +586,34 @@ object Similarity {
   // rounds over only the docs that touch an edge. The DuckDB oracle
   // rebuilds the identical graph and clusters it with a recursive CTE.
   // ---------------------------------------------------------------------
+  /** Component-label table name — keyed like d08's labels: by the
+    * corpus and the semantic hash of the EDGE derivation (the loop
+    * itself is imperative and has no single defining plan), so a
+    * changed K / bucket rule / threshold can never serve stale
+    * components. */
+  private[graft] def knnLabelsArtifactName(spark: SparkSession, dir: String): String =
+    "knnl_" + graft.sources.Artifacts.key(spark, dir, knnGraphRanked(spark, dir))
+
+  /** Test hook: drop the persisted component labels. */
+  private[graft] def clearKnnLabelsCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, knnLabelsArtifactName(spark, dir))
+
   def s11KnnComponents(spark: SparkSession, dir: String): DataFrame = {
-    val edges = s09KnnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
-        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
-      .distinct()
-    Dedup.clusterOutput(Dedup.minLabelComponents(edges))
+    // both stages are served index state (the d08 pattern): the edge
+    // sweep comes from the knnGraph artifact — a second components run,
+    // or one after an s09 in the same session, starts from a parquet
+    // scan instead of re-paying the bucketed pair sweep — and the
+    // propagation loop's labels persist under their own key, so every
+    // later consumer pays one table scan + the cluster aggregation.
+    val labels = graft.sources.Artifacts.servePersisted(
+        spark, knnLabelsArtifactName(spark, dir)) {
+      val edges = knnGraph(spark, dir)
+        .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+        .distinct()
+      Dedup.minLabelComponents(edges)
+    }
+    Dedup.clusterOutput(labels)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"), col("is_keeper"))
       .orderBy(col("cluster_id").asc, col("vec_id").asc)

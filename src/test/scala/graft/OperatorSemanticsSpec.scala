@@ -796,6 +796,25 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(cold.nonEmpty)
   }
 
+  test("knn-graph cache: a cached serve is bit-identical to the cold build; s09/s11 read the artifact") {
+    Similarity.clearKnnGraphCache(spark, sf)
+    Similarity.clearKnnLabelsCache(spark, sf)
+    def snap09() = Similarity.s09KnnGraph(spark, sf).collect().map(_.toString).toSeq
+    def snap11() = Similarity.s11KnnComponents(spark, sf).collect().map(_.toString).toSeq
+    val cold09 = snap09()
+    val cold11 = snap11() // consumed the artifact s09's cold call persisted
+    val warm09 = snap09()
+    val warm11 = snap11()
+    assert(cold09 === warm09)
+    assert(cold11 === warm11)
+    assert(cold09.nonEmpty && cold11.nonEmpty)
+    // with the artifact present, s09's plan is the catalog table scan,
+    // not a rebuilt pair sweep
+    assert(Similarity.s09KnnGraph(spark, sf).queryExecution.executedPlan.toString
+      .contains(graft.sources.Artifacts.Db),
+      "s09 not served from the catalog artifact")
+  }
+
   test("persisted artifacts: a fresh catalog serves labels + centroids from the warehouse, no rebuild") {
     import graft.sources.Artifacts
     // build (or reuse) both artifacts, snapshot results + file mtimes

@@ -309,7 +309,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s09: knn-graph pairing is bucket-equi with the two-phase rank — never all-pairs") {
-    val plan = formatted(Similarity.s09KnnGraph(spark, sf))
+    // pin the BUILD body: s09 itself serves the persisted edge artifact,
+    // so its plan is a table scan once the artifact exists
+    val plan = formatted(Similarity.knnGraphRanked(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"corpus-wide knn must stay inside LSH buckets:\n$plan")
     assert(plan.toLowerCase.contains("spark_partition_id"),
@@ -428,7 +430,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s09: the knn pair join is salted cell-equi — salt in the join key, no cartesian") {
-    val plan = formatted(Similarity.s09KnnGraph(spark, sf))
+    val plan = formatted(Similarity.knnGraphRanked(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"knn pairing must never be all-pairs:\n$plan")
     // the adaptive cell salting must survive in the physical join key —
