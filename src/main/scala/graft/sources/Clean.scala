@@ -99,13 +99,21 @@ object Clean {
       spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
       val fs = current.getFileSystem(hadoopConf)
       if (fs.exists(current)) fs.delete(current, true)
-      snapRoot(spark, db, table).foreach { root =>
-        if (fs.exists(root)) fs.delete(root, true)
-      }
-      // the pre-adoption managed dir (warehouse/<db>.db/<table>) if the
-      // table was adopted into the __snap layout from one
+    }
+    // Root + pre-adoption dir cleanup runs even when the catalog ENTRY is
+    // gone: this environment's catalog is in-memory per session, so a new
+    // session sees no entry while the previous incarnation's `__snap`
+    // versions and managed dir still sit in the warehouse — exactly the
+    // orphans this drop exists to reclaim (and which a later same-name
+    // table must never list as its own retained versions).
+    snapRoot(spark, db, table).foreach { root =>
+      val fs = root.getFileSystem(hadoopConf)
+      if (fs.exists(root)) fs.delete(root, true)
+    }
+    if (spark.sessionState.catalog.databaseExists(db)) {
       val managed = new Path(
         s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/$table")
+      val fs = managed.getFileSystem(hadoopConf)
       if (fs.exists(managed)) fs.delete(managed, true)
     }
   }
@@ -140,7 +148,16 @@ object Clean {
           .exists(_.getName.endsWith("__snap")) => (current.getParent, n + 1)
       case _ =>
         val dbLoc = new Path(spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
-        (new Path(dbLoc, s"${table}__snap"), 1L)
+        val fresh = new Path(dbLoc, s"${table}__snap")
+        // ADOPTION must start from an empty root: the current location is
+        // not under it, so any `v=N` already there is an orphan from a
+        // previous same-name incarnation (this catalog is in-memory per
+        // session — entries die, files persist). Left in place they would
+        // be listed as THIS table's retained versions and a pinned read
+        // could serve another incarnation's data.
+        val ffs = fresh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (ffs.exists(fresh)) ffs.delete(fresh, true)
+        (fresh, 1L)
     }
     val target = new Path(root, s"v=$next")
     // materialize BEFORE the swap: the write reads the current location
@@ -161,6 +178,39 @@ object Clean {
         }
       }
     } catch { case _: java.io.IOException => () } // vacuum is best-effort
+  }
+
+  /** Retained snapshot versions of a rewrite-managed table, ascending.
+    * Empty when the table has never taken the snapshot path (or a
+    * swap-path rewrite reset the layout — the swap makes no retention
+    * promise and vacuums the root). */
+  def versions(spark: SparkSession, db: String, table: String): Seq[Long] =
+    snapRoot(spark, db, table).toSeq.flatMap { root =>
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .flatMap(st => VersionDir.unapply(st.getPath.getName))
+    }.sorted
+
+  /** Read a RETAINED version of a rewrite-managed table — the engine's
+    * analog of Delta's `VERSION AS OF` (the reference's tables are Delta,
+    * `TyreStore Challenge.py:65-72`, and its clean step leans on the
+    * retained predecessor the same way). Versions survive exactly
+    * [[KeepSnapshots]] rewrites; asking for a vacuumed (or never
+    * written) version fails loudly naming the root and what IS retained,
+    * rather than silently reading the wrong data. The snapshot path only
+    * accepts same-schema rewrites, so every retained version shares the
+    * live table's schema. */
+  def readVersion(spark: SparkSession, db: String, table: String,
+      version: Long): DataFrame = {
+    val root = snapRoot(spark, db, table).getOrElse(throw new IllegalArgumentException(
+      s"readVersion: database `$db` does not exist"))
+    val vs = versions(spark, db, table)
+    require(vs.contains(version),
+      s"readVersion: version $version of `$db`.`$table` is not on disk under " +
+        s"$root (retained: ${if (vs.isEmpty) "none — not snapshot-managed" else vs.mkString(", ")}); " +
+        s"older versions are vacuumed after GRAFT_KEEP_SNAPSHOTS (=$KeepSnapshots) rewrites")
+    spark.read.parquet(new Path(root, s"v=$version").toString)
   }
 
   private object VersionDir {

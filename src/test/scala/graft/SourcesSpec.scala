@@ -128,6 +128,57 @@ class SourcesSpec extends SparkSpec {
     assert(fs.exists(v2))
   }
 
+  test("Clean: version-pinned reads over the snapshot layout (VERSION AS OF analog)") {
+    // idempotent across suite runs: clear any leftover __snap root
+    Clean.dropTableWithSnapshots(spark, "graftdb", "carts_asof_spec")
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("pk", "price"),
+      "graftdb", "carts_asof_spec")
+    // never snapshot-rewritten → no retained versions, loud refusal
+    assert(Clean.versions(spark, "graftdb", "carts_asof_spec") === Seq.empty)
+    val e0 = intercept[IllegalArgumentException](
+      Clean.readVersion(spark, "graftdb", "carts_asof_spec", 1L))
+    assert(e0.getMessage.contains("not snapshot-managed"))
+
+    Clean.rewriteTable(spark, "graftdb", "carts_asof_spec")(_.where($"price" > 0))
+    Clean.rewriteTable(spark, "graftdb", "carts_asof_spec")(_.where($"pk" =!= 3L))
+    assert(Clean.versions(spark, "graftdb", "carts_asof_spec") === Seq(1L, 2L))
+    // v=1 is the first rewrite's snapshot; v=2 is the live table
+    assert(Clean.readVersion(spark, "graftdb", "carts_asof_spec", 1L)
+      .select("pk").as[Long].collect().toSet === Set(1L, 3L))
+    assert(Clean.readVersion(spark, "graftdb", "carts_asof_spec", 2L)
+      .select("pk").as[Long].collect().toSet === Set(1L))
+
+    // a third rewrite vacuums v=1 (KeepSnapshots=2): the pinned read
+    // fails loudly naming what IS retained, never reads the wrong data
+    Clean.rewriteTable(spark, "graftdb", "carts_asof_spec")(identity)
+    assert(Clean.versions(spark, "graftdb", "carts_asof_spec") === Seq(2L, 3L))
+    val e1 = intercept[IllegalArgumentException](
+      Clean.readVersion(spark, "graftdb", "carts_asof_spec", 1L))
+    assert(e1.getMessage.contains("retained: 2, 3"))
+  }
+
+  test("Clean: adoption clears a stale __snap root left by a previous same-name incarnation") {
+    Clean.dropTableWithSnapshots(spark, "graftdb", "carts_orphan_spec")
+    Ingest.saveAsTable(Seq((1L, 1.0)).toDF("pk", "price"), "graftdb", "carts_orphan_spec")
+    Clean.rewriteTable(spark, "graftdb", "carts_orphan_spec")(identity) // v=1
+    Clean.rewriteTable(spark, "graftdb", "carts_orphan_spec")(identity) // v=2
+    // plain DROP deletes only the current v=2 dir: the root and v=1
+    // linger — the orphan a dead in-memory catalog leaves behind
+    spark.sql("DROP TABLE `graftdb`.`carts_orphan_spec`")
+    assert(Clean.versions(spark, "graftdb", "carts_orphan_spec") === Seq(1L),
+      "precondition: the orphaned v=1 survives the plain drop")
+
+    // same-name successor: adoption must NOT list the orphan as its own
+    // retained history, and a pinned read must serve THIS incarnation
+    Ingest.saveAsTable(
+      Seq((7L, 2.0), (8L, 0.0)).toDF("pk", "price"), "graftdb", "carts_orphan_spec")
+    Clean.rewriteTable(spark, "graftdb", "carts_orphan_spec")(_.where($"price" > 0))
+    assert(Clean.versions(spark, "graftdb", "carts_orphan_spec") === Seq(1L))
+    assert(Clean.readVersion(spark, "graftdb", "carts_orphan_spec", 1L)
+      .select("pk").as[Long].collect().toSet === Set(7L))
+  }
+
   test("Clean: snapshot rewrite does not hijack a user table parked at a v=N path") {
     // an EXTERNAL table whose location happens to be a partition-style
     // v=3 directory must NOT be treated as our version layout — its
