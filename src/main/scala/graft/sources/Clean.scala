@@ -23,12 +23,42 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   *    its files before the swap keeps reading a consistent snapshot —
   *    exactly what Delta's `delta.carts` readers get during `py:162-166`.
   *
-  * Single-writer by assumption (Delta's writer-writer optimistic
-  * concurrency is out of scope — the reference pipeline has one writer).
-  * At cluster scale this is also the right shape: the rewrite is one
-  * distributed write job and the swap is metadata-only.
+  * The snapshot path also carries Delta's third behavior, writer-writer
+  * OPTIMISTIC concurrency: each writer does its (long) rewrite against
+  * the version it read, into a writer-private `tmp_*` directory, and
+  * commits in a short critical section — re-validate that the table
+  * still points at the version the transform read, then atomically
+  * rename `tmp_*` → `v=N+1` and `SET LOCATION`. A writer that lost the
+  * race gets a loud [[ConcurrentRewriteException]] (its half is
+  * discarded; nothing it did is visible), and
+  * [[Clean.rewriteTableWithRetries]] re-runs its transform against the
+  * NEW current version — Delta's commit-retry loop. The rename is the
+  * cross-process CAS on filesystems with atomic rename (HDFS); within
+  * one driver JVM a per-table commit lock serializes the critical
+  * section outright. The swap path (schema-changing / bucketed
+  * rewrites) remains single-writer, as in Delta, where metadata-changing
+  * commits conflict with everything.
   */
 object Clean {
+
+  /** Thrown when a snapshot-path rewrite loses the commit race: another
+    * writer moved the table off the version this transform read. The
+    * losing rewrite left no visible trace; catch and re-run the
+    * transform against the new current version (or use
+    * [[Clean.rewriteTableWithRetries]]). */
+  final class ConcurrentRewriteException(msg: String)
+    extends RuntimeException(msg)
+
+  // Per-table commit locks: the critical section (validate + rename +
+  // SET LOCATION) is metadata-only and short; the expensive rewrite
+  // write runs OUTSIDE it. One driver JVM is the common topology for a
+  // pipeline's writers (local mode here, a shared driver at cluster
+  // scale); across drivers the rename-CAS still rejects the loser on
+  // rename-atomic filesystems.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(db: String, table: String): Object =
+    commitLocks.computeIfAbsent(s"$db.$table", _ => new Object)
 
   /** Versions kept on disk: the current one plus `KeepSnapshots - 1`
     * predecessors; older `v=N` dirs are vacuumed best-effort after a
@@ -36,7 +66,13 @@ object Clean {
     * reader that started before the swap to finish its scan; deployments
     * with longer-running readers raise GRAFT_KEEP_SNAPSHOTS (floored at
     * 2 — 1 would vacuum the version a pre-swap reader is still
-    * scanning, exactly the isolation this path exists to provide). */
+    * scanning, exactly the isolation this path exists to provide).
+    * Under writer-writer concurrency the same knob is the conflict
+    * window: a loser re-reads the CURRENT version on retry, so depth 2
+    * covers any number of retrying writers; only a writer stalled
+    * across `KeepSnapshots` competing commits could see its input
+    * vacuumed mid-write, and it then fails loudly (missing files or
+    * lost CAS), never publishes. */
   val KeepSnapshots: Long =
     math.max(2L, graft.operators.Dedup.envLong("GRAFT_KEEP_SNAPSHOTS", 2L))
 
@@ -50,8 +86,41 @@ object Clean {
     */
   def rewriteTable(spark: SparkSession, db: String, table: String,
       bucket: Option[(String, Int)] = None)(
+      transform: DataFrame => DataFrame): Unit =
+    rewriteTableImpl(spark, db, table, bucket, () => ())(transform)
+
+  /** [[rewriteTable]] that re-runs `transform` (against the NEW current
+    * version) when a snapshot-path commit loses the writer-writer race —
+    * the optimistic-concurrency retry loop. `maxAttempts` bounds
+    * livelock under sustained contention; the last loss is rethrown. */
+  def rewriteTableWithRetries(spark: SparkSession, db: String, table: String,
+      bucket: Option[(String, Int)] = None, maxAttempts: Int = 3)(
+      transform: DataFrame => DataFrame): Unit = {
+    require(maxAttempts >= 1, s"rewriteTableWithRetries: maxAttempts=$maxAttempts")
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { rewriteTable(spark, db, table, bucket)(transform); done = true }
+      catch {
+        case e: ConcurrentRewriteException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+  }
+
+  /** `beforeCommit` runs after the rewrite is materialized but before
+    * the critical section — the deterministic interleaving point the
+    * concurrency specs use to stage a competing commit. */
+  private[sources] def rewriteTableImpl(spark: SparkSession, db: String,
+      table: String, bucket: Option[(String, Int)], beforeCommit: () => Unit)(
       transform: DataFrame => DataFrame): Unit = {
     val fq = s"`$db`.`$table`"
+    // The location the transform READS, captured before building its
+    // plan: commit-time validation compares against this, so a rewrite
+    // whose input may be stale can only lose the race, never publish.
+    val readLoc = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table, Some(db))).location
     val rewritten = transform(spark.table(fq))
     // either path clears crashed-run staging/old leftovers first, so a
     // swap-path crash followed by a snapshot-path rerun (or vice versa)
@@ -77,7 +146,7 @@ object Clean {
     }
     if (bucket.isEmpty && existingBucket.isEmpty &&
         rewritten.schema == spark.table(fq).schema)
-      rewriteTableSnapshot(spark, db, table, rewritten)
+      rewriteTableSnapshot(spark, db, table, rewritten, readLoc, beforeCommit)
     else
       rewriteTableSwap(spark, db, table, bucket.orElse(existingBucket), rewritten)
   }
@@ -127,13 +196,19 @@ object Clean {
         s"${table}__snap"))
     else None
 
-  /** Snapshot path: write `v=N+1` next to the current files, one atomic
+  /** Snapshot path: write the rewrite into a writer-private `tmp_*`
+    * directory next to the current files, then commit in a short
+    * critical section — validate the table still points at `readLoc`
+    * (the version the transform read), rename `tmp_*` → `v=N+1` (the
+    * CAS: an existing `v=N+1` means another writer won), one atomic
     * `SET LOCATION`, then vacuum versions older than [[KeepSnapshots]].
-    * A crash before the ALTER leaves the live table untouched (the
-    * half-written `v=N+1` is overwritten by the next attempt); a crash
-    * after it leaves the swap complete. Never zero live copies. */
+    * A crash before the rename leaves the live table untouched (the
+    * orphan `tmp_*` is reclaimed by the next successful commit's
+    * vacuum); a crash after the ALTER leaves the commit complete. Never
+    * zero live copies, and a LOSING writer publishes nothing. */
   private def rewriteTableSnapshot(spark: SparkSession, db: String,
-      table: String, rewritten: DataFrame): Unit = {
+      table: String, rewritten: DataFrame, readLoc: java.net.URI,
+      beforeCommit: () => Unit): Unit = {
     val fq = s"`$db`.`$table`"
     val ident = TableIdentifier(table, Some(db))
     val current = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
@@ -155,24 +230,66 @@ object Clean {
         // session — entries die, files persist). Left in place they would
         // be listed as THIS table's retained versions and a pinned read
         // could serve another incarnation's data.
+        // (Two writers ADOPTING concurrently can delete each other's
+        // staging here — first-rewrite-ever racing is the analog of
+        // Delta's concurrent CREATE conflict and surfaces as a failed
+        // write or a loud commit error, never silent corruption; OCC
+        // proper starts once the layout exists.)
         val ffs = fresh.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (ffs.exists(fresh)) ffs.delete(fresh, true)
         (fresh, 1L)
     }
-    val target = new Path(root, s"v=$next")
-    // materialize BEFORE the swap: the write reads the current location
-    // while writing the new one — disjoint paths, no self-overwrite
-    rewritten.write.mode(SaveMode.Overwrite).format("parquet").save(target.toString)
-    spark.sql(s"ALTER TABLE $fq SET LOCATION '${target.toString}'")
-    spark.catalog.refreshTable(s"$db.$table")
-    // vacuum: only `v=N` dirs under OUR root, never the original managed
-    // dir (a pre-snapshot reader may still be scanning it; it falls out
-    // of scope when the table is dropped)
+    // materialize into a writer-PRIVATE directory before the critical
+    // section: the write reads the current location while writing the
+    // new one — disjoint paths, no self-overwrite — and concurrent
+    // writers can never clobber each other's staging files because no
+    // two writers share a tmp dir.
+    val tmp = new Path(root, s"tmp_${java.util.UUID.randomUUID()}")
+    rewritten.write.mode(SaveMode.Overwrite).format("parquet").save(tmp.toString)
+    beforeCommit()
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(root, s"v=$next")
+    // Critical section — metadata-only, so contention cost is a rename
+    // and an ALTER, not a write job. The JVM lock serializes same-driver
+    // writers; across drivers the exists-check + rename is the CAS on
+    // rename-atomic filesystems.
+    val committed = commitLock(db, table).synchronized {
+      val nowLoc = spark.sessionState.catalog.getTableMetadata(ident).location
+      if (nowLoc != readLoc || fs.exists(target)) false
+      else if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"rewriteTable: rename $tmp -> $target failed with no competing commit visible")
+      else {
+        spark.sql(s"ALTER TABLE $fq SET LOCATION '${target.toString}'")
+        spark.catalog.refreshTable(s"$db.$table")
+        true
+      }
+    }
+    if (!committed) {
+      try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
+      val nowLoc = spark.sessionState.catalog.getTableMetadata(ident).location
+      throw new ConcurrentRewriteException(
+        s"rewriteTable: $fq moved off $readLoc (now $nowLoc) while this " +
+          "rewrite ran — another writer committed first. Nothing from this " +
+          "attempt is visible; re-run the transform against the current " +
+          "version (rewriteTableWithRetries does this).")
+    }
+    // vacuum: only `v=N` dirs under OUR root past the retention window,
+    // plus orphaned `tmp_*` staging left by CRASHED writers (ours is
+    // gone — renamed on commit, deleted on loss; a live competitor's
+    // tmp is younger than this commit's critical section, so the age
+    // floor below keeps it safe). Never the original managed dir (a
+    // pre-snapshot reader may still be scanning it; it falls out of
+    // scope when the table is dropped).
     try {
+      val tmpAgeFloorMs = 3600L * 1000
+      val now = System.currentTimeMillis()
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         st.getPath.getName match {
           case VersionDir(n) if n <= next - KeepSnapshots =>
+            fs.delete(st.getPath, true)
+          case tn if tn.startsWith("tmp_") &&
+              now - st.getModificationTime > tmpAgeFloorMs =>
             fs.delete(st.getPath, true)
           case _ => ()
         }

@@ -68,6 +68,10 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 con = duckdb.connect()
+# Spill to an explicit scratch dir on the big volume (the default .tmp in
+# cwd filled the disk during the sf10 d14 pass) and leave RAM headroom.
+con.sql("SET temp_directory='/tmp/duck_oracle_tmp'")
+con.sql("SET memory_limit='48GB'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
