@@ -16,6 +16,14 @@ PYUF = "--pyuf" in sys.argv
 # and their quadratic oracle SQL would grind DuckDB)
 ONLY = [p for a in sys.argv if a.startswith("--only=")
         for p in a[len("--only="):].split(",") if p]
+# --stage=d03_minhash_lsh:sh+sig  materializes the named CTEs (in order)
+# of that query into temp tables before evaluating the rest. Identical
+# results — the same SQL text runs, just checkpointed mid-chain — but a
+# far lower peak for string-heavy prefixes the planner re-evaluates per
+# reference (the sf10 d03 shingle pipeline spilled >75 GB unstaged).
+STAGE = {s.split(":")[0]: s.split(":")[1].split("+")
+         for a in sys.argv if a.startswith("--stage=")
+         for s in a[len("--stage="):].split(",") if ":" in s}
 argv = [a for a in sys.argv if not a.startswith("--")]
 SF = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 OUT = argv[2] if len(argv) > 2 else "/tmp/vout"
@@ -64,6 +72,36 @@ def rewrite_components(sql, con):
         {col: list(lab.keys()), "cluster_id": list(lab.values())}))
     return (sql[:i] + f"labels AS (SELECT {col}, cluster_id FROM pylabels)" +
             sql[j + len(labels_cte):]).replace("WITH RECURSIVE", "WITH", 1)
+def stage_cte(sql, con, cte):
+    """Materialize the WITH-chain prefix ending at CTE `cte` into a temp
+    table and rewrite the remainder to read it. The staged SQL is the
+    oracle's own text — only the evaluation is checkpointed."""
+    m = re.search(rf"\b{cte} AS \(", sql)
+    assert m, f"--stage: no CTE `{cte}` in oracle SQL"
+    i = sql.index("(", m.start())
+    depth, j, in_str = 0, i, False
+    while True:
+        c = sql[j]
+        if c == "'":
+            in_str = not in_str
+        elif not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        j += 1
+    prefix = sql[:j + 1]
+    assert prefix.lstrip().upper().startswith("WITH")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE {cte}__mat AS "
+            f"{prefix} SELECT * FROM {cte}")
+    rest = sql[j + 1:].lstrip()
+    assert rest.startswith(","), f"--stage: `{cte}` must not be the last CTE"
+    rest = "WITH " + rest[1:].lstrip()
+    return re.sub(rf"\b{cte}\b", f"{cte}__mat", rest)
+
+
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
@@ -72,6 +110,10 @@ con = duckdb.connect()
 # cwd filled the disk during the sf10 d14 pass) and leave RAM headroom.
 con.sql("SET temp_directory='/tmp/duck_oracle_tmp'")
 con.sql("SET memory_limit='48GB'")
+# Row order only matters below an ORDER BY, which every ordered oracle
+# carries explicitly; dropping insertion-order preservation lets DuckDB
+# stream large aggregations instead of buffering them.
+con.sql("SET preserve_insertion_order=false")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
@@ -84,6 +126,8 @@ for name in sorted(oracle):
     try:
         if PYUF and "RECURSIVE" in sql:
             sql = rewrite_components(sql, con)
+        for cte in STAGE.get(name, []):
+            sql = stage_cte(sql, con, cte)
         exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
