@@ -22,6 +22,23 @@ import org.apache.spark.sql.types._
   * order of `cents`. A centroid whose `ce` length mismatches the
   * embedding never wins (the dot would be NULL in the fold forms).
   * Returns NULL for an empty centroid array.
+  *
+  * Degenerate-input contract (explicit since r12 — the tie-break used
+  * to treat a NaN cosine as a tie, making the winner array-order
+  * dependent): cosines compare under `java.lang.Double.compare`, the
+  * SAME total order Spark's and DuckDB's ORDER BY use for doubles —
+  * NaN above +Inf, so a zero-norm embedding or centroid (cc = 0/0 =
+  * NaN) ranks ABOVE every finite cosine exactly as the window form
+  * `orderBy(cc.desc, cent_id.asc)` ranked it, and ties still go to the
+  * smaller cent_id. Null ELEMENTS (the fold forms return a NULL dot):
+  * a null slot in `embedding` nulls every centroid's cosine, so the
+  * result is NULL; a null `cents` entry, or a null slot in one
+  * centroid's `ce`, disqualifies that centroid only (a NULL cosine
+  * sorts below every value under desc, so it can never win — it only
+  * decided the degenerate all-centroids-null case, where the window
+  * form would pick the min cent_id over all-NULL cosines and this
+  * expression returns NULL; preferred, since an all-null argmax is
+  * undefined).
   */
 case class CellTop1(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -55,25 +72,36 @@ case class CellTop1(first: Expression, second: Expression, third: Expression)
     val ca = caAny.asInstanceOf[ArrayData]
     val n = ca.numElements()
     val m = emb.numElements()
+    var i0 = 0
+    while (i0 < m) { // null emb slot nulls every fold-form cosine
+      if (emb.isNullAt(i0)) return null
+      i0 += 1
+    }
     var bestCc = Double.NegativeInfinity
     var bestId = Long.MaxValue
     var bestPos = 0
     var j = 0
     while (j < n) {
-      val c = ca.getStruct(j, 3)
-      val ce = c.getArray(1)
-      if (ce.numElements() == m) {
-        val id = c.getLong(0)
-        val cn = c.getDouble(2)
-        var acc = 0.0
-        var i = 0
-        while (i < m) {
-          acc += emb.getFloat(i).toDouble * ce.getDouble(i)
-          i += 1
-        }
-        val cc = acc / (nrm * cn)
-        if (bestPos == 0 || cc > bestCc || (!(cc < bestCc) && id < bestId)) {
-          bestCc = cc; bestId = id; bestPos = j + 1
+      if (!ca.isNullAt(j)) {
+        val c = ca.getStruct(j, 3)
+        val ce = c.getArray(1)
+        if (ce.numElements() == m) {
+          val id = c.getLong(0)
+          val cn = c.getDouble(2)
+          var acc = 0.0
+          var i = 0
+          var ok = true
+          while (ok && i < m) {
+            if (ce.isNullAt(i)) ok = false
+            else { acc += emb.getFloat(i).toDouble * ce.getDouble(i); i += 1 }
+          }
+          if (ok) {
+            val cc = acc / (nrm * cn)
+            val cmp = java.lang.Double.compare(cc, bestCc)
+            if (bestPos == 0 || cmp > 0 || (cmp == 0 && id < bestId)) {
+              bestCc = cc; bestId = id; bestPos = j + 1
+            }
+          }
         }
       }
       j += 1
@@ -96,24 +124,36 @@ case class CellTop1(first: Expression, second: Expression, third: Expression)
       val bestCc = ctx.freshName("bestCc")
       val bestId = ctx.freshName("bestId")
       val bestPos = ctx.freshName("bestPos")
+      val embNull = ctx.freshName("embNull")
+      val ok = ctx.freshName("ok")
+      val cmp = ctx.freshName("cmp")
       s"""
          |int $n = $ca.numElements();
          |int $m = $e.numElements();
+         |boolean $embNull = false;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($e.isNullAt($i)) { $embNull = true; break; }
+         |}
          |double $bestCc = Double.NEGATIVE_INFINITY;
          |long $bestId = Long.MAX_VALUE;
          |int $bestPos = 0;
-         |for (int $j = 0; $j < $n; $j++) {
+         |if (!$embNull) for (int $j = 0; $j < $n; $j++) {
+         |  if ($ca.isNullAt($j)) continue;
          |  org.apache.spark.sql.catalyst.InternalRow $c = $ca.getStruct($j, 3);
          |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $c.getArray(1);
          |  if ($ce.numElements() == $m) {
          |    long $id = $c.getLong(0);
          |    double $cn = $c.getDouble(2);
          |    double $acc = 0.0;
+         |    boolean $ok = true;
          |    for (int $i = 0; $i < $m; $i++) {
+         |      if ($ce.isNullAt($i)) { $ok = false; break; }
          |      $acc += (double) $e.getFloat($i) * $ce.getDouble($i);
          |    }
+         |    if (!$ok) continue;
          |    double $cc = $acc / ($nrm * $cn);
-         |    if ($bestPos == 0 || $cc > $bestCc || (!($cc < $bestCc) && $id < $bestId)) {
+         |    int $cmp = java.lang.Double.compare($cc, $bestCc);
+         |    if ($bestPos == 0 || $cmp > 0 || ($cmp == 0 && $id < $bestId)) {
          |      $bestCc = $cc; $bestId = $id; $bestPos = $j + 1;
          |    }
          |  }

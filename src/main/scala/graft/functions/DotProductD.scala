@@ -39,7 +39,12 @@ case class DotProductD(left: Expression, right: Expression)
 
   // Mismatched lengths yield NULL (not a silently-truncated partial dot):
   // a corrupt short vector must surface, and the zip_with/list_transform
-  // oracle formulations also null out on length mismatch.
+  // oracle formulations also null out on length mismatch. A null ELEMENT
+  // in either array also yields NULL — the fold it claims bit-identity
+  // with propagates the null product through `acc + q` (r12: the loop
+  // used to silently read 0.0 for null slots; these are user-visible
+  // registered SQL functions, so the fold semantics must hold for every
+  // input, not just fixture arrays).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -51,6 +56,7 @@ case class DotProductD(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -63,16 +69,19 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -89,7 +98,8 @@ case class DotProductD(left: Expression, right: Expression)
   * cast(x AS double) * y), 0d, (acc, q) -> acc + q)` formulation it
   * replaces (so the DuckDB mirrors are unchanged), minus the
   * HigherOrderFunction's per-element lambda interpretation — the same
-  * ~20× win [[DotProductD]] bought the float×float pair sweep. */
+  * ~20× win [[DotProductD]] bought the float×float pair sweep. Null
+  * elements null the result, matching the fold (see [[DotProductD]]). */
 case class DotProductFD(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -115,6 +125,7 @@ case class DotProductFD(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getDouble(i)
         i += 1
       }
@@ -127,16 +138,19 @@ case class DotProductFD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    $acc += (double) $a.getFloat($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -1384,10 +1384,13 @@ object Dedup {
     // Column arithmetic, not string-spliced expr(): splicing
     // Column.toString into expr() silently builds wrong SQL for
     // qualified or backtick-needing column names if the predicate is
-    // ever reused. doc_ids are non-negative, so the long-cast division
-    // truncation equals floor division (`div`).
+    // ever reused. `div` is Spark's EXACT integral division (stays in
+    // long) — the r11 form `(c.cast("long") / m).cast("long")` routed
+    // through DOUBLE division, whose 2^53 mantissa would map doc_ids
+    // above that to the wrong stream batch.
     def ordinal(c: Column) =
-      pmod((c.cast("long") / IncrementalMod).cast("long"), lit(NumStreamBatches))
+      pmod(call_function("div", c.cast("long"), lit(IncrementalMod)),
+        lit(NumStreamBatches))
     incrementalDedupProgram(
       docs.where(col("doc_id") % IncrementalMod === 0).select(col("doc_id"), col("text")),
       idx,

@@ -76,6 +76,19 @@ object Clean {
   val KeepSnapshots: Long =
     math.max(2L, graft.operators.Dedup.envLong("GRAFT_KEEP_SNAPSHOTS", 2L))
 
+  /** Minimum age (mtime, seconds) before an orphan `tmp_*` staging dir is
+    * vacuumed after a successful commit. The floor exists because age is
+    * the ONLY signal distinguishing a crashed writer's leftovers from a
+    * live competitor's private staging — a live writer that pauses longer
+    * than this between its last file write and its commit can have its
+    * staging deleted out from under it and then fails its (otherwise
+    * winnable) commit LOUDLY, never corruptly. Deployments whose rewrite
+    * transforms legitimately stall (multi-hour upstream barriers) should
+    * raise GRAFT_TMP_VACUUM_MIN_AGE_SEC alongside GRAFT_KEEP_SNAPSHOTS;
+    * the default is 1 hour. */
+  val TmpVacuumMinAgeSec: Long =
+    math.max(60L, graft.operators.Dedup.envLong("GRAFT_TMP_VACUUM_MIN_AGE_SEC", 3600L))
+
   /** Rewrite `db.table` as `transform(db.table)`.
     *
     * Same-schema rewrites (the reference's shape: a filter) go through
@@ -276,13 +289,13 @@ object Clean {
     }
     // vacuum: only `v=N` dirs under OUR root past the retention window,
     // plus orphaned `tmp_*` staging left by CRASHED writers (ours is
-    // gone — renamed on commit, deleted on loss; a live competitor's
-    // tmp is younger than this commit's critical section, so the age
-    // floor below keeps it safe). Never the original managed dir (a
-    // pre-snapshot reader may still be scanning it; it falls out of
-    // scope when the table is dropped).
+    // gone — renamed on commit, deleted on loss; a live competitor's tmp
+    // is safe only while it is younger than [[TmpVacuumMinAgeSec]] — age
+    // is a heuristic, not a guarantee, see the knob's doc). Never the
+    // original managed dir (a pre-snapshot reader may still be scanning
+    // it; it falls out of scope when the table is dropped).
     try {
-      val tmpAgeFloorMs = 3600L * 1000
+      val tmpAgeFloorMs = TmpVacuumMinAgeSec * 1000
       val now = System.currentTimeMillis()
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         st.getPath.getName match {

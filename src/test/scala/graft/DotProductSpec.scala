@@ -117,6 +117,73 @@ class DotProductSpec extends SparkSpec {
     assert(empty.first().isNullAt(0))
   }
 
+  test("graft_dot / graft_dot_fd null ELEMENTS null the result, matching the fold (r12 advisory)") {
+    // the fold forms propagate a null product through acc + q; the native
+    // loops must not silently sum 0.0 for null slots
+    val d = spark.range(1).select(
+      expr("graft_dot(array(cast(1.0 AS float), NULL), array(cast(1.0 AS float), cast(2.0 AS float)))").as("g"),
+      expr("aggregate(zip_with(array(cast(1.0 AS float), NULL), array(cast(1.0 AS float), cast(2.0 AS float)), " +
+        "(x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)").as("f"))
+      .first()
+    assert(d.isNullAt(0) && d.isNullAt(1))
+    val fd = spark.range(1).select(
+      expr("graft_dot_fd(array(cast(1.0 AS float), cast(2.0 AS float)), array(1.0D, NULL))").as("g"),
+      expr("aggregate(zip_with(array(cast(1.0 AS float), cast(2.0 AS float)), array(1.0D, NULL), " +
+        "(x, y) -> cast(x AS double) * y), cast(0.0 AS double), (acc, v) -> acc + v)").as("f"))
+      .first()
+    assert(fd.isNullAt(0) && fd.isNullAt(1))
+    // ...and through the codegen path (derive from id so folding can't pre-eval)
+    val cg = spark.range(1).select(expr(
+      "graft_dot(array(cast(id AS float), NULL), array(cast(1.0 AS float), cast(2.0 AS float)))"))
+    assert(cg.first().isNullAt(0))
+  }
+
+  test("graft_cell_top1 NaN cosines follow Double.compare order (NaN above all, ties to min cent_id)") {
+    // cn = 0 makes cc = x/0·nrm → NaN for zero-norm centroids: under the
+    // window form's ORDER BY cc DESC (Spark ranks NaN above +Inf) a NaN
+    // centroid WINS, and among several the smaller cent_id does — the
+    // r12 fix makes the native argmax match that instead of being
+    // array-order dependent. Both array orders must agree.
+    def cents(order: Seq[(Long, Seq[Double], Double)]) =
+      spark.range(1).select(
+          expr("array(cast(1.0 AS float), cast(0.0 AS float))").as("embedding"),
+          lit(1.0).as("nrm"))
+        .withColumn("__cents", typedlit(order))
+        .select(expr("element_at(__cents, graft_cell_top1(embedding, nrm, __cents))._1"))
+        .first().getLong(0)
+    val a = (5L, Seq(0.0, 0.0), 0.0)   // NaN cosine
+    val b = (3L, Seq(0.0, 0.0), 0.0)   // NaN cosine, smaller id
+    val c = (1L, Seq(1.0, 0.0), 1.0)   // finite cosine 1.0
+    assert(cents(Seq(a, b, c)) === 3L)
+    assert(cents(Seq(c, a, b)) === 3L)
+    assert(cents(Seq(b, c, a)) === 3L)
+  }
+
+  test("graft_cell_top1 null elements: null emb slot → NULL; null centroid/ce slot skipped") {
+    val df = spark.range(1).select(
+      expr("graft_cell_top1(array(cast(1.0 AS float), NULL), 1.0D, " +
+        "array(named_struct('cent_id', 0L, 'ce', array(1.0D, 0.0D), 'cn', 1.0D)))"))
+    assert(df.first().isNullAt(0))
+    // centroid 0 has a null ce slot (its fold dot is NULL — sorts below
+    // every finite cosine under desc) → centroid 1 wins
+    val skip = spark.range(1).select(
+      expr("graft_cell_top1(array(cast(1.0 AS float), cast(0.0 AS float)), 1.0D, array(" +
+        "named_struct('cent_id', 0L, 'ce', array(1.0D, NULL), 'cn', 1.0D), " +
+        "named_struct('cent_id', 1L, 'ce', array(0.0D, 1.0D), 'cn', 1.0D)))"))
+    assert(skip.first().getInt(0) === 2)
+    // a NULL cents ENTRY is skipped, not an NPE
+    val nullEntry = spark.range(1).select(
+      expr("graft_cell_top1(array(cast(1.0 AS float)), 1.0D, array(" +
+        "CAST(NULL AS STRUCT<cent_id: BIGINT, ce: ARRAY<DOUBLE>, cn: DOUBLE>), " +
+        "named_struct('cent_id', 7L, 'ce', array(2.0D), 'cn', 2.0D)))"))
+    assert(nullEntry.first().getInt(0) === 2)
+    // all centroids disqualified → NULL (the undefined argmax)
+    val allNull = spark.range(1).select(
+      expr("graft_cell_top1(array(cast(1.0 AS float)), 1.0D, array(" +
+        "named_struct('cent_id', 0L, 'ce', array(CAST(NULL AS DOUBLE)), 'cn', 1.0D)))"))
+    assert(allNull.first().isNullAt(0))
+  }
+
   test("graft_dot participates in whole-stage codegen (no CodegenFallback)") {
     val df = spark.range(4).select(
         expr("transform(sequence(1, 8), i -> cast(i * (id + 1) AS float))").as("a"),

@@ -110,4 +110,51 @@ class CleanConcurrencySpec extends graft.SparkSpec {
     assert(vs.size === Clean.KeepSnapshots && vs.max >= 3L,
       s"expected both commits recorded within retention, got $vs")
   }
+
+  test("a plain rewrite of a bucketed table stays bucketed and its " +
+      "self-join stays exchange-free (r11 advisory pin)") {
+    Clean.dropTableWithSnapshots(spark, "graftdb", "carts_bucketed_rw_spec")
+    Ingest.saveAsTable(
+      Seq((1L, 10.0), (2L, 0.0), (3L, 5.0), (4L, -1.0)).toDF("pk", "price"),
+      "graftdb", "carts_bucketed_rw_spec")
+    Clean.rewriteTable(spark, "graftdb", "carts_bucketed_rw_spec",
+      bucket = Some(("pk", 4)))(identity)
+    // plain rewrite (bucket = None): the guard must detect the CURRENT
+    // catalog entry's bucket spec and re-apply it through the swap path —
+    // a snapshot-path SET LOCATION would point the still-bucketed entry
+    // at plain parquet
+    Clean.rewriteTable(spark, "graftdb", "carts_bucketed_rw_spec")(
+      _.where($"price" > 0))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      TableIdentifier("carts_bucketed_rw_spec", Some("graftdb")))
+    assert(meta.bucketSpec.exists(bs =>
+        bs.bucketColumnNames == Seq("pk") && bs.numBuckets == 4),
+      s"rewrite dropped the bucket spec: ${meta.bucketSpec}")
+    assert(pks("carts_bucketed_rw_spec") === Set(1L, 3L))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("`graftdb`.`carts_bucketed_rw_spec`")
+      val j = t.as("a").join(t.as("b"),
+        org.apache.spark.sql.functions.col("a.pk") ===
+          org.apache.spark.sql.functions.col("b.pk"))
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.linesIterator.exists(_.trim.matches("""\(\d+\) Exchange\b.*""")),
+        s"rewritten bucketed table must still join exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("rewriteTable refuses a multi-column bucket spec loudly (r11 advisory pin)") {
+    spark.sql("DROP TABLE IF EXISTS `graftdb`.`carts_multibucket_spec`")
+    Seq((1L, 2L, 3.0)).toDF("a", "b", "v").write
+      .bucketBy(4, "a", "b").sortBy("a")
+      .format("parquet").saveAsTable("`graftdb`.`carts_multibucket_spec`")
+    val e = intercept[IllegalArgumentException] {
+      Clean.rewriteTable(spark, "graftdb", "carts_multibucket_spec")(identity)
+    }
+    assert(e.getMessage.contains("multi-column bucket spec"))
+    // the refusal must leave the table untouched and readable
+    assert(spark.table("`graftdb`.`carts_multibucket_spec`").count() === 1L)
+  }
 }

@@ -75,7 +75,14 @@ def rewrite_components(sql, con):
 def stage_cte(sql, con, cte):
     """Materialize the WITH-chain prefix ending at CTE `cte` into a temp
     table and rewrite the remainder to read it. The staged SQL is the
-    oracle's own text — only the evaluation is checkpointed."""
+    oracle's own text — only the evaluation is checkpointed.
+
+    The rewrite substitutes ONLY table references (`FROM cte` / `JOIN
+    cte`, optionally alias-suffixed) — a blind \\b-sub would also rename
+    a column, alias, or string-literal occurrence of the same word and
+    silently corrupt the oracle SQL. Any leftover bare reference after
+    the sub (e.g. a comma-join `FROM a, cte` this scanner doesn't
+    handle) fails the assertion instead of running wrong SQL."""
     m = re.search(rf"\b{cte} AS \(", sql)
     assert m, f"--stage: no CTE `{cte}` in oracle SQL"
     i = sql.index("(", m.start())
@@ -83,7 +90,10 @@ def stage_cte(sql, con, cte):
     while True:
         c = sql[j]
         if c == "'":
-            in_str = not in_str
+            if in_str and sql[j + 1 : j + 2] == "'":
+                j += 1          # doubled '' escape inside a literal
+            else:
+                in_str = not in_str
         elif not in_str:
             if c == "(":
                 depth += 1
@@ -99,7 +109,15 @@ def stage_cte(sql, con, cte):
     rest = sql[j + 1:].lstrip()
     assert rest.startswith(","), f"--stage: `{cte}` must not be the last CTE"
     rest = "WITH " + rest[1:].lstrip()
-    return re.sub(rf"\b{cte}\b", f"{cte}__mat", rest)
+    staged = re.sub(rf"\b(FROM|JOIN)(\s+){cte}\b", rf"\1\g<2>{cte}__mat",
+                    rest, flags=re.IGNORECASE)
+    # every remaining FROM/JOIN-position reference must be gone; a bare
+    # occurrence elsewhere (column name, alias, string literal) is fine
+    # and must NOT have been touched — check we didn't rename non-refs
+    # by construction (the pattern above can only match table refs)
+    leftover = re.search(rf"\b(FROM|JOIN)(\s+){cte}\b", staged, re.IGNORECASE)
+    assert not leftover, f"--stage: unrewritten reference to `{cte}`"
+    return staged
 
 
 TABLES = ["region","nation","customer","supplier","part","orders",
