@@ -37,18 +37,22 @@ object Bench {
     // untimed warm-up at the smallest sf: JIT + codegen-cache + catalog
     // warm, so timed numbers reflect steady-state per-query cost
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+      try BenchConsume.consume(fn(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
     }
     // Failed runs must not contribute a (fast) failure time — only
     // successful runs count, and a query with no successful run
     // reports -1 (excluded from the suite total below).
+    // Timed runs CONSUME every output column (BenchConsume, r12): under
+    // bare count() Catalyst legally eliminated cardinality-preserving
+    // stages (s12's verdict join, PERF.md r11), flattering those rows.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val loadAtStart = loadavg()
       var rows = -1L
       def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
-          rows = fn(spark, sfDir).count()
+          rows = BenchConsume.consume(fn(spark, sfDir))._1
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+
+/** The one definition of "run a benched query" (r11 verdict task 4).
+  *
+  * Benching `df.count()` lets Catalyst ELIMINATE stages that cannot
+  * change cardinality — correct optimizer behavior, wrong measurement:
+  * s12's r11 row timed only its assignment pass because the unique-key
+  * verdict join vanished under count, and the same hazard silently
+  * flatters ANY query whose dominant stage feeds a cardinality-preserving
+  * join. Consuming a value derived from EVERY output column closes the
+  * class: the aggregate below folds xxhash64 over the full row struct, so
+  * no column can be pruned and no row-preserving operator can be elided —
+  * the benched plan is the plan a consumer of the result pays for.
+  * BIT_XOR (not SUM) folds the hashes: hash sums overflow LongType, an
+  * ANSI-mode error.
+  *
+  * The digest is also a cheap cross-run sanity signal: two runs of the
+  * same query over the same corpus must agree (order-insensitive by XOR's
+  * commutativity), so a plan change that alters RESULTS — not just
+  * timing — shows up in the bench artifact without a Verify run.
+  */
+object BenchConsume {
+  /** The consuming plan over `df` — one row: (n, digest). Exposed so the
+    * plan-retention spec asserts on the EXACT plan the bench executes. */
+  def consumedFrame(df: DataFrame): DataFrame = {
+    // xxhash64 rejects MapType children (non-deterministic entry order);
+    // map_entries is its canonical hashable image
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => map_entries(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    df.select(xxhash64(struct(cols: _*)).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+  }
+
+  /** Execute `df`, consuming every column of every row.
+    * Returns (row count, xor-folded xxhash64 digest of all rows). */
+  def consume(df: DataFrame): (Long, Long) = {
+    val r: Row = consumedFrame(df).first()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -20,10 +20,12 @@ object BenchOne {
     }
     val times = (1 to iters).map { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // consume every output column (BenchConsume) — bare count() lets
+      // Catalyst elide cardinality-preserving stages (PERF.md r11 s12)
+      val (n, digest) = BenchConsume.consume(fn(spark, sfDir))
       val s = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"[bench-one] $name run $i: $s%.3f s ($n rows)")
+      println(f"[bench-one] $name run $i: $s%.3f s ($n rows, digest $digest%016x)")
       s
     }
     println(f"[bench-one] $name min: ${times.min}%.3f s")

@@ -37,7 +37,7 @@ object ScalingBench {
       val fn = SparkEntry.queries(name)
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val n = BenchConsume.consume(fn(spark, dir))._1
         ((System.nanoTime() - t0) / 1e9, n)
       }
       spark.catalog.clearCache()
@@ -48,7 +48,7 @@ object ScalingBench {
       // the quadratic exactness baselines must REFUSE the over-cap corpus…
       for (name <- CappedQueries) {
         val fired =
-          try { SparkEntry.queries(name)(spark, dir).count(); false }
+          try { BenchConsume.consume(SparkEntry.queries(name)(spark, dir)); false }
           catch { case e: IllegalArgumentException =>
             println(s"[scaling] $name cap FIRED at $dir: ${e.getMessage.linesIterator.next()}")
             true
@@ -58,7 +58,7 @@ object ScalingBench {
       // …while the bucketed scale paths still run on the same corpus
       for (name <- Seq("d03_minhash_lsh", "s03_ann_ivf")) {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val n = BenchConsume.consume(SparkEntry.queries(name)(spark, dir))._1
         spark.catalog.clearCache()
         println(f"[scaling] $name%-22s $dir%-30s over-cap single run " +
           f"${(System.nanoTime() - t0) / 1e9}%7.3f s rows=$n")

@@ -32,12 +32,14 @@ object SparkEntry {
 
   /** [[oracleSql]] with corpus-adaptive entries resolved for `dir`:
     * d04's signature width depends on corpus cardinality (2 words to
-    * 8192 docs, 3 beyond), so its oracle text is generated HERE at the
-    * width the operator will actually use — a verification corpus past
-    * the threshold compares 3-word output against 3-word SQL instead
-    * of failing the static 2-word text. Every driver sf is in the
-    * 2-word regime, where this equals the static map. */
+    * 8192 docs, 3 beyond) and the six IVF-indexed mirrors
+    * (s03/s05/s07/s10/s12/s13) embed the corpus-sized cell count k
+    * ([[graft.operators.Similarity.ivfKFor]]), so those texts are
+    * generated HERE at the parameters the operators will actually use.
+    * Every driver sf is in the 2-word / k-floor regime, where this
+    * equals the static map. */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    oracleSql + ("d04_simhash" ->
-      Dedup.simhashOracleSql(Dedup.simWordsFor(Dedup.docCount(spark, dir))))
+    oracleSql ++ Similarity.oracleSqlFor(spark, dir) +
+      ("d04_simhash" ->
+        Dedup.simhashOracleSql(Dedup.simWordsFor(Dedup.docCount(spark, dir))))
 }

@@ -1039,6 +1039,210 @@ object Dedup {
     containmentSketch(excerptAugmented(spark, dir))
 
   // ---------------------------------------------------------------------
+  // d18 — contamination SKETCH: the scale-capped twin of d07 (the r11
+  // verdict's top gap). d07/d15 are exact and sub-linear vs their
+  // contractual work, but that work — the eval×train shingle join's
+  // Σ_h dfE(h)·dfT(h) output — measured 99.2×/decade on a saturating
+  // vocabulary (ProbeD07): at sf100 it is ~17B rows and no constant-
+  // factor tuning survives. This operator applies the d17 anchor pattern
+  // to the EVAL side: each eval doc contributes its bottom-K shingle
+  // hashes (a uniform K-subset of its shingle set, since the hash orders
+  // a random permutation of the shingle universe) and probes a
+  // DF-CAPPED train inverted index; surviving candidate pairs are then
+  // verified EXACTLY on the full shingle sets, so precision is exact and
+  // only candidate recall is probabilistic.
+  //
+  // Recall arithmetic: for a pair at contamination fraction
+  // f = shared/n_eval, each anchor lands in the train doc w.p. f, so
+  // matched anchors m ~ Binomial(K, f) and the m ≥ 2 prune misses w.p.
+  // ≤ (1-f)^K + K·f·(1-f)^(K-1): at the 0.3 threshold with K = 16 that
+  // is ≤ 2.6%, falling fast with f (an eval doc FULLY contained in a
+  // train doc has every anchor hit and is found deterministically while
+  // its anchors stay under the df cap). Docs with fewer than 2 usable
+  // anchors are exempted down to their own anchor count (the d17 rule).
+  //
+  // Scale: candidate-join output is ≤ evalDocs · K · dfCap BY
+  // CONSTRUCTION — linear in the eval set at a fixed cap and
+  // INDEPENDENT of train-corpus growth (an eval benchmark is a fixed
+  // set; d07's Σ dfE·dfT instead grows with every train doc that shares
+  // a term). The verify stage touches only candidate pairs × their two
+  // docs' shingles — dup-rate-proportional, the d17 verify contract.
+  // Compose [[stripBoilerplate]] in front on template-heavy corpora:
+  // hot spans inflate BOTH n_eval (diluting real overlap below the
+  // threshold) and df (pushing anchors over the cap).
+  // ---------------------------------------------------------------------
+  /** Anchors per eval doc (bottom-K distinct 60-bit shingle hashes). */
+  val ContamAnchorK = 16
+
+  /** Document-frequency cap on the TRAIN index side of the d18 probe
+    * (env-tunable). Over-cap shingles are dropped from the INDEX only —
+    * every eval doc still contributes all [[ContamAnchorK]] anchors, an
+    * over-cap anchor merely finds no partner (it was near-useless
+    * contamination evidence anyway: a shingle in >cap training docs
+    * does not localize a leak). Worst-case candidate fanout becomes
+    * evalDocs·K·cap instead of Σ dfE·dfT. */
+  val ContamDfCap: Long = envLong("GRAFT_D18_DF_CAP", 4096L)
+
+  /** Minimum matched-anchor count before exact verification (the d17
+    * prune; 1 restores verify-every-collision). */
+  val ContamMinAnchorHits: Long = envLong("GRAFT_D18_MIN_ANCHOR_HITS", 2L)
+
+  /** The sketch's candidate stream over already-built HASHED shingle
+    * frames (distinct (doc_id, h) rows): eval bottom-K anchors probing
+    * the df-capped train index. Exposed so the probe/spec can assert the
+    * candidate bound without re-deriving the join. */
+  private[graft] def contamSketchCandidates(evalHs: DataFrame,
+      trainHs: DataFrame, dfCap: Long): DataFrame = {
+    val anchors = evalHs.groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(col("h"))), 1, ContamAnchorK).as("anchor_hs"))
+      .select(col("doc_id").as("eval_id"), explode(col("anchor_hs")).as("h"),
+        least(lit(ContamMinAnchorHits), size(col("anchor_hs")).cast("long")).as("need"))
+    val dfOk = trainHs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select(col("h"))
+    val index = trainHs.join(dfOk, Seq("h"), "left_semi")
+      .select(col("doc_id").as("train_id"), col("h"))
+    // both sides are distinct per (doc, h) and a doc's anchors are
+    // distinct values, so count(*) IS the matched-anchor count
+    anchors.join(index, Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("m"), first(col("need")).as("need"))
+      .where(col("m") >= col("need"))
+      .select(col("eval_id"), col("train_id"))
+  }
+
+  /** Exact-verified qualifying (eval, train) pairs from the sketch
+    * candidate stream — d07's [[contaminationPairs]] output contract
+    * (same columns, same threshold, same h60 counting domain), recall
+    * bounded by the anchor arithmetic above instead of exact. */
+  def contaminationSketchPairs(train: DataFrame, evalDocs: DataFrame,
+      dfCap: Long = ContamDfCap): DataFrame = {
+    val evalHs = hashed60ShinglesOf(evalDocs)
+    val trainHs = hashed60ShinglesOf(train)
+    // consumed by the touched-doc restriction AND the verify join, and
+    // tiny post-prune — persist it
+    val cand = persistOnce(contamSketchCandidates(evalHs, trainHs, dfCap))
+    // exact verification restricted to docs a candidate touches: verify
+    // cost ∝ candidates × doc size, never corpus-proportional. n_eval is
+    // the FULL per-doc shingle count (the restriction keeps every h row
+    // of a touched doc), so the fraction equals d07's exactly.
+    val evT = evalHs.join(cand.select(col("eval_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val trT = trainHs.join(cand.select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val evalSizes = evT.groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_eval"))
+    val shared = cand.as("c")
+      .join(evT.as("e"), col("c.eval_id") === col("e.doc_id"))
+      .join(trT.as("t"),
+        col("c.train_id") === col("t.doc_id") && col("e.h") === col("t.h"))
+      .groupBy(col("c.eval_id").as("eval_id"), col("c.train_id").as("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val frac = col("shared").cast("double") / col("n_eval")
+    shared.join(evalSizes, Seq("eval_id"))
+      .where(frac >= ContaminationThreshold)
+      .select(col("eval_id"), col("train_id"), col("shared"), col("n_eval"))
+  }
+
+  /** Top contamination hits via the sketch — d07's [[contamination]]
+    * presentation over the capped candidate stream. */
+  def contaminationSketch(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    contaminationSketchPairs(train, evalDocs)
+      .orderBy((col("shared").cast("double") / col("n_eval")).desc,
+        col("eval_id").asc, col("train_id").asc)
+      .limit(200)
+
+  def d18ContaminationSketch(spark: SparkSession, dir: String): DataFrame = {
+    val (train, eval_) = fixtureEvalSplit(spark, dir)
+    contaminationSketch(train, eval_)
+  }
+
+  // ---------------------------------------------------------------------
+  // d19 — decontamination at scale: d15's apply contract over d18's
+  // capped pair stream (the removal and the detection read the SAME
+  // pairs, so they cannot disagree). The shipping path for a 100 TB
+  // train corpus: every stage is linear in the corpus plus
+  // evalDocs·K·cap.
+  // ---------------------------------------------------------------------
+  /** The train corpus minus every doc the SKETCH flags as overlapping an
+    * eval doc — [[decontaminate]]'s twin over the capped stream. */
+  def decontaminateSketch(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val dirty = contaminationSketchPairs(train, evalDocs)
+      .select(col("train_id").as("doc_id")).distinct()
+    train
+      .join(dirty, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  def d19DecontaminateSketch(spark: SparkSession, dir: String): DataFrame = {
+    val (train, eval_) = fixtureEvalSplit(spark, dir)
+    decontaminateSketch(train, eval_)
+  }
+
+  // ---------------------------------------------------------------------
+  // d20 — boilerplate STRIP: d12's apply twin and the composable
+  // pre-step the contamination family prescribes (r11 PERF.md: "the
+  // real scale levers remain d12 boilerplate stripping — hot shingles
+  // inflate df directly"). Every word position covered by a
+  // cross-document boilerplate span (word-[[SpanWidth]]-gram appearing
+  // in ≥ [[BoilerMinDocs]] distinct docs — d12's exact definition) is
+  // removed; surviving words are rejoined in order. Plan shape: the
+  // span frame shuffles once on the gram key for the df table, the
+  // position kill-list and the rebuild aggregate key on doc_id —
+  // map-side combinable, nothing corpus-quadratic.
+  // ---------------------------------------------------------------------
+  /** (doc_id, text) with cross-document boilerplate spans stripped —
+    * identity (original text object, not a re-join) for docs containing
+    * no boilerplate; stripped docs are rebuilt as the kept words joined
+    * by single spaces (a doc that was ALL boilerplate becomes ''). */
+  def stripBoilerplate(docs: DataFrame): DataFrame =
+    stripReport(docs).select(col("doc_id"), col("text"))
+
+  /** The strip with its audit columns: one row per INPUT doc —
+    * n_words (original), n_dropped, and the post-strip text. */
+  private[graft] def stripReport(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("text"), split(col("text"), "\\s+").as("w"))
+    val grams = w.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $SpanWidth
+           |THEN transform(sequence(1, size(w)-${SpanWidth - 1}),
+           |               i -> struct(i AS i, concat_ws(' ', slice(w, i, $SpanWidth)) AS g))
+           |ELSE array() END""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+      .transform(persistOnce)
+    val hot = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= BoilerMinDocs).select(col("g"))
+    val badPos = grams.join(hot, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(SpanWidth - 1))).as("p"))
+      .distinct()
+    val words = w.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+    val kept = words.join(badPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("word")))),
+          s => s.getField("word"))).as("kept_text"))
+    w.select(col("doc_id"), col("text"), size(col("w")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        when(coalesce(col("n_kept"), lit(0L)) === col("n_words"), col("text"))
+          .otherwise(coalesce(col("kept_text"), lit(""))).as("text"))
+  }
+
+  /** The d20 report row: docs the strip CHANGED (n_dropped > 0). */
+  def boilerplateStrip(docs: DataFrame): DataFrame =
+    stripReport(docs)
+      .where(col("n_dropped") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_dropped"), col("text"))
+      .orderBy(col("doc_id").asc)
+
+  def d20BoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(Tables.load(spark, dir, "documents"))
+
+  // ---------------------------------------------------------------------
   // d08 — near-dup clusters at scale: d06's semantics with the edge set
   // built from d03's LSH band candidates instead of the exact
   // inverted-index self-join (which is quadratic in per-shingle doc
@@ -1727,7 +1931,10 @@ object Dedup {
     "d09_dedup_apply" -> d09DedupApply _,
     "d15_decontaminate_apply" -> d15DecontaminateApply _,
     "d16_containment_audit" -> d16ContainmentAudit _,
-    "d17_containment_sketch" -> d17ContainmentSketch _
+    "d17_containment_sketch" -> d17ContainmentSketch _,
+    "d18_contamination_sketch" -> d18ContaminationSketch _,
+    "d19_decontaminate_sketch" -> d19DecontaminateSketch _,
+    "d20_boilerplate_strip" -> d20BoilerplateStrip _
   )
 
   /** DuckDB mirror of [[lshSignatures]]'s columns (over CTE `h`). */
@@ -1809,6 +2016,43 @@ object Dedup {
       |  JOIN sh a ON c.doc_a = a.doc_id
       |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB mirror of the d18/d19 sketch chain ([[contamSketchCandidates]]
+    * + the exact verify of [[contaminationSketchPairs]]), ending at CTEs
+    * `shared(eval_id, train_id, shared)` + `evsizes(eval_id, n_eval)` —
+    * shared verbatim by the two oracles so detection and removal read
+    * identical pairs on the oracle side too. The anchor stage mirrors
+    * the Scala bottom-K exactly (distinct h per doc → no rank ties; the
+    * window counts rows AFTER the rk filter, so ka = min(K, n_h) =
+    * size(anchor_hs)). */
+  private def contamSketchChainSql: String =
+    s"""$shinglesSql,
+       |hs AS (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |ev AS (SELECT doc_id AS eval_id, h FROM hs WHERE doc_id % 10 = 0),
+       |evsizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+       |tr AS (SELECT doc_id AS train_id, h FROM hs WHERE doc_id % 10 <> 0),
+       |anchors AS (
+       |  SELECT eval_id, h, count(*) OVER (PARTITION BY eval_id) AS ka
+       |  FROM (
+       |    SELECT eval_id, h,
+       |           row_number() OVER (PARTITION BY eval_id ORDER BY h ASC) AS rk
+       |    FROM ev)
+       |  WHERE rk <= $ContamAnchorK),
+       |dfok AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= $ContamDfCap),
+       |idx AS (SELECT train_id, h FROM tr WHERE h IN (SELECT h FROM dfok)),
+       |hits AS (
+       |  SELECT eval_id, train_id, count(*) AS m, min(ka) AS ka
+       |  FROM anchors JOIN idx USING (h)
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT eval_id, train_id FROM hits
+       |  WHERE m >= least($ContamMinAnchorHits, ka)),
+       |shared AS (
+       |  SELECT c.eval_id, c.train_id, count(*) AS shared
+       |  FROM cand c
+       |  JOIN ev e ON c.eval_id = e.eval_id
+       |  JOIN tr t ON c.train_id = t.train_id AND e.h = t.h
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The candidate-derivation CTE chain (sh → sig → cand → sizes →
     * shared) for NON-recursive WITH queries — the un-thresholded prefix
@@ -2084,6 +2328,57 @@ object Dedup {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |$sharedCountsSql
          |$scoreContainmentSql""".stripMargin,
+
+    "d18_contamination_sketch" ->
+      s"""WITH $contamSketchChainSql
+         |SELECT s.eval_id, s.train_id, s.shared, n_eval
+         |FROM shared s JOIN evsizes USING (eval_id)
+         |WHERE s.shared::DOUBLE / n_eval >= $ContaminationThreshold
+         |ORDER BY s.shared::DOUBLE / n_eval DESC NULLS LAST,
+         |         s.eval_id ASC NULLS FIRST, s.train_id ASC NULLS FIRST
+         |LIMIT 200""".stripMargin,
+
+    "d19_decontaminate_sketch" ->
+      s"""WITH $contamSketchChainSql,
+         |dirty AS (
+         |  SELECT DISTINCT s.train_id
+         |  FROM shared s JOIN evsizes USING (eval_id)
+         |  WHERE s.shared::DOUBLE / n_eval >= $ContaminationThreshold)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id % 10 <> 0
+         |  AND doc_id NOT IN (SELECT train_id FROM dirty)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "d20_boilerplate_strip" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i, array_to_string(ws[i:i+${SpanWidth - 1}], ' ') AS g
+         |  FROM w, unnest(generate_series(1, greatest(len(ws)-${SpanWidth - 1}, 0))) AS t(i)),
+         |hot AS (
+         |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g
+         |  HAVING count(*) >= $BoilerMinDocs),
+         |badpos AS (
+         |  SELECT DISTINCT doc_id, i + o AS p
+         |  FROM grams JOIN hot USING (g),
+         |       unnest(generate_series(0, ${SpanWidth - 1})) AS t2(o)),
+         |words AS (
+         |  SELECT doc_id, p, ws[p] AS word
+         |  FROM w, unnest(generate_series(1, len(ws))) AS t3(p)),
+         |kept AS (
+         |  SELECT wd.doc_id, count(*) AS n_kept,
+         |         string_agg(wd.word, ' ' ORDER BY wd.p) AS kept_text
+         |  FROM words wd LEFT JOIN badpos b ON wd.doc_id = b.doc_id AND wd.p = b.p
+         |  WHERE b.doc_id IS NULL
+         |  GROUP BY 1)
+         |SELECT w.doc_id, len(ws) AS n_words,
+         |       len(ws) - coalesce(n_kept, 0) AS n_dropped,
+         |       CASE WHEN coalesce(n_kept, 0) = len(ws) THEN w.text
+         |            ELSE coalesce(kept_text, '') END AS text
+         |FROM w LEFT JOIN kept USING (doc_id)
+         |WHERE len(ws) - coalesce(n_kept, 0) > 0
+         |ORDER BY w.doc_id ASC NULLS FIRST""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,

@@ -96,6 +96,43 @@ object Similarity {
   val IvfCells = 8
   val IvfIters = 2
 
+  /** The measured IVF cost model (ProbeSemK, PERF.md r11 11c): the
+    * Σ cell² sweep falls ~n²/k while assignment rises ~n·k·dim, with the
+    * optimum near ONE CELL PER ~3,125 VECTORS at 200k vectors (k=64:
+    * 24.6 s vs 107.1 s at the k=8 floor). [[ivfKFor]] encodes that rule
+    * so every dir-keyed IVF query carries a corpus-sized k, and
+    * [[oracleSqlFor]] regenerates the DuckDB mirrors at the SAME k (the
+    * d04 adaptive-oracle pattern) — closing the r11 gap where fixtures
+    * pinned k=8 at every scale just to keep static mirrors valid. All
+    * driver sfs (≤20k vectors) land on the [[IvfCells]] floor, so
+    * fixture results and bench history are unchanged. */
+  val IvfTargetCell = 3125L
+
+  /** Power-of-two cell count for an n-vector corpus:
+    * 2^round(log2(n / [[IvfTargetCell]])), floored at [[IvfCells]] and
+    * capped at 4096 (the one-row centroid broadcast stays ≈2 MB at
+    * 64 dims; a >12M-vector corpus should shard before growing k past
+    * the cap). */
+  def ivfKFor(n: Long): Int = {
+    val raw = n.toDouble / IvfTargetCell
+    if (raw <= IvfCells) IvfCells
+    else math.min(4096, 1 << math.round(math.log(raw) / math.log(2.0)).toInt)
+  }
+
+  private val vecCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memoized parquet count-star of `dir`'s embeddings (the d04
+    * docCount pattern). */
+  private[graft] def vecCount(spark: SparkSession, dir: String): Long =
+    vecCountMemo.getOrElseUpdate(graft.Tables.snapshotKey(spark, dir),
+      graft.Tables.load(spark, dir, "embeddings").count())
+
+  /** The cell count every dir-keyed IVF query (and its oracle mirror)
+    * uses for `dir`. */
+  private[graft] def ivfK(spark: SparkSession, dir: String): Int =
+    ivfKFor(vecCount(spark, dir))
+
   /** Double-precision fold dot for mixed float-array × double-array
     * inputs (centroid distances): identical left-to-right IEEE summation
     * to [[dotSql]]'s list_reduce, so training is oracle-mirrorable.
@@ -123,7 +160,7 @@ object Similarity {
     * the deterministic seed Lloyd refines (and the spec's untrained
     * baseline). */
   private[graft] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
-    seedCentroidsOf(normed(spark, dir))
+    seedCentroidsOf(normed(spark, dir), ivfK(spark, dir))
 
   private def seedCentroidsOf(v: DataFrame, k: Int = IvfCells): DataFrame =
     v.where(col("vec_id") < k)
@@ -168,7 +205,7 @@ object Similarity {
     graft.sources.Artifacts.dropArtifact(spark, centroidsArtifactName(spark, dir))
 
   private def computeTrainedCentroids(spark: SparkSession, dir: String): DataFrame =
-    computeTrainedCentroidsOf(normed(spark, dir))
+    computeTrainedCentroidsOf(normed(spark, dir), ivfK(spark, dir))
 
   /** Train IVF centroids over ANY (vec_id, embedding, label) frame —
     * the DataFrame-in trainer. Pair with
@@ -840,11 +877,11 @@ object Similarity {
     * s05 oracles so the two indexes cannot train apart. The VARCHAR
     * roundtrip on the wide integer sum is the established DuckDB
     * correct-rounding workaround (see centroidCteSql). */
-  private def lloydCentSql: String = {
+  private def lloydCentSql(k: Int): String = {
     val seed =
       s"""c0 AS (
          |  SELECT vec_id AS cent_id, list_transform(e, x -> x::DOUBLE) AS ce
-         |  FROM v WHERE vec_id < $IvfCells),
+         |  FROM v WHERE vec_id < $k),
          |c0n AS (SELECT cent_id, ce, sqrt(${ddotSql("ce", "ce")}) AS cn FROM c0)""".stripMargin
     val iters = (1 to IvfIters).map { i =>
       val prev = s"c${i - 1}n"
@@ -887,7 +924,10 @@ object Similarity {
       |  FROM ex GROUP BY label, dim0),
       |centarr AS (SELECT label, list(c ORDER BY dim0) AS cent FROM cent GROUP BY label)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** The full oracle map at IVF cell count `k` — the six IVF-indexed
+    * mirrors (s03/s05/s07/s10/s12/s13) embed k in their Lloyd chain;
+    * every other entry ignores it. */
+  private[graft] def oracleSqlAt(k: Int): Map[String, String] = Map(
     "s14_centroid_drift" -> {
       def sliceCte(pred: String, suffix: String): String =
         s"""ex$suffix AS (
@@ -917,7 +957,7 @@ object Similarity {
 
     "s13_semantic_apply" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |assigned AS (
          |  SELECT vec_id, e, nrm, label, cell FROM (
          |    SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
@@ -939,7 +979,7 @@ object Similarity {
 
     "s12_semdedup" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |assigned AS (
          |  SELECT vec_id, e, nrm, cell FROM (
          |    SELECT v.vec_id, v.e, v.nrm, c.cent_id AS cell,
@@ -991,7 +1031,7 @@ object Similarity {
 
     "s10_ann_recall" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |assigned AS (
          |  SELECT vec_id, e, nrm, cell FROM (
          |    SELECT v.vec_id, v.e, v.nrm, c.cent_id AS cell,
@@ -1080,7 +1120,7 @@ object Similarity {
 
     "s03_ann_ivf" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |assigned AS (
          |  SELECT vec_id, e, nrm, label, cell FROM (
          |    SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
@@ -1105,7 +1145,7 @@ object Similarity {
 
     "s05_ann_ivf_multiprobe" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |rankedcells AS (
          |  SELECT v.vec_id, v.e, v.nrm, v.label, c.cent_id AS cell,
          |         row_number() OVER (PARTITION BY v.vec_id
@@ -1155,7 +1195,7 @@ object Similarity {
 
     "s07_ivf_cell_stats" ->
       s"""WITH $normedSql,
-         |$lloydCentSql,
+         |${lloydCentSql(k)},
          |asg AS (
          |  SELECT cell, c FROM (
          |    SELECT cts.cent_id AS cell,
@@ -1184,4 +1224,14 @@ object Similarity {
          |FROM pairs
          |ORDER BY label_a ASC NULLS FIRST, label_b ASC NULLS FIRST""".stripMargin
   )
+
+  /** Static oracle texts at the fixture k ([[IvfCells]]) — every driver
+    * sf sits on the k floor, so this equals what r11 shipped. */
+  lazy val oracleSql: Map[String, String] = oracleSqlAt(IvfCells)
+
+  /** Corpus-adaptive oracle texts: the IVF mirrors regenerated at the k
+    * the dir-keyed queries actually use for `dir` (the d04 pattern —
+    * r11 verdict task 2). */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSqlAt(ivfK(spark, dir))
 }

@@ -1166,6 +1166,158 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.95, f"df-cap must not cost true-pair recall, got $recall%.3f")
   }
 
+  test("d18 sketch: exact precision and ≥95% recall vs exact d07 pairs; full containment found deterministically") {
+    // truth: d07's EXACT qualifying pairs (the full set, not the top-k
+    // presentation) — d18's verify stage scores the same h60 sets at the
+    // same threshold, so every sketch pair must match an exact pair
+    // VALUE-FOR-VALUE and only candidate recall may fall short.
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val ev = docs.where(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select("eval_id", "train_id", "shared", "n_eval").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = pairSet(Dedup.contaminationPairs(train, ev))
+    val sketch = pairSet(Dedup.contaminationSketchPairs(train, ev))
+    assert(exact.nonEmpty, "fixture must contain contamination-threshold pairs")
+    assert(sketch.subsetOf(exact), s"phantom sketch pairs: ${sketch -- exact}")
+    val recall = sketch.intersect(exact).size.toDouble / exact.size
+    info(f"exact pairs=${exact.size}, sketch recall=$recall%.3f")
+    assert(recall >= 0.95, f"d18 must recover ≥95%% of exact d07 pairs, got $recall%.3f")
+    // c = 1 determinism: an eval doc FULLY contained in a train doc has
+    // every anchor hit while under the df cap — found always, and the
+    // candidate stream respects the evalDocs·K·cap bound by construction
+    val rng = new scala.util.Random(11)
+    val trainDocs = (0 until 60).map { i =>
+      (i.toLong, (0 until 50).map(_ => s"w${rng.nextInt(4000)}u$i").mkString(" "))
+    }
+    val evalDocs = trainDocs.collect { case (id, t) if id % 5 == 0 =>
+      (-id - 1L, t.split(" ").slice(10, 30).mkString(" ")) // pure 20-word slice
+    }
+    val out = Dedup.contaminationSketchPairs(
+        trainDocs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"))
+      .select("eval_id", "train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    evalDocs.foreach { case (eid, _) =>
+      assert(out.contains((eid, -eid - 1L)),
+        s"fully-contained eval doc $eid must be flagged against its source")
+    }
+  }
+
+  test("d18 df-cap: candidate fanout bounded on a template-heavy corpus; boilerplate strip restores the diluted pair") {
+    // Two boilerplate hazards in one fixture. (a) EVAL-side template
+    // boilerplate (every benchmark item shares a 30-word prompt
+    // template that never appears in train) inflates n_eval and DILUTES
+    // a real 12-word verbatim leak below the 0.3 threshold — raw, both
+    // exact d07 and the sketch correctly report no pair; the prescribed
+    // stripBoilerplate pre-step removes the template (df = n_eval_docs ≥
+    // BoilerMinDocs within the eval frame) and the leak alone then
+    // clears the threshold. (b) TRAIN-side header boilerplate (every
+    // page opens with the same 20 words) is the df-cap's candidate
+    // wave: an eval doc carrying that header uncapped probes every
+    // page; under the cap the header shingles (df = nPages > cap) leave
+    // the index and candidates collapse to the evalDocs·K·cap bound.
+    val rng = new scala.util.Random(13)
+    val trainHeader = (0 until 20).map(i => s"hdr$i").mkString(" ")
+    val template = (0 until 30).map(i => s"tmpl$i").mkString(" ")
+    val nPages = 100
+    val pages = (0 until nPages).map { i =>
+      val tail = (0 until 40).map(_ => s"w${rng.nextInt(5000)}x$i").mkString(" ")
+      (i.toLong, s"$trainHeader $tail")
+    }
+    val leak = pages.head._2.split(" ").slice(40, 52).mkString(" ") // tail-only words
+    val evalDocs = (1 until 30).map { i =>
+      (-i - 1L, s"$template " + (0 until 20).map(_ => s"e${rng.nextInt(5000)}y$i").mkString(" "))
+    } :+ (-1L, s"$template $leak " + (0 until 10).map(_ => s"e${rng.nextInt(5000)}y0").mkString(" "))
+    val train = pages.toDF("doc_id", "text")
+    val ev = evalDocs.toDF("doc_id", "text")
+
+    // (b) the cap bound, demonstrated with a header-carrying eval doc
+    val cap = 16L
+    val evBoiler = (ev.as[(Long, String)].collect().toSeq :+
+      (-999L, s"$template $trainHeader")).toDF("doc_id", "text")
+    val capped = Dedup.contamSketchCandidates(
+      Dedup.hashed60ShinglesOf(evBoiler), Dedup.hashed60ShinglesOf(train), cap).count()
+    val uncapped = Dedup.contamSketchCandidates(
+      Dedup.hashed60ShinglesOf(evBoiler), Dedup.hashed60ShinglesOf(train),
+      Long.MaxValue).count()
+    assert(capped <= (evalDocs.size + 1) * Dedup.ContamAnchorK * cap,
+      s"capped candidates $capped exceed the evalDocs*K*cap bound")
+    assert(uncapped > capped * 5,
+      s"fixture not template-heavy enough to demonstrate the cap ($uncapped vs $capped)")
+
+    // (a) raw: the template dilutes the leak below the threshold — for
+    // the exact path too (dilution is semantic, not a sketch miss)
+    assert(Dedup.contaminationSketchPairs(train, ev).count() === 0L,
+      "fixture must dilute the leak below the threshold raw")
+    assert(Dedup.contaminationPairs(train, ev).count() === 0L)
+
+    // stripped eval side: the template (hot within the eval frame)
+    // vanishes; the leak is then half the eval doc → frac ≈ 0.5
+    val evS = Dedup.stripBoilerplate(ev)
+    val found = Dedup.contaminationSketchPairs(train, evS)
+      .select("eval_id", "train_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.toSeq === Seq((-1L, 0L)),
+      s"strip + sketch must surface exactly the diluted leak, got ${found.toSeq}")
+  }
+
+  test("d20 strip: positions covered by hot spans removed, identity elsewhere — matches a JVM recount") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // JVM truth: df per 4-gram over distinct docs; a word position is
+    // dropped iff some covering 4-gram has df >= BoilerMinDocs
+    val grams = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").sliding(Dedup.SpanWidth)
+        .filter(_.length == Dedup.SpanWidth).map(_.mkString(" ")).toVector
+    }.toMap
+    val df4 = grams.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (g, v) => g -> v.size }
+    val expected = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      val bad = Array.fill(w.length)(false)
+      grams(id).zipWithIndex.foreach { case (g, i) =>
+        if (df4.getOrElse(g, 0) >= Dedup.BoilerMinDocs)
+          (i until i + Dedup.SpanWidth).foreach(bad(_) = true)
+      }
+      val kept = w.indices.filterNot(bad).map(w)
+      id -> (w.length.toLong, (w.length - kept.size).toLong,
+        if (kept.size == w.length) t else kept.mkString(" "))
+    }.toMap
+    val got = Dedup.boilerplateStrip(Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val expChanged = expected.filter(_._2._2 > 0)
+    assert(expChanged.nonEmpty, "fixture must contain boilerplate to strip")
+    assert(got.keySet === expChanged.keySet)
+    expChanged.foreach { case (id, e) =>
+      assert(got(id) === e, s"strip mismatch for doc $id")
+    }
+    // composable surface: stripBoilerplate is identity on untouched docs
+    val full = Dedup.stripBoilerplate(Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size === docs.length)
+    docs.foreach { case (id, t) =>
+      if (!expChanged.contains(id)) assert(full(id) === t)
+    }
+  }
+
+  test("ivfKFor: driver sfs sit on the k floor; 200k vectors lands on the measured k=64 optimum; oracles track k") {
+    assert(Similarity.ivfKFor(200) === Similarity.IvfCells)
+    assert(Similarity.ivfKFor(2000) === Similarity.IvfCells)
+    assert(Similarity.ivfKFor(20000) === Similarity.IvfCells)   // driver sf0.1 & local sf1
+    assert(Similarity.ivfKFor(200000) === 64)                   // local sf10: the ProbeSemK optimum
+    assert(Similarity.ivfKFor(2000000) === 512)
+    assert(Similarity.ivfKFor(100000000) === 4096)              // broadcast-size cap
+    // the oracle texts regenerate at the same k…
+    assert(Similarity.oracleSqlAt(64)("s03_ann_ivf").contains("vec_id < 64"),
+      "IVF oracle must seed k centroids")
+    // …and at every driver sf the adaptive map equals the static one
+    assert(SparkEntry.oracleSqlFor(spark, sf)("s03_ann_ivf") ===
+      SparkEntry.oracleSql("s03_ann_ivf"))
+    assert(Similarity.ivfK(spark, sf) === Similarity.IvfCells)
+  }
+
   test("t18 frequency spectrum: counts-of-counts and Good-Turing r* match a JVM recount") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("lang"), col("text")).collect()

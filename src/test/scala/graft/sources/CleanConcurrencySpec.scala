@@ -146,7 +146,11 @@ class CleanConcurrencySpec extends graft.SparkSpec {
   }
 
   test("rewriteTable refuses a multi-column bucket spec loudly (r11 advisory pin)") {
-    spark.sql("DROP TABLE IF EXISTS `graftdb`.`carts_multibucket_spec`")
+    // dropTableWithSnapshots, not bare DROP: the in-memory catalog loses
+    // entries across JVMs while the managed dir persists — a bare DROP
+    // in a fresh session leaves the old dir and the re-create dies with
+    // LOCATION_ALREADY_EXISTS
+    Clean.dropTableWithSnapshots(spark, "graftdb", "carts_multibucket_spec")
     Seq((1L, 2L, 3.0)).toDF("a", "b", "v").write
       .bucketBy(4, "a", "b").sortBy("a")
       .format("parquet").saveAsTable("`graftdb`.`carts_multibucket_spec`")
