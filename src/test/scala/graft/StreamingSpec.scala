@@ -242,11 +242,25 @@ class StreamingSpec extends SparkSpec {
         .withColumn("b",
           expr(s"(doc_id div ${Dedup.IncrementalMod}) % ${Dedup.NumStreamBatches}"))
         .collect()
+      var seen = 0L
       (0 until Dedup.NumStreamBatches).foreach { i =>
-        mem.addData(streamDocs.filter(_.getLong(2) == i)
-          .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        val batch = streamDocs.filter(_.getLong(2) == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        mem.addData(batch: _*)
         q.processAllAvailable() // one micro-batch per stream batch
+        // state-growth contract (r11 task 7; the sf1×5-trigger wall
+        // measurement lives in PERF.md via graft.tools.ProbeStream):
+        // this design's state is the PARQUET stream index, not
+        // state-store rows — after every trigger it must hold EXACTLY
+        // one index row per admitted doc (nothing unbounded, no
+        // re-derivation of earlier batches), and the checkpointed query
+        // carries no stateful operator at all
+        seen += batch.size
+        assert(spark.read.parquet(s"$base/out/stream_index").count() === seen,
+          s"stream index must grow by exactly the admitted docs at trigger $i")
       }
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "foreachBatch dedup must keep NO state-store operator — its state is the warehouse index")
     } finally q.stop()
 
     def asSet(df: org.apache.spark.sql.DataFrame) = df

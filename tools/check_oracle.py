@@ -16,6 +16,11 @@ PYUF = "--pyuf" in sys.argv
 # and their quadratic oracle SQL would grind DuckDB)
 ONLY = [p for a in sys.argv if a.startswith("--only=")
         for p in a[len("--only="):].split(",") if p]
+# --skip=d02,d05 excludes queries by name prefix (e.g. the capped
+# baselines an over-cap corpus refuses on the ENGINE side — their
+# quadratic oracle SQL must not run either)
+SKIP = [p for a in sys.argv if a.startswith("--skip=")
+        for p in a[len("--skip="):].split(",") if p]
 # --stage=d03_minhash_lsh:sh+sig  materializes the named CTEs (in order)
 # of that query into temp tables before evaluating the rest. Identical
 # results — the same SQL text runs, just checkpointed mid-chain — but a
@@ -109,13 +114,26 @@ def stage_cte(sql, con, cte):
     rest = sql[j + 1:].lstrip()
     assert rest.startswith(","), f"--stage: `{cte}` must not be the last CTE"
     rest = "WITH " + rest[1:].lstrip()
-    staged = re.sub(rf"\b(FROM|JOIN)(\s+){cte}\b", rf"\1\g<2>{cte}__mat",
-                    rest, flags=re.IGNORECASE)
+    # Rewrite table references alias-preservingly: `FROM cte` becomes
+    # `FROM cte__mat cte` (the old name stays valid as an alias, so
+    # qualified refs like `cte.col` keep resolving); `FROM cte x` becomes
+    # `FROM cte__mat x`. A keyword after the name (WHERE/GROUP/JOIN/…)
+    # is not an alias.
+    kws = ("ON|USING|WHERE|GROUP|ORDER|JOIN|LEFT|RIGHT|INNER|CROSS|"
+           "ANTI|SEMI|UNION|INTERSECT|EXCEPT|LIMIT|HAVING")
+    pat = (rf"\b(FROM|JOIN)(\s+){cte}\b"
+           rf"(?:(\s+)(?!(?:{kws})\b)([A-Za-z_][A-Za-z0-9_]*))?")
+
+    def _sub(m):
+        pre, ws, aws, alias = m.group(1), m.group(2), m.group(3), m.group(4)
+        if alias:
+            return f"{pre}{ws}{cte}__mat{aws}{alias}"
+        return f"{pre}{ws}{cte}__mat {cte}"
+    staged = re.sub(pat, _sub, rest, flags=re.IGNORECASE)
     # every remaining FROM/JOIN-position reference must be gone; a bare
-    # occurrence elsewhere (column name, alias, string literal) is fine
-    # and must NOT have been touched — check we didn't rename non-refs
-    # by construction (the pattern above can only match table refs)
-    leftover = re.search(rf"\b(FROM|JOIN)(\s+){cte}\b", staged, re.IGNORECASE)
+    # occurrence elsewhere (column name, string literal) is fine and was
+    # not touched by construction (the pattern only matches table refs)
+    leftover = re.search(rf"\b(FROM|JOIN)(\s+){cte}\b(?!__mat)", staged, re.IGNORECASE)
     assert not leftover, f"--stage: unrewritten reference to `{cte}`"
     return staged
 
@@ -140,6 +158,15 @@ n_pass = n_fail = 0
 for name in sorted(oracle):
     if ONLY and not any(name.startswith(p) for p in ONLY):
         continue
+    if SKIP and any(name.startswith(p) for p in SKIP):
+        continue
+    # Spark-output existence FIRST: a refused/failed engine query must
+    # fail fast, not after hours of (possibly quadratic) oracle work
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no Spark output")
+        n_fail += 1
+        continue
     sql = oracle[name]
     try:
         if PYUF and "RECURSIVE" in sql:
@@ -149,11 +176,6 @@ for name in sorted(oracle):
         exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
-        n_fail += 1
-        continue
-    files = glob.glob(f"{OUT}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no Spark output")
         n_fail += 1
         continue
     got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
