@@ -113,7 +113,9 @@ def stage_cte(sql, con, cte):
             f"{prefix} SELECT * FROM {cte}")
     rest = sql[j + 1:].lstrip()
     assert rest.startswith(","), f"--stage: `{cte}` must not be the last CTE"
-    rest = "WITH " + rest[1:].lstrip()
+    kw = "WITH RECURSIVE " if prefix.lstrip().upper().startswith("WITH RECURSIVE") \
+        else "WITH "
+    rest = kw + rest[1:].lstrip()
     # Rewrite table references alias-preservingly: `FROM cte` becomes
     # `FROM cte__mat cte` (the old name stays valid as an alias, so
     # qualified refs like `cte.col` keep resolving); `FROM cte x` becomes
@@ -169,10 +171,13 @@ for name in sorted(oracle):
         continue
     sql = oracle[name]
     try:
-        if PYUF and "RECURSIVE" in sql:
-            sql = rewrite_components(sql, con)
+        # stage BEFORE the pyuf rewrite: rewrite_components EXECUTES the
+        # edges prefix itself, so an unstaged string-heavy chain would
+        # spill inside it (d08 at 500k docs ran /tmp out of disk)
         for cte in STAGE.get(name, []):
             sql = stage_cte(sql, con, cte)
+        if PYUF and "RECURSIVE" in sql:
+            sql = rewrite_components(sql, con)
         exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")

@@ -11,8 +11,8 @@ echo "=== oracle sf10full: $(date -Is)"
 # skips: d02/d05/d06 = engine cap refusals; the six IVF mirrors already
 # passed at k=64 in the targeted waves (target/oracle_ivf_wave{1,2}.log)
 python3 tools/check_oracle.py --pyuf \
-  --skip=d02_ngram_jaccard,d05_embedding_neardup,d06_neardup_clusters,s03_ann_ivf,s05_ann_ivf_multiprobe,s07_ivf_cell_stats,s10_ann_recall,s12_semdedup,s13_semantic_apply \
-  --stage=d03_minhash_lsh:sh+sig,d14_threshold_sweep:sh+sig,s09_knn_graph:vb,d20_boilerplate_strip:w+grams,d17_containment_sketch:sh+hs,d18_contamination_sketch:sh+hs,d19_decontaminate_sketch:sh+hs \
+  --skip=d01_exact_dedup,d03_minhash_lsh,d04_simhash,d07_contamination,d02_ngram_jaccard,d05_embedding_neardup,d06_neardup_clusters,s03_ann_ivf,s05_ann_ivf_multiprobe,s07_ivf_cell_stats,s10_ann_recall,s12_semdedup,s13_semantic_apply \
+  --stage=d03_minhash_lsh:sh+sig,d08_lsh_clusters:sh+sig,d09_dedup_apply:sh+sig,d14_threshold_sweep:sh+sig,s09_knn_graph:vb,d20_boilerplate_strip:w+grams,d17_containment_sketch:sh+hs,d18_contamination_sketch:sh+hs,d19_decontaminate_sketch:sh+hs \
   target/testdata-local/sf10full target/vout_sf10full \
   2>&1 | tee target/oracle_sf10full_r12.txt
 echo "=== oracle sf10full done rc=${PIPESTATUS[0]}: $(date -Is)"
