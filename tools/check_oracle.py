@@ -183,6 +183,15 @@ for name in sorted(oracle):
         print(f"FAIL {name}: oracle SQL error: {e}")
         n_fail += 1
         continue
+    finally:
+        # staged temp tables are per-QUERY state: left in the connection
+        # they accumulate across a 100-query sweep (tens of GB of spill
+        # held until exit — the r12 sf10full sweep OOM'd on exactly this)
+        for cte in STAGE.get(name, []):
+            try:
+                con.sql(f"DROP TABLE IF EXISTS {cte}__mat")
+            except Exception:
+                pass
     got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
