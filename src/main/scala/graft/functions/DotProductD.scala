@@ -264,5 +264,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         CanonText(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_fp"),
+      new ExpressionInfo(classOf[NgramFpStats].getName, "graft_ngram_fp"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_ngram_fp`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        NgramFpStats(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_rep_stats`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        RepStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pii_stats"),
+      new ExpressionInfo(classOf[PiiStats].getName, "graft_pii_stats"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_pii_stats`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        PiiStats(children.head)
+      }))
   }
 }

@@ -144,25 +144,27 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   /** Rolling-window fingerprinting over ANY (doc_id, text) frame.
     *
-    * MAP-ONLY: every window of a doc lives in that doc's own row, so the
-    * per-doc min/count/distinct are array folds over a per-row hash list —
-    * no explode, no shuffle, no two-pass distinct aggregate. The earlier
-    * explode→groupBy(doc_id) shape shuffled the entire 4-gram stream
-    * (~|words| rows per doc, measured 7× growth at 10× data) to reunite
-    * rows that started out together; at 100 TB that shuffle is the whole
-    * cost. Docs with < 4 words produce no windows and are dropped, exactly
-    * as explode-of-empty dropped them (oracle parity). */
+    * MAP-ONLY and single-walk: the per-doc min/count/distinct fold
+    * inside the codegen'd `graft_ngram_fp` byte-walk (functions/
+    * TextWalks.scala) — tokens are encoded once and each window hash
+    * feeds an incremental md5; no window STRING is ever materialized.
+    * The r12 declarative form (transform(sequence…) → concat_ws →
+    * per-window h31 → three array folds) was already shuffle-free but
+    * allocated one string per (row × window) in interpreted
+    * higher-order-function eval — the consume-based bench exposed it at
+    * 60.9 s / 500k docs (sf10full); the walk is value-identical
+    * (TextWalksSpec pins min/count/distinct against that exact chain,
+    * distinct over the SAME h31 domain the oracle counts). Docs with
+    * < 4 words produce no windows and are dropped (`n_windows > 0` ≡
+    * the old `size(w) >= 4` guard — oracle parity). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .where(size(col("w")) >= 4)
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))").as("wins"))
-      .select(col("doc_id"), transform(col("wins"), win => h31(win)).as("hs"))
+      .select(col("doc_id"), expr("graft_ngram_fp(text, 4)").as("fp"))
+      .where(col("fp.n_windows") > 0)
       .select(col("doc_id"),
-        array_min(col("hs")).as("fingerprint"),
-        size(col("hs")).cast("long").as("n_windows"),
-        size(array_distinct(col("hs"))).cast("long").as("n_distinct_windows"))
+        col("fp.fingerprint").as("fingerprint"),
+        col("fp.n_windows").as("n_windows"),
+        col("fp.n_distinct_windows").as("n_distinct_windows"))
       .orderBy(col("doc_id").asc)
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -233,33 +235,35 @@ object TextAnalysis {
   // (doc_id, word)), so all stages are map-side combinable and the plan
   // has no corpus-global state at any scale.
   // ---------------------------------------------------------------------
-  /** Within-document repetition stats over ANY (doc_id, text) frame. */
-  def repetition(docs: DataFrame): DataFrame = {
-    val tris = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 3
-          |THEN transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))
-          |ELSE array() END""".stripMargin)).as("tg"))
-    val triStats = tris.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        countDistinct(col("tg")).as("n_distinct_trigrams"))
-    val wordStats = docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_word_freq"), sum(col("c")).as("n_words"))
-    // raw doubles, no round() — see the t02 cross-engine note
-    wordStats.join(triStats, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        coalesce(col("n_distinct_trigrams"), lit(0L)).as("n_distinct_trigrams"),
-        // NULL > 0 is NULL → otherwise-branch in both engines (docs < 3 words)
-        when(col("n_trigrams") > 0,
-          lit(1.0) - col("n_distinct_trigrams") / col("n_trigrams"))
+  /** Within-document repetition stats over ANY (doc_id, text) frame.
+    *
+    * MAP-ONLY since r13: every statistic here is a within-row property
+    * of one document, so the whole operator is the codegen'd
+    * `graft_rep_stats` byte-walk (functions/TextWalks.scala) — one
+    * token pass builds the per-row word-frequency map and dedups
+    * trigrams as packed token-id triples, with EXACT string semantics
+    * (the single-space join is injective over whitespace-free tokens,
+    * so id-triple distinctness ≡ the old countDistinct over joined
+    * trigram strings — no hash, no collision caveat; TextWalksSpec pins
+    * equality against the exploded form). The r12 shape exploded the
+    * full word AND trigram streams through two groupBy(doc_id) shuffle
+    * chains plus a two-pass countDistinct to reunite rows that started
+    * in the same document — 70.5 s / 500k docs at sf10full; at 100 TB
+    * those shuffles are the entire cost, and they carry zero
+    * information the row didn't already have. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("graft_rep_stats(text)").as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.n_trigrams").as("n_trigrams"),
+        col("r.n_distinct_trigrams").as("n_distinct_trigrams"),
+        // raw doubles, no round() — see the t02 cross-engine note
+        when(col("r.n_trigrams") > 0,
+          lit(1.0) - col("r.n_distinct_trigrams") / col("r.n_trigrams"))
           .otherwise(lit(0.0)).as("rep_ratio"),
-        (col("max_word_freq") / col("n_words")).as("top_word_share"))
+        (col("r.max_word_freq") / col("r.n_words")).as("top_word_share"))
       .orderBy(col("doc_id").asc)
-  }
 
   def t08Repetition(spark: SparkSession, dir: String): DataFrame =
     repetition(Tables.load(spark, dir, "documents"))
@@ -371,19 +375,26 @@ object TextAnalysis {
   /** PII detection + redaction over ANY (doc_id, lang, text) frame —
     * scans the text AS GIVEN (the fixture's synthetic-PII augmentation
     * lives in the t11 wrapper below; a user corpus is scanned raw). */
-  def piiScan(docs: DataFrame): DataFrame = {
-    val redacted = regexp_replace(regexp_replace(regexp_replace(
-      col("text"), lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>")),
-      lit(AcctRe), lit("<ACCT>"))
+  def piiScan(docs: DataFrame): DataFrame =
+    // Since r13 the whole scan is the codegen'd `graft_pii_stats`
+    // byte-walk (functions/TextWalks.scala): the three patterns are
+    // ASCII-only, so a byte-level scanner finds exactly the matches the
+    // regex engine finds (TextWalksSpec pins count AND redaction-hash
+    // equality against the regexp_extract_all/regexp_replace chain on
+    // random PII soup + adversarial edges). The r12 form paid three
+    // regexp_extract_all passes (each materializing a match-string
+    // array) plus three sequential regexp_replace rebuilds — six regex
+    // scans per row, 39.4 s / 500k docs at sf10full; the walk does five
+    // branchy byte passes and never materializes the redacted text (its
+    // md5 is computed in place).
     docs
+      .select(col("doc_id"), col("lang"), expr("graft_pii_stats(text)").as("p"))
       .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-        size(regexp_extract_all(col("text"), lit(AcctRe), lit(0))).cast("long").as("n_accts"),
-        md5(redacted).as("redacted_hash"))
+        col("p.n_emails").as("n_emails"),
+        col("p.n_phones").as("n_phones"),
+        col("p.n_accts").as("n_accts"),
+        col("p.redacted_hash").as("redacted_hash"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** Fixture wrapper: the corpus has no natural PII, so docs with
     * doc_id % 3 == 0 get a synthetic contact sentence. Augmentation is
