@@ -21,17 +21,26 @@ import org.apache.spark.sql.types.MapType
   * The digest is also a cheap cross-run sanity signal: two runs of the
   * same query over the same corpus must agree (order-insensitive by XOR's
   * commutativity), so a plan change that alters RESULTS — not just
-  * timing — shows up in the bench artifact without a Verify run.
+  * timing — shows up in the bench artifact without a Verify run. Two
+  * ADVISORY caveats (the digest gates nothing; Verify is the correctness
+  * gate): XOR cancels identical-value pairs, so an EVEN number of
+  * extra/missing copies of the same row leaves the digest unchanged (the
+  * row count catches odd-multiplicity drift only); and for map columns
+  * the hash covers the SORTED entry list, because aggregation-built map
+  * entry order is not a cross-run invariant in Spark.
   */
 object BenchConsume {
   /** The consuming plan over `df` — one row: (n, digest). Exposed so the
     * plan-retention spec asserts on the EXACT plan the bench executes. */
   def consumedFrame(df: DataFrame): DataFrame = {
     // xxhash64 rejects MapType children (non-deterministic entry order);
-    // map_entries is its canonical hashable image
+    // the SORTED entry list is its canonical hashable image (struct
+    // ordering compares key then value, so the sort is total for any
+    // orderable key type; no query outputs maps today — this is the
+    // future-proof path)
     val cols = df.schema.fields.map { f =>
       f.dataType match {
-        case _: MapType => map_entries(col(f.name))
+        case _: MapType => array_sort(map_entries(col(f.name)))
         case _ => col(f.name)
       }
     }

@@ -87,21 +87,36 @@ object TextWalks extends Serializable {
 
   private val Space: Array[Byte] = Array(' '.toByte)
 
-  /** h60 of the n-token window starting at `i` — md5 over the identical
-    * bytes `concat_ws(' ', slice(w, i+1, n))` hashes, digest folded the
-    * way [[TrigramH31]] pins (first 8 bytes big-endian, >>> 4). */
-  private def windowH60(md: MessageDigest, tok: Array[Array[Byte]], i: Int, n: Int): Long = {
-    var j = 0
-    while (j < n) {
-      if (j > 0) md.update(Space)
-      md.update(tok(i + j))
-      j += 1
+  /** Java-regex `\s` is exactly the ASCII class `[ \t\n\x0B\f\r]`, and
+    * every one of those bytes IS that character in UTF-8 (multi-byte
+    * sequences use bytes ≥ 0x80 only) — so splitting on raw UTF-8 bytes
+    * reproduces `String.split("\\s+", -1)` exactly, without decoding to
+    * UTF-16 or running the regex engine. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Token boundaries of the byte-level `\s+` split with limit −1:
+    * writes (start, end) offset pairs into `offs` (flattened), returns
+    * the token count. Semantics match String.split: a leading separator
+    * run yields a leading empty token, a trailing run a trailing empty
+    * token, and the empty string one empty token. */
+  private[functions] def splitOffsets(b: Array[Byte], offs0: Array[Int]): (Array[Int], Int) = {
+    var offs = offs0
+    var nt = 0
+    var tokStart = 0
+    var i = 0
+    val len = b.length
+    while (i < len) {
+      if (isWs(b(i))) {
+        if (2 * nt + 2 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        offs(2 * nt) = tokStart; offs(2 * nt + 1) = i; nt += 1
+        while (i < len && isWs(b(i))) i += 1
+        tokStart = i
+      } else i += 1
     }
-    val d = md.digest()
-    var v = 0L
-    var k = 0
-    while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-    v >>> 4
+    if (2 * nt + 2 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+    offs(2 * nt) = tokStart; offs(2 * nt + 1) = len; nt += 1
+    (offs, nt)
   }
 
   // -------------------------------------------------------------------
@@ -127,20 +142,39 @@ object TextWalks extends Serializable {
   private val ZeroFp = new GenericInternalRow(Array[Any](0L, 0L, 0L))
 
   def ngramFp(s: UTF8String, n: Int): InternalRow = {
-    val tokens = s.toString.split("\\s+", -1)
-    val nt = tokens.length
+    val b = s.getBytes
+    // tokenize on raw bytes (exact String.split("\\s+", -1) semantics —
+    // see splitOffsets) and hash each window straight out of the text
+    // buffer: md5 updates take (buf, start, len) slices, so neither a
+    // token nor a window string is ever allocated. The hashed byte
+    // stream is identical to concat_ws(' ', slice(w, i, n)) — tokens
+    // joined by single spaces, empty edge tokens contributing only
+    // their joining space — which TextWalksSpec pins against the
+    // declarative chain.
+    val (offs, nt) = splitOffsets(b, new Array[Int](64))
     if (nt < n) return ZeroFp
-    val tok = new Array[Array[Byte]](nt)
-    var i = 0
-    while (i < nt) { tok(i) = tokens(i).getBytes(StandardCharsets.UTF_8); i += 1 }
-    val md = md5tl.get()
     val nWin = nt - n + 1
     val seen = new PosLongSet(math.min(nWin, 1 << 16))
     var minH = Long.MaxValue
     var distinct = 0
-    i = 0
+    // assemble each window into a reused buffer and hash it with the
+    // single-block md5 (Md5H60) — no MessageDigest per-call overhead
+    var win = new Array[Byte](256)
+    var i = 0
     while (i < nWin) {
-      val h31 = windowH60(md, tok, i, n) % SharedHash.P31
+      var wlen = 0
+      var j = 0
+      while (j < n) {
+        val t = i + j
+        val tl = offs(2 * t + 1) - offs(2 * t)
+        if (wlen + tl + 1 > win.length)
+          win = java.util.Arrays.copyOf(win, math.max(win.length * 2, wlen + tl + 1))
+        if (j > 0) { win(wlen) = ' '; wlen += 1 }
+        System.arraycopy(b, offs(2 * t), win, wlen, tl)
+        wlen += tl
+        j += 1
+      }
+      val h31 = Md5H60.hash60(win, 0, wlen) % SharedHash.P31
       if (h31 < minH) minH = h31
       if (seen.add(h31)) distinct += 1
       i += 1

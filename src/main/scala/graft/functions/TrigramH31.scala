@@ -97,42 +97,38 @@ case class TrigramH60(child: Expression) extends UnaryExpression {
 
 object TrigramH31 {
   private val EmptyCodes: ArrayData = ArrayData.toArrayData(Array.empty[Long])
-  private val Space: Array[Byte] = Array(' '.toByte)
-
-  // MessageDigest is stateful; one per executor thread, reset by digest()
-  private val md5 = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
 
   def compute(s: UTF8String): ArrayData = hashStream(s, toH31 = true)
   def computeH60(s: UTF8String): ArrayData = hashStream(s, toH31 = false)
 
   private def hashStream(s: UTF8String, toH31: Boolean): ArrayData = {
-    // the same split semantics as Spark's split(text, "\\s+"): Java
-    // regex, limit -1 (trailing empty tokens kept)
-    val tokens = s.toString.split("\\s+", -1)
-    val n = tokens.length
+    // r13: the byte-level split (TextWalks.splitOffsets — exact
+    // String.split("\\s+", -1) semantics, spec-pinned) replaced the
+    // regex split, and the single-block md5 (Md5H60, spec-pinned
+    // against MessageDigest) replaced the per-trigram digest calls —
+    // same values, no String decode, no token arrays, no MessageDigest
+    // per-call overhead. The hashed bytes are still the UTF-8 of the
+    // single-space-joined trigram exactly as concat_ws builds it.
+    val b = s.getBytes
+    val (offs, n) = TextWalks.splitOffsets(b, new Array[Int](64))
     if (n < 3) return EmptyCodes
-    val bytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      bytes(i) = tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      i += 1
-    }
-    val md = md5.get()
     val out = new Array[Long](n - 2)
-    i = 0
+    var win = new Array[Byte](256)
+    var i = 0
     while (i < n - 2) {
-      md.update(bytes(i)); md.update(Space)
-      md.update(bytes(i + 1)); md.update(Space)
-      md.update(bytes(i + 2))
-      val d = md.digest() // resets the digest for the next trigram
-      // first 15 hex chars of the md5 = first 8 digest bytes as an
-      // unsigned big-endian word, dropped one (lowest) nibble
-      var v = 0L
+      var wlen = 0
       var j = 0
-      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      val h60 = v >>> 4
+      while (j < 3) {
+        val t = i + j
+        val tl = offs(2 * t + 1) - offs(2 * t)
+        if (wlen + tl + 1 > win.length)
+          win = java.util.Arrays.copyOf(win, math.max(win.length * 2, wlen + tl + 1))
+        if (j > 0) { win(wlen) = ' '; wlen += 1 }
+        System.arraycopy(b, offs(2 * t), win, wlen, tl)
+        wlen += tl
+        j += 1
+      }
+      val h60 = Md5H60.hash60(win, 0, wlen)
       out(i) = if (toH31) h60 % SharedHash.P31 else h60
       i += 1
     }

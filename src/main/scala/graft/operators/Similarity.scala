@@ -116,7 +116,10 @@ object Similarity {
   def ivfKFor(n: Long): Int = {
     val raw = n.toDouble / IvfTargetCell
     if (raw <= IvfCells) IvfCells
-    else math.min(4096, 1 << math.round(math.log(raw) / math.log(2.0)).toInt)
+    // clamp the EXPONENT before shifting: 4096 = 2^12, and an Int shift
+    // past 31 wraps mod 32 (n ≳ 5e12 would otherwise produce a k below
+    // the floor or negative, silently bypassing both bounds)
+    else 1 << math.min(12L, math.round(math.log(raw) / math.log(2.0))).toInt
   }
 
   private val vecCountMemo =

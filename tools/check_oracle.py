@@ -122,8 +122,9 @@ def stage_cte(sql, con, cte):
     # `FROM cte__mat x`. A keyword after the name (WHERE/GROUP/JOIN/…)
     # is not an alias.
     kws = ("ON|USING|WHERE|GROUP|ORDER|JOIN|LEFT|RIGHT|INNER|CROSS|"
-           "ANTI|SEMI|UNION|INTERSECT|EXCEPT|LIMIT|HAVING")
-    pat = (rf"\b(FROM|JOIN)(\s+){cte}\b"
+           "ANTI|SEMI|UNION|INTERSECT|EXCEPT|LIMIT|HAVING|"
+           "FULL|ASOF|NATURAL|OUTER|WINDOW|QUALIFY|OFFSET|AS")
+    pat = (rf"\b(FROM|JOIN|,)(\s+){cte}\b"
            rf"(?:(\s+)(?!(?:{kws})\b)([A-Za-z_][A-Za-z0-9_]*))?")
 
     def _sub(m):
@@ -132,10 +133,18 @@ def stage_cte(sql, con, cte):
             return f"{pre}{ws}{cte}__mat{aws}{alias}"
         return f"{pre}{ws}{cte}__mat {cte}"
     staged = re.sub(pat, _sub, rest, flags=re.IGNORECASE)
-    # every remaining FROM/JOIN-position reference must be gone; a bare
+    # every remaining table-position reference must be gone; a bare
     # occurrence elsewhere (column name, string literal) is fine and was
-    # not touched by construction (the pattern only matches table refs)
-    leftover = re.search(rf"\b(FROM|JOIN)(\s+){cte}\b(?!__mat)", staged, re.IGNORECASE)
+    # not touched by construction (the pattern only matches table refs).
+    # `,` covers comma-join position; the alias keyword list includes the
+    # join-shaped words so `FROM x FULL JOIN y` never eats FULL as an
+    # alias. Belt-and-braces: a staged CTE name that collides with a
+    # registered base table would make any unrewritten leftover read the
+    # base table SILENTLY instead of failing as an unresolved name — ban
+    # the collision outright.
+    assert cte.lower() not in TABLES, \
+        f"--stage: CTE `{cte}` shadows a base table; rename the CTE"
+    leftover = re.search(rf"\b(FROM|JOIN|,)(\s+){cte}\b(?!__mat)", staged, re.IGNORECASE)
     assert not leftover, f"--stage: unrewritten reference to `{cte}`"
     return staged
 
@@ -192,7 +201,16 @@ for name in sorted(oracle):
                 con.sql(f"DROP TABLE IF EXISTS {cte}__mat")
             except Exception:
                 pass
-    got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+    # Read the engine dump ORDER-PRESERVINGLY (pyarrow keeps file/row
+    # order). Reading it through this connection reordered rows of
+    # multi-row-group files: preserve_insertion_order=false lets DuckDB's
+    # parallel parquet reader return row groups in any order, which made
+    # the three multi-million-row mirrors (e01/e13/q25 at sf10full) look
+    # "sorted-only" when the engine's ORDER BY (a unique key in all three)
+    # was deterministic all along. The oracle side is unaffected — a
+    # top-level ORDER BY is always honored in result order.
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                    ignore_index=True)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
