@@ -279,6 +279,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramFpStats(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_h60"),
+      new ExpressionInfo(classOf[NgramH60Stream].getName, "graft_ngram_h60"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_ngram_h60`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        NgramH60Stream(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rep_stats"),
       new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
       (children: Seq[Expression]) => {

@@ -183,6 +183,49 @@ object TextWalks extends Serializable {
   }
 
   // -------------------------------------------------------------------
+  // graft_ngram_h60(text, n)
+  // -------------------------------------------------------------------
+
+  private val EmptyCodes =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+
+  /** The word-n-gram window stream as h60 codes, one per position
+    * (duplicates kept) — the n-parametric generalization of
+    * `graft_trigram_h60`. Value-identical to
+    * `transform(windows, hash60(concat_ws(' ', …)))` over the
+    * `split(text, '\\s+')` token array; d12/d20 key their span
+    * df-counts and kill-list joins on these codes (8-byte shuffle keys
+    * instead of multi-word span strings), with the DuckDB oracle
+    * computing the same md5-derived value in SQL — both sides hash, so
+    * parity is exact; two DISTINCT spans colliding (≈2⁻⁶⁰) is the same
+    * accepted caveat as d17's sketch keys. */
+  def ngramH60(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val (offs, nt) = splitOffsets(b, new Array[Int](64))
+    if (nt < n) return EmptyCodes
+    val out = new Array[Long](nt - n + 1)
+    var win = new Array[Byte](256)
+    var i = 0
+    while (i < out.length) {
+      var wlen = 0
+      var j = 0
+      while (j < n) {
+        val t = i + j
+        val tl = offs(2 * t + 1) - offs(2 * t)
+        if (wlen + tl + 1 > win.length)
+          win = java.util.Arrays.copyOf(win, math.max(win.length * 2, wlen + tl + 1))
+        if (j > 0) { win(wlen) = ' '; wlen += 1 }
+        System.arraycopy(b, offs(2 * t), win, wlen, tl)
+        wlen += tl
+        j += 1
+      }
+      out(i) = Md5H60.hash60(win, 0, wlen)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  // -------------------------------------------------------------------
   // graft_rep_stats(text)
   // -------------------------------------------------------------------
 
@@ -444,6 +487,41 @@ case class NgramFpStats(left: Expression, right: Expression) extends BinaryExpre
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NgramFpStats =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_ngram_h60(text, n)` → array<long> of per-position window h60
+  * codes — see [[TextWalks.ngramH60]]. `n` must be a foldable integer
+  * ≥ 1; fewer than n tokens → empty array; null text → null. */
+case class NgramH60Stream(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) if right.foldable =>
+      val n = right.eval().asInstanceOf[Integer]
+      if (n == null || n < 1)
+        TypeCheckResult.TypeCheckFailure("graft_ngram_h60: n must be a literal integer >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram_h60 expects (string, literal int), got $other")
+  }
+
+  private lazy val n: Int = right.eval().asInstanceOf[Integer].intValue()
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ngram_h60"
+
+  override def nullSafeEval(t: Any, unused: Any): Any =
+    TextWalks.ngramH60(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val helper = ctx.addReferenceObj("textWalks", TextWalks, "graft.functions.TextWalks$")
+      s"${ev.value} = (ArrayData) $helper.ngramH60($t, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramH60Stream =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1202,12 +1202,13 @@ object Dedup {
     * n_words (original), n_dropped, and the post-strip text. */
   private[graft] def stripReport(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), col("text"), split(col("text"), "\\s+").as("w"))
-    val grams = w.select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(w) >= $SpanWidth
-           |THEN transform(sequence(1, size(w)-${SpanWidth - 1}),
-           |               i -> struct(i AS i, concat_ws(' ', slice(w, i, $SpanWidth)) AS g))
-           |ELSE array() END""".stripMargin)).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    // spans as graft_ngram_h60 codes (r13, same contract as d12): the
+    // persisted gram frame and the hot/kill-list joins carry 8-byte
+    // codes, not span strings — at 500k docs the persisted frame was
+    // 28.5M span STRINGS and owned most of d20's 40.9 s
+    val grams = w.select(col("doc_id"),
+        posexplode(expr(s"graft_ngram_h60(text, $SpanWidth)")).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("g"))
       .transform(persistOnce)
     val hot = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -1784,14 +1785,19 @@ object Dedup {
   val SpanWidth = 4
   val BoilerMinDocs = 3
 
-  /** Boilerplate-span shares over ANY (doc_id, text, source) frame. */
+  /** Boilerplate-span shares over ANY (doc_id, text, source) frame.
+    *
+    * Spans travel as `graft_ngram_h60` codes (r13): the span CONTENT
+    * never reaches the output — only df-counts keyed on it — so the
+    * whole pre-aggregation/df/scoring chain shuffles 8-byte codes
+    * instead of multi-word span strings, and the span build is the
+    * byte-walk instead of the interpreted transform/concat_ws chain
+    * (the t04 class). The oracle mirrors the SAME md5-derived code in
+    * SQL, so parity stays exact; two DISTINCT spans colliding (≈2⁻⁶⁰)
+    * is the d17 sketch-key caveat. */
   def boilerplateSpans(docs: DataFrame): DataFrame = {
-    val pd = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(w) >= $SpanWidth
-           |THEN transform(sequence(1, size(w)-${SpanWidth - 1}),
-           |               i -> concat_ws(' ', slice(w, i, $SpanWidth)))
-           |ELSE array() END""".stripMargin)).as("g"))
+    val pd = docs
+      .select(col("doc_id"), explode(expr(s"graft_ngram_h60(text, $SpanWidth)")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .transform(persistOnce)
     val dfreq = pd.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -2141,7 +2147,7 @@ object Dedup {
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
          |spans AS (
-         |  SELECT doc_id, array_to_string(ws[i:i+${SpanWidth - 1}], ' ') AS g
+         |  SELECT doc_id, ${hash60Sql(s"array_to_string(ws[i:i+${SpanWidth - 1}], ' ')")} AS g
          |  FROM w, unnest(generate_series(1, greatest(len(ws)-${SpanWidth - 1}, 0))) AS t(i)),
          |pd AS (SELECT doc_id, g, count(*) AS c FROM spans GROUP BY 1, 2),
          |dfq AS (SELECT g, count(*) AS df FROM pd GROUP BY 1),
@@ -2354,7 +2360,7 @@ object Dedup {
       s"""WITH w AS (
          |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
          |grams AS (
-         |  SELECT doc_id, i, array_to_string(ws[i:i+${SpanWidth - 1}], ' ') AS g
+         |  SELECT doc_id, i, ${hash60Sql(s"array_to_string(ws[i:i+${SpanWidth - 1}], ' ')")} AS g
          |  FROM w, unnest(generate_series(1, greatest(len(ws)-${SpanWidth - 1}, 0))) AS t(i)),
          |hot AS (
          |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g

@@ -70,6 +70,23 @@ class TextWalksSpec extends SparkSpec {
       .select(col("text")).as[String].collect().toSeq, 4)
   }
 
+  test("graft_ngram_h60 equals the declarative h60-of-window chain (n=4 and 2)") {
+    for (n <- Seq(4, 2)) {
+      val slow = expr(
+        s"CASE WHEN size(split(text, '\\\\s+')) >= $n THEN " +
+          s"transform(sequence(1, size(split(text, '\\\\s+'))-${n - 1}), " +
+          s"i -> cast(conv(substring(md5(concat_ws(' ', slice(split(text, '\\\\s+'), i, $n))), 1, 15), 16, 10) AS BIGINT)) " +
+          "ELSE array() END")
+      val texts = Seq("", " ", "a", "a b c d", " x y z w q ", "a a a a a") ++
+        Seq.fill(200)(wordSoup(25))
+      val rows = df(texts)
+        .select(col("text"), expr(s"graft_ngram_h60(text, $n)").as("fast"), slow.as("slow"))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"n=$n text='${r.getString(0)}'")
+    }
+  }
+
   // ---------------------------------------------------------------- t08
 
   /** The r12 t08 computation (explode → two groupBy chains) via SQL. */
