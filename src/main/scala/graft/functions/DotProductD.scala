@@ -307,6 +307,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepStats(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_token_counts`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TokenCounts(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pii_stats"),
       new ExpressionInfo(classOf[PiiStats].getName, "graft_pii_stats"),
       (children: Seq[Expression]) => {

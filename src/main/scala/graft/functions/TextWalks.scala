@@ -291,6 +291,58 @@ object TextWalks extends Serializable {
   }
 
   // -------------------------------------------------------------------
+  // graft_token_counts(text)
+  // -------------------------------------------------------------------
+
+  /** One pass over the UTF-8 bytes computing the four per-row counting
+    * primitives t02/t03 project, value-identical to:
+    *
+    *   ws_tokens    = size(split(text, '\\s+'))   — #ws runs + 1 (limit
+    *                  −1 keeps the empty edge tokens; '' has 1 token)
+    *   regex_tokens = size(regexp_extract_all(text,
+    *                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+    *                  — ordered alternation: a maximal ASCII letter run
+    *                  is one token, else a maximal digit run, else ONE
+    *                  character of anything that isn't alnum/ws (incl.
+    *                  any non-ASCII char — counted once per character
+    *                  by skipping UTF-8 continuation bytes)
+    *   n_chars      = length(text)                — character count
+    *   n_ws_chars   = #whitespace chars (all ASCII, 1 byte = 1 char),
+    *                  so length(regexp_replace(text, '\\s+', '')) =
+    *                  n_chars − n_ws_chars
+    */
+  def tokenCounts(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val len = b.length
+    var wsRuns = 0L
+    var regexTokens = 0L
+    var nChars = 0L
+    var nWs = 0L
+    var i = 0
+    while (i < len) {
+      val c = b(i)
+      if (isWs(c)) {
+        wsRuns += 1
+        while (i < len && isWs(b(i))) { nWs += 1; nChars += 1; i += 1 }
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        regexTokens += 1
+        while (i < len && ((b(i) >= 'a' && b(i) <= 'z') || (b(i) >= 'A' && b(i) <= 'Z'))) {
+          nChars += 1; i += 1
+        }
+      } else if (c >= '0' && c <= '9') {
+        regexTokens += 1
+        while (i < len && b(i) >= '0' && b(i) <= '9') { nChars += 1; i += 1 }
+      } else {
+        // one regex token per CHARACTER: count the sequence-start byte,
+        // skip continuation bytes (0x80..0xBF)
+        if ((c & 0xc0) != 0x80) { regexTokens += 1; nChars += 1 }
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](wsRuns + 1L, regexTokens, nChars, nWs))
+  }
+
+  // -------------------------------------------------------------------
   // graft_pii_stats(text)
   // -------------------------------------------------------------------
   // Patterns (TextAnalysis.EmailRe/PhoneRe/AcctRe — the Java∩RE2 subset):
@@ -551,6 +603,35 @@ case class RepStats(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** `graft_token_counts(text)` → struct(ws_tokens, regex_tokens, n_chars,
+  * n_ws_chars) — see [[TextWalks.tokenCounts]]. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_counts expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("regex_tokens", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_ws_chars", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_token_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextWalks.tokenCounts(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = ctx.addReferenceObj("textWalks", TextWalks, "graft.functions.TextWalks$")
+      s"${ev.value} = (InternalRow) $helper.tokenCounts($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
     copy(child = newChild)
 }
 

@@ -93,9 +93,15 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word").asc).limit(10).select(col("word"))
     val stopHits = words.join(broadcast(stop), Seq("word"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_hits"))
+    // n_words / word_chars from the graft_token_counts walk (r13):
+    // ws_tokens ≡ size(split(text, '\s+')), and n_chars − n_ws_chars ≡
+    // length(regexp_replace(text, '\s+', '')) — whitespace is ASCII, one
+    // char per byte (TextWalksSpec pins both against the regex forms)
     val base = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), "\\s+")).cast("long").as("n_words"),
-      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("word_chars"))
+      expr("graft_token_counts(text)").as("tc"))
+      .select(col("doc_id"), col("lang"),
+        col("tc.ws_tokens").as("n_words"),
+        (col("tc.n_chars") - col("tc.n_ws_chars")).as("word_chars"))
     val meanLen = col("word_chars") / col("n_words")
     val stopRatio = coalesce(col("stop_hits"), lit(0L)) / col("n_words")
     val score = lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
@@ -125,13 +131,20 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Token counting over ANY (doc_id, text, lang, source) frame. */
+  /** Token counting over ANY (doc_id, text, lang, source) frame.
+    * One `graft_token_counts` byte-walk per row (r13) replaces the
+    * split-array build + regexp_extract_all match-array build — both
+    * allocated per-token intermediates just to be counted; TextWalksSpec
+    * pins count equality against the regex forms, and the DuckDB oracle
+    * keeps them. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"), col("source"),
-        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).cast("long").as("regex_tokens"),
-        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+        expr("graft_token_counts(text)").as("tc"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.regex_tokens").as("regex_tokens"),
+        ceil(col("tc.n_chars") / 4.0).cast("long").as("est_bpe_tokens"))
       .orderBy(col("doc_id").asc)
 
   def t03TokenCounts(spark: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,39 @@ class TextWalksSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- t03
+
+  private def checkTokenCounts(texts: Seq[String]): Unit = {
+    val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val rows = df(texts)
+      .select(col("text"), expr("graft_token_counts(text)").as("tc"),
+        size(split(col("text"), "\\s+")).cast("long").as("s_ws"),
+        size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0))).cast("long").as("s_rx"),
+        length(col("text")).cast("long").as("s_nc"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\s+", "")))
+          .cast("long").as("s_nws"))
+      .select(col("text"), col("tc.ws_tokens"), col("tc.regex_tokens"),
+        col("tc.n_chars"), col("tc.n_ws_chars"),
+        col("s_ws"), col("s_rx"), col("s_nc"), col("s_nws"))
+      .collect()
+    for (r <- rows; (i, j, what) <- Seq((1, 5, "ws_tokens"), (2, 6, "regex_tokens"),
+        (3, 7, "n_chars"), (4, 8, "n_ws_chars")))
+      assert(r.getLong(i) === r.getLong(j), s"$what for '${r.getString(0)}'")
+  }
+
+  test("graft_token_counts equals the split/regex chain") {
+    checkTokenCounts(Seq(
+      "", " ", "  ", "a", "ab12cd", "a_b-c", "...", "a.b.c",
+      " lead", "trail ", "\t\n mixed \r", "12345", "a1b2c3",
+      "中文 mixed 中", "émü café", "🎼 note", "𝄞x9", "ÀÉ12ab",
+      "word, and; punct! (x)") ++ Seq.fill(300)(wordSoup(30)))
+  }
+
+  test("graft_token_counts matches on the fixture corpus") {
+    checkTokenCounts(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq)
+  }
+
   // ---------------------------------------------------------------- t08
 
   /** The r12 t08 computation (explode → two groupBy chains) via SQL. */
