@@ -307,6 +307,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepStats(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_strip_spans"),
+      new ExpressionInfo(classOf[StripSpans].getName, "graft_strip_spans"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_strip_spans`",
+              "expectedNum" -> "3",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        StripSpans(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
       (children: Seq[Expression]) => {

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -288,6 +288,64 @@ object TextWalks extends Serializable {
       }
     }
     new GenericInternalRow(Array[Any](n.toLong, maxFreq, nTri.toLong, nDistinctTri))
+  }
+
+  // -------------------------------------------------------------------
+  // graft_strip_spans(text, starts, n)
+  // -------------------------------------------------------------------
+
+  /** Rebuild a document with the word-n-gram spans starting at the given
+    * 1-based token positions removed — d20's per-document strip as ONE
+    * walk, replacing the kill-list position explode → word posexplode →
+    * anti-join → sorted-collect_list rebuild (which shuffled every word
+    * of every document to reunite rows that never had to leave it).
+    * Returns (n_words, n_dropped, text): identity text (the ORIGINAL
+    * string object, no re-join) when nothing is dropped; kept tokens
+    * joined by single spaces otherwise (a fully-boilerplate doc becomes
+    * ''). Value-identical to the declarative form — TextWalksSpec pins
+    * it against an independent reference on random kill sets. */
+  def stripSpans(s: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): InternalRow = {
+    val b = s.getBytes
+    val (offs, nt) = splitOffsets(b, new Array[Int](64))
+    val nStarts = starts.numElements()
+    if (nStarts == 0)
+      return new GenericInternalRow(Array[Any](nt.toLong, 0L, s))
+    val kill = new Array[Boolean](nt)
+    var i = 0
+    while (i < nStarts) {
+      val st = starts.getInt(i) - 1 // to 0-based token index
+      var j = st
+      val end = math.min(st + n, nt)
+      while (j < end) { kill(j) = true; j += 1 }
+      i += 1
+    }
+    var kept = 0
+    var outLen = 0
+    i = 0
+    while (i < nt) {
+      if (!kill(i)) { kept += 1; outLen += offs(2 * i + 1) - offs(2 * i) }
+      i += 1
+    }
+    if (kept == nt)
+      return new GenericInternalRow(Array[Any](nt.toLong, 0L, s))
+    if (kept == 0)
+      return new GenericInternalRow(Array[Any](nt.toLong, nt.toLong, UTF8String.EMPTY_UTF8))
+    val out = new Array[Byte](outLen + kept - 1)
+    var dst = 0
+    var first = true
+    i = 0
+    while (i < nt) {
+      if (!kill(i)) {
+        if (!first) { out(dst) = ' '; dst += 1 }
+        first = false
+        val tl = offs(2 * i + 1) - offs(2 * i)
+        System.arraycopy(b, offs(2 * i), out, dst, tl)
+        dst += tl
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nt.toLong, (nt - kept).toLong, UTF8String.fromBytes(out)))
   }
 
   // -------------------------------------------------------------------
@@ -604,6 +662,47 @@ case class RepStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
+}
+
+/** `graft_strip_spans(text, starts, n)` → struct(n_words, n_dropped,
+  * text) — see [[TextWalks.stripSpans]]. `starts` is an array<int> of
+  * 1-based span start positions (null-free); `n` a foldable int ≥ 1. */
+case class StripSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(IntegerType, _), IntegerType) if third.foldable =>
+        val n = third.eval().asInstanceOf[Integer]
+        if (n == null || n < 1)
+          TypeCheckResult.TypeCheckFailure("graft_strip_spans: n must be a literal integer >= 1")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_strip_spans expects (string, array<int>, literal int), got $other")
+    }
+
+  private lazy val n: Int = third.eval().asInstanceOf[Integer].intValue()
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_strip_spans"
+
+  override def nullSafeEval(t: Any, st: Any, unused: Any): Any =
+    TextWalks.stripSpans(t.asInstanceOf[UTF8String],
+      st.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, st, _) => {
+      val helper = ctx.addReferenceObj("textWalks", TextWalks, "graft.functions.TextWalks$")
+      s"${ev.value} = (InternalRow) $helper.stripSpans($t, $st, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): StripSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_token_counts(text)` → struct(ws_tokens, regex_tokens, n_chars,

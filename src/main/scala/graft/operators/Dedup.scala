@@ -1201,36 +1201,32 @@ object Dedup {
   /** The strip with its audit columns: one row per INPUT doc —
     * n_words (original), n_dropped, and the post-strip text. */
   private[graft] def stripReport(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), col("text"), split(col("text"), "\\s+").as("w"))
     // spans as graft_ngram_h60 codes (r13, same contract as d12): the
-    // persisted gram frame and the hot/kill-list joins carry 8-byte
-    // codes, not span strings — at 500k docs the persisted frame was
-    // 28.5M span STRINGS and owned most of d20's 40.9 s
-    val grams = w.select(col("doc_id"),
+    // persisted gram frame and the hot-span join carry 8-byte codes,
+    // not span strings — at 500k docs the persisted frame was 28.5M
+    // span STRINGS and owned most of d20's 40.9 s
+    val grams = docs.select(col("doc_id"),
         posexplode(expr(s"graft_ngram_h60(text, $SpanWidth)")).as(Seq("i0", "g")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("g"))
       .transform(persistOnce)
     val hot = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") >= BoilerMinDocs).select(col("g"))
-    val badPos = grams.join(hot, Seq("g"), "left_semi")
+    // per-doc list of hot-span START positions; the per-position
+    // kill-list, the word posexplode, the anti-join, and the sorted
+    // collect_list rebuild all collapsed into the graft_strip_spans
+    // walk (r13) — they shuffled every word of every document to
+    // reunite rows that never had to leave it. One narrow doc_id
+    // shuffle (the start lists) remains.
+    val badStarts = grams.join(hot, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
+    docs.join(badStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), expr(
+        s"graft_strip_spans(text, coalesce(starts, array()), $SpanWidth)").as("r"))
       .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + lit(SpanWidth - 1))).as("p"))
-      .distinct()
-    val words = w.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
-    val kept = words.join(badPos, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("p"), col("word")))),
-          s => s.getField("word"))).as("kept_text"))
-    w.select(col("doc_id"), col("text"), size(col("w")).cast("long").as("n_words"))
-      .join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        when(coalesce(col("n_kept"), lit(0L)) === col("n_words"), col("text"))
-          .otherwise(coalesce(col("kept_text"), lit(""))).as("text"))
+        col("r.n_words").as("n_words"),
+        col("r.n_dropped").as("n_dropped"),
+        col("r.text").as("text"))
   }
 
   /** The d20 report row: docs the strip CHANGED (n_dropped > 0). */

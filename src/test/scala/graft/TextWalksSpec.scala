@@ -256,6 +256,73 @@ class TextWalksSpec extends SparkSpec {
       .select(col("text")).as[String].collect().toSeq)
   }
 
+  // ---------------------------------------------------------------- d20
+
+  test("graft_strip_spans equals the split/mark/join reference on random kill sets") {
+    val cases: Seq[(String, Seq[Int])] = Seq(
+      ("", Seq.empty), (" ", Seq.empty), ("a b c d e", Seq.empty),
+      ("a b c d e", Seq(1)), ("a b c d e", Seq(2)), ("a b c d e", Seq(1, 2)),
+      ("a b c d", Seq(1)), // whole doc is one span -> ''
+      (" lead a b c d e", Seq(1)), ("t u v w x y z", Seq(1, 4))) ++
+      Seq.fill(300) {
+        val t = wordSoup(30)
+        val nw = t.split("\\s+", -1).length
+        val nWin = math.max(0, nw - 3)
+        val starts = (1 to nWin).filter(_ => rnd.nextBoolean() && rnd.nextBoolean())
+        (t, starts)
+      }
+    val in = cases.zipWithIndex.map { case ((t, st), i) => (i.toLong, t, st) }
+      .toDF("id", "text", "starts")
+    val got = in.select(col("id"),
+        expr("graft_strip_spans(text, starts, 4)").as("r"))
+      .select(col("id"), col("r.n_words"), col("r.n_dropped"), col("r.text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    for (((t, starts), i) <- cases.zipWithIndex) {
+      val toks = t.split("\\s+", -1)
+      val kill = Array.fill(toks.length)(false)
+      for (s <- starts; j <- (s - 1) until math.min(s - 1 + 4, toks.length)) kill(j) = true
+      val kept = toks.indices.filterNot(kill)
+      val expText = if (kept.length == toks.length) t else kept.map(toks).mkString(" ")
+      val (nw, nd, txt) = got(i.toLong)
+      assert(nw === toks.length.toLong, s"n_words case $i '$t'")
+      assert(nd === (toks.length - kept.length).toLong, s"n_dropped case $i '$t'")
+      assert(txt === expText, s"text case $i '$t' starts=$starts")
+    }
+  }
+
+  test("d20 stripReport is identical on the fixture corpus (oracle formulation)") {
+    // end-to-end: the operator's output at sf0.001 equals the old
+    // explode/anti-join/collect_list formulation computed via SQL
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = graft.operators.Dedup.boilerplateStrip(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    // reference: per-doc recomputation in Scala
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spanOf = (toks: Array[String], i: Int) => toks.slice(i, i + 4).mkString(" ")
+    val dfCount = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- texts) {
+      val toks = t.split("\\s+", -1)
+      for (i <- 0 to toks.length - 4)
+        dfCount.getOrElseUpdate(spanOf(toks, i), scala.collection.mutable.Set.empty) += id
+    }
+    val hot = dfCount.filter(_._2.size >= graft.operators.Dedup.BoilerMinDocs).keySet
+    val exp = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val toks = t.split("\\s+", -1)
+      val kill = Array.fill(toks.length)(false)
+      for (i <- 0 to toks.length - 4; if hot(spanOf(toks, i)); j <- i until i + 4)
+        kill(j) = true
+      val kept = toks.indices.filterNot(kill)
+      val dropped = toks.length - kept.length
+      if (dropped > 0)
+        Some((id, toks.length.toLong, dropped.toLong,
+          if (dropped == 0) t else kept.map(toks).mkString(" ")))
+      else None
+    }
+    assert(got.toSeq === exp)
+  }
+
   // ------------------------------------------------------------ plumbing
 
   test("null text yields null for all three walks") {
