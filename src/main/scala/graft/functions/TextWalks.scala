@@ -315,7 +315,11 @@ object TextWalks extends Serializable {
     var i = 0
     while (i < nStarts) {
       val st = starts.getInt(i) - 1 // to 0-based token index
-      var j = st
+      // graft_strip_spans is a registered SQL function, so arbitrary user
+      // SQL can pass starts <= 0 (or null elements, which UnsafeArrayData
+      // reads as 0): clamp to the first token instead of indexing kill()
+      // negatively. Positions past the end fall out of the loop bound.
+      var j = math.max(0, st)
       val end = math.min(st + n, nt)
       while (j < end) { kill(j) = true; j += 1 }
       i += 1

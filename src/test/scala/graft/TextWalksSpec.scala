@@ -290,6 +290,26 @@ class TextWalksSpec extends SparkSpec {
     }
   }
 
+  test("graft_strip_spans survives hostile starts: zero, negative, past-end, null elements") {
+    // the function is registered for arbitrary user SQL — a start <= 0
+    // (or a NULL array element, which reads as 0) must clamp to token 0,
+    // not index kill() negatively and kill the task (r13 advisory)
+    val rows = spark.sql(
+      """SELECT graft_strip_spans('a b c d e f g h', array(0, -3, 7, 99), 4) AS r,
+        |       graft_strip_spans('a b c d e f g h', array(cast(null as int), 2), 4) AS r2
+        |""".stripMargin).collect()
+    val r = rows(0).getStruct(0)
+    // start 0 / -3 clamp to token 1; -3 kills tokens 1..(−3−1+4)=0 → none
+    // past 0; 0 kills 1..3; 7 kills 7..8 capped; 99 kills nothing
+    assert(r.getLong(0) === 8L) // n_words
+    assert(r.getString(2) === "d e f") // 0→kill a,b,c; 7→kill g,h; 99→none
+    assert(r.getLong(1) === 5L)
+    val r2 = rows(0).getStruct(1)
+    // null element reads as 0 → clamp (kill a,b,c); 2 kills b..e → 5 dropped
+    assert(r2.getString(2) === "f g h")
+    assert(r2.getLong(1) === 5L)
+  }
+
   test("d20 stripReport is identical on the fixture corpus (oracle formulation)") {
     // end-to-end: the operator's output at sf0.001 equals the old
     // explode/anti-join/collect_list formulation computed via SQL

@@ -124,14 +124,20 @@ def stage_cte(sql, con, cte):
     kws = ("ON|USING|WHERE|GROUP|ORDER|JOIN|LEFT|RIGHT|INNER|CROSS|"
            "ANTI|SEMI|UNION|INTERSECT|EXCEPT|LIMIT|HAVING|"
            "FULL|ASOF|NATURAL|OUTER|WINDOW|QUALIFY|OFFSET|AS")
-    pat = (rf"\b(FROM|JOIN|,)(\s+){cte}\b"
+    # Prefix: `FROM name` / `JOIN name` with mandatory whitespace, or a
+    # comma with OPTIONAL whitespace on both sides (r13 advisory: the old
+    # `\b(FROM|JOIN|,)(\s+)` required a word char before the comma and
+    # whitespace after it, so `unnest(...) , cte` and `a,cte` escaped the
+    # rewrite AND the leftover assertion). `(?!\s*\.)` skips qualified
+    # column refs like `SELECT a, cte.col` — not a table position.
+    pat = (rf"(\b(?:FROM|JOIN)\s+|,\s*){cte}\b(?!\s*\.)"
            rf"(?:(\s+)(?!(?:{kws})\b)([A-Za-z_][A-Za-z0-9_]*))?")
 
     def _sub(m):
-        pre, ws, aws, alias = m.group(1), m.group(2), m.group(3), m.group(4)
+        pre, aws, alias = m.group(1), m.group(2), m.group(3)
         if alias:
-            return f"{pre}{ws}{cte}__mat{aws}{alias}"
-        return f"{pre}{ws}{cte}__mat {cte}"
+            return f"{pre}{cte}__mat{aws}{alias}"
+        return f"{pre}{cte}__mat {cte}"
     staged = re.sub(pat, _sub, rest, flags=re.IGNORECASE)
     # every remaining table-position reference must be gone; a bare
     # occurrence elsewhere (column name, string literal) is fine and was
@@ -144,7 +150,8 @@ def stage_cte(sql, con, cte):
     # the collision outright.
     assert cte.lower() not in TABLES, \
         f"--stage: CTE `{cte}` shadows a base table; rename the CTE"
-    leftover = re.search(rf"\b(FROM|JOIN|,)(\s+){cte}\b(?!__mat)", staged, re.IGNORECASE)
+    leftover = re.search(
+        rf"(?:\b(?:FROM|JOIN)\s+|,\s*){cte}\b(?!\s*\.)", staged, re.IGNORECASE)
     assert not leftover, f"--stage: unrewritten reference to `{cte}`"
     return staged
 

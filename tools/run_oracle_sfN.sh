@@ -48,8 +48,18 @@ for d in "$VOUT"/*/; do
   [ -e "$VOUT/$q/_SUCCESS" ] || [ -n "$(ls "$VOUT/$q"/*.parquet 2>/dev/null)" ] || continue
   spec=$(stage_for "$q")
   echo "--- $q: $(date -Is) free=$(df -h / | tail -1 | awk '{print $4}')" >> "$LOG"
-  python3 tools/check_oracle.py --pyuf --only="$q" ${spec:+--stage=$spec} \
-    "$SFDIR" "$VOUT" 2>&1 | grep -E "^(PASS|FAIL)" | tee -a "$LOG"
+  # r13 advisory: a checker that crashes before printing a verdict
+  # (stage-CTE assertion, OOM, traceback) must leave an explicit FAIL
+  # line, not a silent gap only visible as a PASS+FAIL total below n.
+  out=$(python3 tools/check_oracle.py --pyuf --only="$q" ${spec:+--stage=$spec} \
+    "$SFDIR" "$VOUT" 2>&1)
+  rc=$?
+  verdict=$(printf '%s\n' "$out" | grep -E "^(PASS|FAIL)")
+  if [ -z "$verdict" ]; then
+    verdict="FAIL $q: harness error (rc=$rc)"
+    printf '%s\n' "$out" | tail -15 >> "$LOG"
+  fi
+  printf '%s\n' "$verdict" | tee -a "$LOG"
   n=$((n + 1))
 done
 echo "=== sweep done: $n queries, $(grep -c '^PASS' "$LOG") PASS / $(grep -c '^FAIL' "$LOG") FAIL $(date -Is)" | tee -a "$LOG"
