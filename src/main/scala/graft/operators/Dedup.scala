@@ -51,7 +51,7 @@ object Dedup {
       |ELSE array() END""".stripMargin)
 
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
-    persistOnce(docs
+    persistOnce(graft.plans.Scale.spreadIfNarrow(docs)
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .select(col("doc_id"), explode(trigramsExpr).as("shingle"))
       .distinct())
@@ -67,7 +67,7 @@ object Dedup {
     * (dup-rate-proportional, not corpus-proportional — see
     * [[containmentSketch]]). */
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
-    persistOnce(docs
+    persistOnce(graft.plans.Scale.spreadIfNarrow(docs)
       .select(col("doc_id"), explode(expr("graft_trigram_h31(text)")).as("h"))
       .distinct())
 
@@ -78,7 +78,7 @@ object Dedup {
     * negligible at any corpus size — and the DuckDB oracles mirror the
     * same hash, so the gate compares identical computations. */
   private[graft] def hashed60ShinglesOf(docs: DataFrame): DataFrame =
-    persistOnce(docs
+    persistOnce(graft.plans.Scale.spreadIfNarrow(docs)
       .select(col("doc_id"), explode(expr("graft_trigram_h60(text)")).as("h"))
       .distinct())
 
@@ -1201,15 +1201,40 @@ object Dedup {
   /** The strip with its audit columns: one row per INPUT doc —
     * n_words (original), n_dropped, and the post-strip text. */
   private[graft] def stripReport(docs: DataFrame): DataFrame = {
-    // spans as graft_ngram_h60 codes (r13, same contract as d12): the
-    // persisted gram frame and the hot-span join carry 8-byte codes,
-    // not span strings — at 500k docs the persisted frame was 28.5M
-    // span STRINGS and owned most of d20's 40.9 s
-    val grams = docs.select(col("doc_id"),
-        posexplode(expr(s"graft_ngram_h60(text, $SpanWidth)")).as(Seq("i0", "g")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("g"))
-      .transform(persistOnce)
-    val hot = grams.select(col("doc_id"), col("g")).distinct()
+    // spans as graft_ngram_h60 codes (r13, same contract as d12): every
+    // stage shuffles 8-byte codes, never span strings. r14 drops the
+    // r13 persistOnce of the full (doc_id, i, g) frame: materializing
+    // ~57M gram rows cost more than the two map-only byte-walk scans
+    // that replace it, and the df pass now dedups WITHIN the row
+    // (array_distinct before the explode) so the document-frequency is
+    // ONE 1-level aggregate with map-side combine — no (doc_id, g)
+    // distinct shuffle feeding a second g shuffle. Single-shuffle
+    // alternatives were tried and rejected (PERF.md 14b): repartition-
+    // on-g + stage reuse — the optimizer pushes the semi-join below the
+    // repartition, the subtrees stop matching, and the reuse is lost;
+    // one collect_list(struct(doc_id,i))-per-gram aggregate — a
+    // universal boilerplate span becomes ONE row holding every
+    // occurrence in the corpus, the unbounded-group hazard s04 was
+    // rebuilt to avoid. Re-hashing the text on the second scan is the
+    // scale-safe trade: scans parallelize by split, the df shuffle
+    // stays 8 bytes/gram.
+    // spreadIfNarrow: a single-row-group documents file yields ONE
+    // split, so the md5 walk AND the 26M-key partial aggregate would
+    // run single-threaded (measured 28.7 s of d20's 34.7 at sf10full —
+    // PERF.md 14b); on any multi-split corpus the guard makes it a
+    // structural no-op
+    val spread = graft.plans.Scale.spreadIfNarrow(
+      docs.select(col("doc_id"), col("text")))
+    // repartition(g) + COMPLETE aggregate, not partial+final: gram keys
+    // are near-unique (28.51M grams → 26.3M distinct at sf10full), so
+    // map-side combine reduces nothing and its hash map IS the cost —
+    // measured 28.5 s partial+final vs 13.4 s shuffle-raw+complete
+    // before the spread, PERF.md 14b. Shuffle bytes are identical
+    // (8 B/gram either way).
+    val hot = spread
+      .select(explode(array_distinct(
+        expr(s"graft_ngram_h60(text, $SpanWidth)"))).as("g"))
+      .repartition(col("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") >= BoilerMinDocs).select(col("g"))
     // per-doc list of hot-span START positions; the per-position
@@ -1217,10 +1242,16 @@ object Dedup {
     // collect_list rebuild all collapsed into the graft_strip_spans
     // walk (r13) — they shuffled every word of every document to
     // reunite rows that never had to leave it. One narrow doc_id
-    // shuffle (the start lists) remains.
+    // shuffle (the start lists) remains; AQE broadcasts the df-filtered
+    // hot set so the position scan stays map-only, falling back to a
+    // shuffle join only if the corpus genuinely has a huge boilerplate
+    // vocabulary.
+    val grams = spread.select(col("doc_id"),
+        posexplode(expr(s"graft_ngram_h60(text, $SpanWidth)")).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("g"))
     val badStarts = grams.join(hot, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("starts"))
-    docs.join(badStarts, Seq("doc_id"), "left_outer")
+    spread.join(badStarts, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), expr(
         s"graft_strip_spans(text, coalesce(starts, array()), $SpanWidth)").as("r"))
       .select(col("doc_id"),
@@ -1281,6 +1312,33 @@ object Dedup {
     * threshold can never serve a stale artifact. */
   private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
     "labels_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
+
+  /** Edge-set table name — same defining-plan key discipline as labels. */
+  private[graft] def edgesArtifactName(spark: SparkSession, dir: String): String =
+    "edges_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
+
+  /** The exact-verified LSH edge set, served as a PERSISTED CATALOG
+    * ARTIFACT. Until r13 the edge derivation was recomputed by every
+    * consumer and its cost rode on persistOnce cache ORDER inside one
+    * JVM — d08 warmed the shingle/signature frames and s08's wall-clock
+    * depended on whether those caches were still resident (the r13
+    * sweep's one wrong-way row: s08 5.0→10.5 s at sf10full on identical
+    * digests). Materializing the edges themselves makes the cost a
+    * CONTRACT: the band joins + exact verification run once per corpus,
+    * and every consumer — d08's label build, s08's cross-modal audit,
+    * any future pair consumer — reads the same small parquet table.
+    * Serving is value-identical to recomputing (the derivation is
+    * deterministic; every consumer aggregates or re-sorts, so file row
+    * order is immaterial) and the DuckDB oracle still re-derives the
+    * full edge set per query. */
+  private[graft] def persistedLshEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, edgesArtifactName(spark, dir)) {
+      lshEdges(spark, dir)
+    }
+
+  /** Test hook: drop the persisted edge artifact (entry + files). */
+  private[graft] def clearEdgesCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, edgesArtifactName(spark, dir))
 
   // ---------------------------------------------------------------------
   // Persisted DEDUP INDEX artifacts (VERDICT r7 task 2): the per-doc
@@ -1349,7 +1407,11 @@ object Dedup {
     * the full recursive clustering per query. */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.servePersisted(spark, labelsArtifactName(spark, dir)) {
-      minLabelComponents(lshEdges(spark, dir))
+      // build from the served EDGE artifact: a cold label build pays one
+      // edge derivation (shared with s08 and any other pair consumer),
+      // not its own — and the propagation loop reads a compact parquet
+      // pair table instead of re-running band joins per iteration seed
+      minLabelComponents(persistedLshEdges(spark, dir))
     }
 
   /** Test hook: drop the persisted label artifact (entry + files) to

@@ -429,7 +429,10 @@ object Similarity {
   def s08CrossmodalAudit(spark: SparkSession, dir: String): DataFrame = {
     val v = normed(spark, dir)
     val cos = expr(dotExpr.format("ea", "eb")) / (col("na") * col("nb"))
-    Dedup.lshEdges(spark, dir)
+    // r14: the pair set is the PERSISTED edge artifact (shared with the
+    // d08 label build), not a per-query re-derivation — s08's cost no
+    // longer depends on which d-family caches happen to be resident
+    Dedup.persistedLshEdges(spark, dir)
       .join(v.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
         col("nrm").as("na"), col("label").as("label_a")), Seq("doc_a"))
       .join(v.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),

@@ -117,6 +117,46 @@ object Scale {
     }.mkString("\n").hashCode
   }
 
+  /** Spread a pathologically under-split scan across the session's
+    * parallelism before CPU-heavy per-row work (md5 window walks and
+    * their in-stage partial aggregates). A parquet file written as one
+    * row group yields ONE input split no matter how large — locally the
+    * entire walk + partial aggregate then runs single-threaded (the
+    * sf10full documents file: PERF.md 13c/14b, d20's 21 s df-aggregate
+    * wall). This is the standard Spark idiom for unsplittable inputs
+    * (one big gzip/row-group file → repartition after read), GUARDED so
+    * it is a structural no-op exactly where it should be: on any real
+    * multi-split corpus (a 100 TB table has thousands of splits, so
+    * `parts*2 > target` and no exchange is added), firing only when the
+    * scan has less than half the session's parallelism. Costs one
+    * round-robin shuffle of the projected columns when it fires —
+    * project BEFORE spreading. */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    // non-file frames (constructed Datasets, streams) already carry the
+    // parallelism of whatever produced them — nothing to fix here
+    if (files.isEmpty) return df
+    // many files → plenty of real splits; never touch footers at scale
+    if (files.length >= target) return df
+    // few files: byte-range split counts LIE for parquet — a 67 MB file
+    // written as one row group planned 17 splits but only the split
+    // holding the row group does any work (PERF.md 14b). The row-group
+    // count is the true upper bound on scan parallelism, and with <
+    // `target` files reading their footers is a bounded metadata read.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val groups = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      } catch { case _: Exception => Int.MaxValue / 1024 } // non-parquet: assume splittable
+    }.sum
+    if (groups * 2 <= target) df.repartition(target) else df
+  }
+
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on
     * the map side is not expressible declaratively, so we use the

@@ -787,6 +787,7 @@ class OperatorSemanticsSpec extends SparkSpec {
 
   test("cluster-label cache: a cached serve is bit-identical to the cold build") {
     Dedup.clearLabelsCache(spark, sf)
+    Dedup.clearEdgesCache(spark, sf) // truly cold: edge artifact rebuilt too
     def snap() = Dedup.d08LshClusters(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_keeper"))).toSeq

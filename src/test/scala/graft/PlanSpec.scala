@@ -318,6 +318,25 @@ class PlanSpec extends SparkSpec {
       s"s09 lost the partial (per-partition) rank stage:\n$plan")
   }
 
+  test("s08: the audit reads the PERSISTED edge artifact — never a per-query edge re-derivation") {
+    // r13's one wrong-way sweep row: s08's cost rode on whether d08's
+    // persistOnce caches were still resident in the JVM. The contract is
+    // now structural — the pair set is the served edges_* parquet table,
+    // so the plan must scan the artifact db and contain none of the edge
+    // DERIVATION machinery (minhash posexplode, band aggregate).
+    val df = Similarity.s08CrossmodalAudit(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains(graft.sources.Artifacts.Db) && physical.contains("edges_"),
+      s"pair set must come from the persisted edge artifact:\n$physical")
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected pair blowup:\n$plan")
+    // with the artifact, s08 touches documents only THROUGH the edge
+    // table: no scan of the raw corpus (shingle/minhash machinery) left
+    assert(!physical.contains("documents.parquet"),
+      s"edge derivation must not be re-run inside s08:\n$physical")
+  }
+
   test("d11: the pair-count joins against the tiny size table broadcast") {
     val plan = formatted(Dedup.d11SourceOverlap(spark, sf))
     assert(plan.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 2,
