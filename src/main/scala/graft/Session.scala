@@ -27,6 +27,17 @@ object Session {
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
   def maxPartitionBytes: String =
     sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
+  /** Dimension-broadcast ceiling. Default = Spark's 10 MB; raise to a
+    * memory-budgeted fraction of executor heap on big-memory nodes so
+    * star-join dims keep broadcasting as they grow (PERF.md 14d: q12 at
+    * 150M orders degrades to five chained fact-sized sort-merge joins —
+    * >56 GB of spill — when 15M-row dims stop fitting under 10 MB; at
+    * 512 MB the dims broadcast and the fact is read once). Past the
+    * point where dims outgrow ANY sane threshold, the co-bucketed
+    * layout (sources/Ingest writeBucketed + cojoin) is the shuffle-free
+    * path. */
+  def broadcastThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10485760")
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
@@ -36,6 +47,7 @@ object Session {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

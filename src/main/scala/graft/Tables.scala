@@ -41,6 +41,18 @@ object Tables {
     conform(spark.read.parquet(path), name, path)
   }
 
+  /** [[load]] + [[graft.plans.Scale.spreadIfNarrow]] — for operators
+    * whose per-row CPU (md5 window walks, byte scanners, 64-dim dot
+    * products) dwarfs the scan itself. A single-row-group parquet file
+    * yields ONE effective split no matter its size, pinning the whole
+    * walk to one task locally (PERF.md 14b); the spread repartitions to
+    * session parallelism exactly when the footer row-group count says
+    * the scan can't parallelize, and is a structural no-op on any real
+    * multi-split corpus. Wrappers opt in per operator — cheap
+    * projections keep the bare scan. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.plans.Scale.spreadIfNarrow(load(spark, dir, name))
+
   // -------------------------------------------------------------------
   // Load-time schema contract (VERDICT r10 task 4). Round 9 lost 15
   // queries to ONE table's parquet logical-type change surfacing as a

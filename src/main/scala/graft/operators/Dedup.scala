@@ -478,7 +478,10 @@ object Dedup {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
   private[operators] def normed(spark: SparkSession, dir: String): DataFrame =
-    normedOf(Tables.load(spark, dir, "embeddings"))
+    // spread-aware: every consumer pays a 64-dim dot product (or many)
+    // per row, and a single-row-group embeddings file would pin that CPU
+    // to one task (PERF.md 14b); no-op on real multi-split corpora
+    normedOf(Tables.loadSpread(spark, dir, "embeddings"))
 
   private[operators] def normedOf(vecs: DataFrame): DataFrame =
     vecs

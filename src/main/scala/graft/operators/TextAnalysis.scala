@@ -76,7 +76,7 @@ object TextAnalysis {
   }
 
   def t01LanguageId(spark: SparkSession, dir: String): DataFrame =
-    languageId(Tables.load(spark, dir, "documents"))
+    languageId(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t02 — quality scoring: length/word-shape/stopword-ratio heuristics.
@@ -121,7 +121,7 @@ object TextAnalysis {
   }
 
   def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScore(Tables.load(spark, dir, "documents"))
+    qualityScore(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t03 — token counting: whitespace tokens, a BPE-ish regex token count
@@ -148,7 +148,7 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
 
   def t03TokenCounts(spark: SparkSession, dir: String): DataFrame =
-    tokenCounts(Tables.load(spark, dir, "documents"))
+    tokenCounts(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t04 — document fingerprinting: rolling word-4-gram window hashes
@@ -181,7 +181,7 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprint(Tables.load(spark, dir, "documents"))
+    fingerprint(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t05 — deterministic hash sampling: a 10% document sample keyed on the
@@ -279,7 +279,7 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
 
   def t08Repetition(spark: SparkSession, dir: String): DataFrame =
-    repetition(Tables.load(spark, dir, "documents"))
+    repetition(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t09 — distinctive terms per document: rank each document's words by
@@ -334,7 +334,7 @@ object TextAnalysis {
   /** The raw sketch-beside-exact aggregate; OperatorSemanticsSpec pins
     * the estimate's relative error on this frame directly. */
   private[graft] def t10Raw(spark: SparkSession, dir: String): DataFrame =
-    sketchCardinalityRaw(Tables.load(spark, dir, "documents"))
+    sketchCardinalityRaw(Tables.loadSpread(spark, dir, "documents"))
 
   private def sketchCardinalityRaw(docs: DataFrame): DataFrame =
     docs
@@ -354,7 +354,7 @@ object TextAnalysis {
       .orderBy(col("source").asc)
 
   def t10SketchCardinality(spark: SparkSession, dir: String): DataFrame =
-    sketchCardinality(Tables.load(spark, dir, "documents"))
+    sketchCardinality(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t11 — PII detection + redaction: per-doc counts of email / phone /
@@ -413,7 +413,7 @@ object TextAnalysis {
     * doc_id % 3 == 0 get a synthetic contact sentence. Augmentation is
     * TEST DATA — it lives here, not in [[piiScan]]. */
   def t11PiiScan(spark: SparkSession, dir: String): DataFrame =
-    piiScan(Tables.load(spark, dir, "documents")
+    piiScan(Tables.loadSpread(spark, dir, "documents")
       .withColumn("text", expr(piiAugSql)))
 
   // ---------------------------------------------------------------------
@@ -577,7 +577,7 @@ object TextAnalysis {
       .orderBy(col("source").asc)
 
   def t15VocabGrowth(spark: SparkSession, dir: String): DataFrame =
-    vocabGrowth(Tables.load(spark, dir, "documents"))
+    vocabGrowth(Tables.loadSpread(spark, dir, "documents"))
 
   // ---------------------------------------------------------------------
   // t16 — corpus length card: per (source, decimal magnitude of
@@ -647,7 +647,7 @@ object TextAnalysis {
     * doc_id % 11 == 0 get control bytes appended. Augmentation is TEST
     * DATA — it lives here, not in [[encodingAudit]]. */
   def t17EncodingAudit(spark: SparkSession, dir: String): DataFrame =
-    encodingAudit(Tables.load(spark, dir, "documents")
+    encodingAudit(Tables.loadSpread(spark, dir, "documents")
       .withColumn("text", expr(encAugSql)))
 
   // ---------------------------------------------------------------------
@@ -684,7 +684,7 @@ object TextAnalysis {
   }
 
   def t18FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
-    freqSpectrum(Tables.load(spark, dir, "documents"))
+    freqSpectrum(Tables.loadSpread(spark, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_freq_spectrum" -> t18FreqSpectrum _,

@@ -14,6 +14,19 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Map-only-walk pin, r14 form: the only exchanges allowed are the
+    * spreadIfNarrow ROUNDROBIN (fires on narrow fixture/single-row-group
+    * files, structural no-op on real multi-split corpora — PERF.md 14b)
+    * and the final ORDER BY's RANGE partitioning. Any hashpartitioning
+    * exchange means the per-row work started keying data — the scale
+    * hazard these pins exist to catch. */
+  private def assertOnlySpreadAndSortExchanges(plan: String, msg: String): Unit = {
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"$msg (hashpartitioning exchange found):\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"$msg ($exchanges exchanges):\n${plan.take(2000)}")
+  }
+
   test("q01: status filter is pushed into the orders parquet scan") {
     val plan = formatted(CartAnalytics.q01TopAbandonedParts(spark, sf))
     assert(plan.contains("PushedFilters:") &&
@@ -63,11 +76,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair:\n$plan")
   }
 
-  test("t03: token counting is map-only — no exchange in the plan before the sort") {
+  test("t03: token counting is map-only — no KEY shuffle before the sort") {
     val plan = formatted(TextAnalysis.t03TokenCounts(spark, sf))
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    // one rangepartitioning exchange for the final ORDER BY is allowed
-    assert(exchanges <= 2, s"per-row projection must not shuffle:\n$plan")
+    // allowed: ONE roundrobin exchange (spreadIfNarrow on the tiny
+    // fixture file, a no-op on real multi-split corpora — PERF.md 14b)
+    // and the final ORDER BY's rangepartitioning. A hashpartitioning
+    // exchange would mean the per-row projection started keying data —
+    // that is the scale hazard this pin exists to catch.
+    assertOnlySpreadAndSortExchanges(plan, "per-row projection must not key-shuffle")
   }
 
   test("t04: fingerprint is map-only — no aggregate, only the result-sort exchange") {
@@ -75,10 +91,9 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate") &&
       !plan.contains("SortAggregate"),
       s"per-doc folds must be array expressions, not a groupBy:\n${plan.take(2000)}")
-    // formatted explain prints each node twice (tree + detail), so the one
-    // allowed rangepartitioning exchange for the final ORDER BY counts as 2
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 2, s"only the final ORDER BY may shuffle (narrow rows):\n${plan.take(2000)}")
+    // only the spreadIfNarrow roundrobin (fires on the tiny fixture
+    // file; no-op at scale) and the final ORDER BY's range exchange
+    assertOnlySpreadAndSortExchanges(plan, "only spread + final ORDER BY may shuffle")
   }
 
   test("d03: persisted signature table is served from cache (InMemoryTableScan)") {
@@ -284,11 +299,10 @@ class PlanSpec extends SparkSpec {
       s"L-row centroid pairing should broadcast:\n$plan")
   }
 
-  test("t11: PII scan is map-only — regex work fuses into the scan, no shuffle before the sort") {
+  test("t11: PII scan is map-only — regex work fuses into the scan, no key shuffle") {
     val plan = formatted(TextAnalysis.t11PiiScan(spark, sf))
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    // like t03: only the final ORDER BY's range exchange is allowed
-    assert(exchanges <= 2, s"per-row regex projection must not shuffle:\n$plan")
+    // like t03: spread roundrobin + the final ORDER BY's range exchange
+    assertOnlySpreadAndSortExchanges(plan, "per-row scan projection must not key-shuffle")
   }
 
   test("d09: apply composes semi + anti joins, no cartesian") {
