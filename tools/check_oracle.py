@@ -228,25 +228,70 @@ for name in sorted(oracle):
         print(f"FAIL {name}: row counts differ: oracle={len(exp)} spark={len(got)}")
         n_fail += 1
         continue
-    # exact compare in row order, then sorted
+    # exact compare in row order, then sorted. Two regimes:
+    #  - ≤ HASHCMP_ROWS: the original astype(str) frame compare (exact,
+    #    and FAIL diagnostics can print the differing rows).
+    #  - above it: astype(str) materializes ~2 frames of Python strings
+    #    (the 95M-row e01 mirror at sf100star burned >40 single-threaded
+    #    CPU-minutes; 150M-row q25 would OOM) — switch to vectorized
+    #    row hashing (pandas hash_pandas_object) after normalizing
+    #    integer/float/datetime dtypes so physical-width differences
+    #    (int32 vs int64, us vs ns) don't fail value-equal frames. A
+    #    64-bit row-hash collision masking a real diff is ~2⁻⁶⁴·rows —
+    #    the d17 caveat class, documented here.
+    HASHCMP_ROWS = int(__import__("os").environ.get("GRAFT_HASHCMP_ROWS", 20_000_000))
     def canon(df):
         return df.fillna("\x00NULL").astype(str)
-    ordered_eq = canon(exp).equals(canon(got))
-    se = canon(exp).sort_values(by=list(exp.columns)).reset_index(drop=True)
-    sg = canon(got).sort_values(by=list(got.columns)).reset_index(drop=True)
-    sorted_eq = se.equals(sg)
+    def hashcanon(df):
+        import datetime
+        out = {}
+        for c in df.columns:
+            s = df[c]
+            k = s.dtype.kind
+            if k in "iu":
+                s = s.astype("int64")
+            elif k == "f":
+                s = s.astype("float64")
+            elif k == "M":
+                s = s.astype("datetime64[us]")
+            elif k == "O":
+                # parquet DATE loads as datetime.date OBJECTS while
+                # DuckDB's .df() gives datetime64 — same value, different
+                # physical type; normalize dates to datetime64[us] and
+                # any other object column to its string form
+                nn = s.dropna()
+                if len(nn) and isinstance(nn.iloc[0], datetime.date):
+                    s = pd.to_datetime(s).astype("datetime64[us]")
+                else:
+                    s = s.astype(str)
+            out[c] = s
+        return pd.util.hash_pandas_object(pd.DataFrame(out), index=False)
+    if len(exp) > HASHCMP_ROWS:
+        he, hg = hashcanon(exp).to_numpy(), hashcanon(got).to_numpy()
+        ordered_eq = bool((he == hg).all())
+        import numpy as np
+        sorted_eq = ordered_eq or bool((np.sort(he) == np.sort(hg)).all())
+        se = sg = None
+    else:
+        ordered_eq = canon(exp).equals(canon(got))
+        se = canon(exp).sort_values(by=list(exp.columns)).reset_index(drop=True)
+        sg = canon(got).sort_values(by=list(got.columns)).reset_index(drop=True)
+        sorted_eq = se.equals(sg)
     if sorted_eq:
         tag = "PASS" if ordered_eq else "PASS(sorted-only; row order differs)"
+        if len(exp) > HASHCMP_ROWS:
+            tag += "(hashcmp)"
         print(f"{tag} {name} ({len(exp)} rows)")
         n_pass += 1
     else:
         print(f"FAIL {name}: values differ")
-        diff = (se != sg)
-        bad = diff.any(axis=1)
-        idx = se.index[bad][:5]
-        for i in idx:
-            print(f"  row {i}: oracle={se.loc[i].to_dict()}")
-            print(f"          spark ={sg.loc[i].to_dict()}")
+        if se is not None:
+            diff = (se != sg)
+            bad = diff.any(axis=1)
+            idx = se.index[bad][:5]
+            for i in idx:
+                print(f"  row {i}: oracle={se.loc[i].to_dict()}")
+                print(f"          spark ={sg.loc[i].to_dict()}")
         n_fail += 1
 print(f"\n{n_pass} pass / {n_fail} fail")
 sys.exit(1 if n_fail else 0)
