@@ -131,6 +131,15 @@ object Scale {
     * scan has less than half the session's parallelism. Costs one
     * round-robin shuffle of the projected columns when it fires —
     * project BEFORE spreading. */
+  /** Below this much total input, the spread's extra shuffle + 32-task
+    * scheduling costs more than single-task CPU saves: the r14 sf0.1
+    * sweep (5 MB corpus) paid a systematic ~0.2-0.4 s per spread query
+    * with nothing to amortize it, while every ≥15 MB corpus won
+    * (t04 sf1 1.61→0.97 s, sf10full 13.2→~3 s). Env-overridable like
+    * the session's other scale knobs. */
+  private[graft] val SpreadMinBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES").map(_.toLong).getOrElse(4L << 20)
+
   private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -144,18 +153,34 @@ object Scale {
     // written as one row group planned 17 splits but only the split
     // holding the row group does any work (PERF.md 14b). The row-group
     // count is the true upper bound on scan parallelism, and with <
-    // `target` files reading their footers is a bounded metadata read.
+    // `target` files reading their footers is a bounded metadata read —
+    // MEMOIZED per (path, length, mtime): plan construction runs this
+    // helper many times per query (artifact keys re-derive defining
+    // plans), and un-memoized footer opens cost the r14 sf0.1 sweep a
+    // diffuse ~0.3-1 s on every shingle-family row.
     val conf = spark.sparkContext.hadoopConfiguration
+    var bytes = 0L
     val groups = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRowGroups.size finally r.close()
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        bytes += st.getLen
+        footerMemo.getOrElseUpdate((f, st.getLen, st.getModificationTime), {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        })
       } catch { case _: Exception => Int.MaxValue / 1024 } // non-parquet: assume splittable
     }.sum
-    if (groups * 2 <= target) df.repartition(target) else df
+    if (bytes >= SpreadMinBytes && groups * 2 <= target) df.repartition(target)
+    else df
   }
+
+  /** (path, length, mtime) → row-group count; stale entries self-evict
+    * by key (a rewritten file has a new length/mtime key). */
+  private val footerMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Int]
 
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on
