@@ -143,12 +143,53 @@ object Scale {
   private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    // The DECISION is memoized per source root (r14: the un-memoized
+    // probe cost the sf0.1 sweep a diffuse ~0.3-1 s on every
+    // shingle-family row — these operators re-derive defining plans for
+    // artifact keys and d06's propagation loop constructs plans per
+    // iteration, so this helper runs MANY times per query; each
+    // un-memoized call re-lists the scan's files and stats each one).
+    // Keying on the scan's ROOT paths costs no FS access at all —
+    // they're already resolved in the relation. A memoized decision can
+    // go stale if the file is overwritten in place mid-JVM, but the
+    // decision is PERFORMANCE-ONLY (repartition or not — values are
+    // identical either way, unlike probeMemo's skew counts which gate a
+    // branch choice), so JVM-lifetime staleness is acceptable and
+    // documented.
+    val roots = sourceRoots(df)
+    val memoKey = if (roots.isEmpty) null else roots.sorted.mkString("\n")
+    if (memoKey != null) spreadDecisionMemo.get(memoKey) match {
+      case Some(n) => return if (n > 0) df.repartition(n) else df
+      case None    => ()
+    }
+    val n = spreadTarget(df, target)
+    if (memoKey != null) spreadDecisionMemo.putIfAbsent(memoKey, n)
+    if (n > 0) df.repartition(n) else df
+  }
+
+  /** Root paths of every file relation in `df`'s plan — resolved at
+    * read time, so collecting them costs no FS access. Empty for
+    * constructed/streaming frames. */
+  private def sourceRoots(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _                   => Seq.empty[String]
+      }
+    }.flatten
+  }
+
+  /** Probe the scan's true parallelism; >0 = repartition to that many
+    * partitions, 0 = leave alone. One FS-metadata pass; footer reads
+    * memoized per (path, length, mtime). */
+  private def spreadTarget(df: DataFrame, target: Int): Int = {
     val files = df.inputFiles
     // non-file frames (constructed Datasets, streams) already carry the
     // parallelism of whatever produced them — nothing to fix here
-    if (files.isEmpty) return df
+    if (files.isEmpty) return 0
     // many files → plenty of real splits; never touch footers at scale
-    if (files.length >= target) return df
+    if (files.length >= target) return 0
     // few files: byte-range split counts LIE for parquet — a 67 MB file
     // written as one row group planned 17 splits but only the split
     // holding the row group does any work (PERF.md 14b). The row-group
@@ -158,7 +199,7 @@ object Scale {
     // helper many times per query (artifact keys re-derive defining
     // plans), and un-memoized footer opens cost the r14 sf0.1 sweep a
     // diffuse ~0.3-1 s on every shingle-family row.
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     var bytes = 0L
     val groups = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -173,14 +214,22 @@ object Scale {
         })
       } catch { case _: Exception => Int.MaxValue / 1024 } // non-parquet: assume splittable
     }.sum
-    if (bytes >= SpreadMinBytes && groups * 2 <= target) df.repartition(target)
-    else df
+    if (bytes >= SpreadMinBytes && groups * 2 <= target) target else 0
   }
 
   /** (path, length, mtime) → row-group count; stale entries self-evict
     * by key (a rewritten file has a new length/mtime key). */
   private val footerMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Int]
+
+  /** sorted-source-roots → spread decision (0 = no-op, n>0 = repartition
+    * to n). JVM-lifetime; performance-only staleness (see
+    * [[spreadIfNarrow]]). Tests that rewrite a path in place can
+    * [[clearSpreadMemo]]. */
+  private val spreadDecisionMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private[graft] def clearSpreadMemo(): Unit = spreadDecisionMemo.clear()
 
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on

@@ -206,4 +206,38 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() === orders.join(lines, Seq("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("spreadIfNarrow: fires on a big single-row-group file, memoizes the " +
+      "decision per source root (performance-only staleness)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    val path = s"$dir/docs.parquet"
+    val target = spark.sparkContext.defaultParallelism
+    // ~12 MB of incompressible hex in one file → one row group (default
+    // 128 MB row-group size); repeated-char text would snappy-compress
+    // below the 4 MB floor
+    spark.range(2000)
+      .select($"id", expr(
+        "concat_ws('', transform(sequence(1, 200), i -> md5(concat(id, '-', i))))").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    Scale.clearSpreadMemo()
+    val spread1 = Scale.spreadIfNarrow(spark.read.parquet(path))
+    assert(spread1.rdd.getNumPartitions === target,
+      "big single-row-group scan must spread to session parallelism")
+    // memo hit on a FRESH read of the same root: same decision
+    val spread2 = Scale.spreadIfNarrow(spark.read.parquet(path))
+    assert(spread2.rdd.getNumPartitions === target)
+    // documented JVM-lifetime staleness: overwriting the source in place
+    // keeps serving the old decision (harmless — perf-only) ...
+    spark.range(10).select($"id", lit("t").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val stale = Scale.spreadIfNarrow(spark.read.parquet(path))
+    assert(stale.rdd.getNumPartitions === target,
+      "memoized decision expected until clearSpreadMemo")
+    // ... and clearing the memo re-probes: tiny file → below the 4 MB
+    // floor → structural no-op
+    Scale.clearSpreadMemo()
+    val fresh = spark.read.parquet(path)
+    val noop = Scale.spreadIfNarrow(fresh)
+    assert(noop eq fresh, "sub-floor scan must be left untouched")
+  }
 }
