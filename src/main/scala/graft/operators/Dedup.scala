@@ -1314,11 +1314,11 @@ object Dedup {
     * the semantic hash of the edge derivation, so a changed LSH layout or
     * threshold can never serve a stale artifact. */
   private[graft] def labelsArtifactName(spark: SparkSession, dir: String): String =
-    "labels_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
+    "labels_" + graft.sources.Artifacts.keyFor(spark, dir, "labels")(lshEdges(spark, dir))
 
   /** Edge-set table name — same defining-plan key discipline as labels. */
   private[graft] def edgesArtifactName(spark: SparkSession, dir: String): String =
-    "edges_" + graft.sources.Artifacts.key(spark, dir, lshEdges(spark, dir))
+    "edges_" + graft.sources.Artifacts.keyFor(spark, dir, "edges")(lshEdges(spark, dir))
 
   /** The exact-verified LSH edge set, served as a PERSISTED CATALOG
     * ARTIFACT. Until r13 the edge derivation was recomputed by every
@@ -1371,11 +1371,11 @@ object Dedup {
     * corpus or a changed shingle/signature derivation misses and
     * rebuilds, never serves stale. */
   private[graft] def dedupIndexArtifactName(spark: SparkSession, dir: String): String =
-    "dedupsig_" + graft.sources.Artifacts.key(spark, dir,
+    "dedupsig_" + graft.sources.Artifacts.keyFor(spark, dir, "dedupsig")(
       dedupIndexOf(Tables.load(spark, dir, "documents")))
 
   private[graft] def shingleArtifactName(spark: SparkSession, dir: String): String =
-    "shingles_" + graft.sources.Artifacts.key(spark, dir,
+    "shingles_" + graft.sources.Artifacts.keyFor(spark, dir, "shingles")(
       shinglesOf(Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))))
 
   /** The per-doc signature index, served as a persisted catalog

@@ -189,7 +189,7 @@ object Similarity {
     * semantic hash of the (unrolled, lazy) training plan, so a changed K,
     * iteration count, or seed rule can never serve a stale index. */
   private[graft] def centroidsArtifactName(spark: SparkSession, dir: String): String =
-    "cents_" + graft.sources.Artifacts.key(spark, dir, computeTrainedCentroids(spark, dir))
+    "cents_" + graft.sources.Artifacts.keyFor(spark, dir, "cents")(computeTrainedCentroids(spark, dir))
 
   /** Trained IVF centroids, served as a PERSISTED CATALOG ARTIFACT: an
     * IVF deployment builds its index ONCE per corpus and serves every
@@ -575,7 +575,7 @@ object Similarity {
     * (ids, a label string, and a round(·,6) double — parquet stores the
     * double bit-identically), so serve ≡ rebuild row-for-row. */
   private[graft] def knnArtifactName(spark: SparkSession, dir: String): String =
-    "knng_" + graft.sources.Artifacts.key(spark, dir, knnGraphRanked(spark, dir))
+    "knng_" + graft.sources.Artifacts.keyFor(spark, dir, "knng")(knnGraphRanked(spark, dir))
 
   private[graft] def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.servePersisted(spark, knnArtifactName(spark, dir)) {
@@ -635,7 +635,7 @@ object Similarity {
     * changed K / bucket rule / threshold can never serve stale
     * components. */
   private[graft] def knnLabelsArtifactName(spark: SparkSession, dir: String): String =
-    "knnl_" + graft.sources.Artifacts.key(spark, dir, knnGraphRanked(spark, dir))
+    "knnl_" + graft.sources.Artifacts.keyFor(spark, dir, "knnl")(knnGraphRanked(spark, dir))
 
   /** Test hook: drop the persisted component labels. */
   private[graft] def clearKnnLabelsCache(spark: SparkSession, dir: String): Unit =
@@ -755,7 +755,7 @@ object Similarity {
     * serve stale verdicts. Columns are exact (ids + a status string — no
     * floats), so the parquet round-trip is bit-identical to recompute. */
   private[graft] def semVerdictsArtifactName(spark: SparkSession, dir: String): String =
-    "semv_" + graft.sources.Artifacts.key(spark, dir, s12Semdedup(spark, dir))
+    "semv_" + graft.sources.Artifacts.keyFor(spark, dir, "semv")(s12Semdedup(spark, dir))
 
   private[graft] def semVerdicts(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.servePersisted(spark, semVerdictsArtifactName(spark, dir)) {

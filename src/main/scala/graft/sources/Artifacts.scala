@@ -149,8 +149,39 @@ object Artifacts {
     * every fresh JVM a different key and silently defeat cross-JVM
     * artifact reuse (observed: five labels_* tables for one corpus). */
   def key(spark: SparkSession, dir: String, defining: DataFrame): String =
-    s"${md5hex(dir).take(10)}_${corpusFingerprint(spark, dir).take(8)}_" +
+    keyOf(dir, corpusFingerprint(spark, dir), defining)
+
+  private def keyOf(dir: String, fp: String, defining: DataFrame): String =
+    s"${md5hex(dir).take(10)}_${fp.take(8)}_" +
       md5hex(defining.queryExecution.analyzed.canonicalized.toString).take(8)
+
+  /** [[key]] with the defining-plan construction MEMOIZED per
+    * (kind, dir, corpus fingerprint). The fingerprint is recomputed on
+    * every call — one FS metadata walk, which is what keeps the
+    * documented staleness contract (a corpus regenerated in place
+    * changes the fingerprint, so it misses and re-derives) — but the
+    * expensive part, constructing + analyzing + canonicalizing the full
+    * defining derivation tree, runs once per corpus state per JVM.
+    * Within one JVM the code is fixed, so (kind, dir, content) fully
+    * determines the defining plan; cross-JVM artifact reuse is
+    * untouched because the derived key is byte-identical to [[key]]'s.
+    * `kind` must be unique per artifact FAMILY (edges/labels/...) —
+    * two families over the same corpus may legitimately share one
+    * defining plan (labels and edges both key on the edge derivation)
+    * and still need their own memo rows.
+    *
+    * Measured (r14): every d/s-family consumer re-derived its defining
+    * plan per query — a diffuse ~0.1-0.8 s per artifact-served row at
+    * sf0.1 (PERF.md 14c's plan-construction tax), all of it skippable
+    * because the key is fully determined by (kind, content). */
+  def keyFor(spark: SparkSession, dir: String, kind: String)(
+      defining: => DataFrame): String = {
+    val fp = corpusFingerprint(spark, dir)
+    keyMemo.getOrElseUpdate((kind, dir, fp), keyOf(dir, fp, defining))
+  }
+
+  private val keyMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   /** Content fingerprint of a data dir: md5 over the sorted recursive
     * file listing (path, length, mtime). A directory listing — not a

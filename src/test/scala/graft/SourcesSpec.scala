@@ -588,4 +588,30 @@ class SourcesSpec extends SparkSpec {
     assert(graft.operators.CartSql.q01Sql(spark, dir).count() > 0,
       "q01 SQL reads lineitem+orders; a broken part file must not block it")
   }
+
+  test("Artifacts.keyFor memoizes the defining-plan construction per corpus " +
+      "state and re-derives when the corpus is rewritten in place") {
+    import graft.sources.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyfor").toString
+    spark.range(100).toDF("doc_id").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    var built = 0
+    def defining() = { built += 1; spark.read.parquet(s"$dir/documents.parquet") }
+    val k1 = Artifacts.keyFor(spark, dir, "keyfor-spec")(defining())
+    val k2 = Artifacts.keyFor(spark, dir, "keyfor-spec")(defining())
+    assert(k1 === k2 && built === 1,
+      s"second call must serve the memo without re-constructing the defining plan (built=$built)")
+    // byte-identical to the un-memoized key derivation (cross-JVM reuse)
+    assert(k1 === Artifacts.key(spark, dir, spark.read.parquet(s"$dir/documents.parquet")))
+    // a DIFFERENT kind over the same corpus gets its own memo row
+    val kOther = Artifacts.keyFor(spark, dir, "keyfor-spec-2")(defining())
+    assert(built === 2 && kOther === k1,
+      "same defining plan under another kind re-derives once, same key value")
+    // rewriting the corpus in place must MISS (the stale-serve hole):
+    // ensure a different mtime even on coarse-granularity filesystems
+    Thread.sleep(1100)
+    spark.range(101).toDF("doc_id").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val k3 = Artifacts.keyFor(spark, dir, "keyfor-spec")(defining())
+    assert(built === 3 && k3 != k1,
+      "a rewritten corpus must re-derive and change the key")
+  }
 }
