@@ -478,10 +478,15 @@ object Dedup {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
   private[operators] def normed(spark: SparkSession, dir: String): DataFrame =
-    // spread-aware: every consumer pays a 64-dim dot product (or many)
-    // per row, and a single-row-group embeddings file would pin that CPU
-    // to one task (PERF.md 14b); no-op on real multi-split corpora
-    normedOf(Tables.loadSpread(spark, dir, "embeddings"))
+    // NOT spread (r14 A/B, PERF.md 14f): unlike the doc-side walk
+    // wrappers, no embeddings consumer is a map-only scan — every one
+    // either shuffles by cell/bucket right after (d05, s02/s03) or is
+    // bottlenecked elsewhere (s01 sf10full: 7.38 s spread vs 7.36 s
+    // unspread), so the spread's round-robin shuffle of the vectors was
+    // pure overhead (d05 sf1: +1-3 s, the one real r14 sweep
+    // regression). Single-row-group parallelism for these paths comes
+    // from the cell-keyed exchange they already contain.
+    normedOf(Tables.load(spark, dir, "embeddings"))
 
   private[operators] def normedOf(vecs: DataFrame): DataFrame =
     vecs
