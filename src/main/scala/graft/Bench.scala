@@ -18,7 +18,11 @@ package graft
   *     contract is ~3× any steady-state row in PERF.md) gets up to two
   *     extra runs — contention passes, a genuinely slow plan stays slow;
   *   - per-query row counts under "rows" so a silently-empty result can
-  *     never bench fast.
+  *     never bench fast;
+  *   - per-query executor CPU seconds under "cpu_s" (+ "cpu_runs",
+  *     suite "cpu_value") via [[CpuMeter]] — the stall-immune
+  *     round-over-round comparator (r14 verdict task 1): host stalls
+  *     inflate wall, not task CPU.
   */
 object Bench {
   /** Min above this triggers extra runs: every PERF.md steady-state row
@@ -33,6 +37,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get("graft-bench")
+    CpuMeter.install(spark) // per-query executor CPU: the stall-immune comparator
     val loadBefore = loadavg()
     // untimed warm-up at the smallest sf: JIT + codegen-cache + catalog
     // warm, so timed numbers reflect steady-state per-query cost
@@ -46,14 +51,22 @@ object Bench {
     // Timed runs CONSUME every output column (BenchConsume, r12): under
     // bare count() Catalyst legally eliminated cardinality-preserving
     // stages (s12's verdict join, PERF.md r11), flattering those rows.
+    // Each timed run records (wall seconds, executor-CPU seconds). Wall
+    // is the user-facing number and stays the driver-contract "queries"
+    // value; CPU (CpuMeter: sum of task executorCpuTime over the run's
+    // window) is the round-over-round comparator — host stalls inflate
+    // wall but not CPU (r14 verdict task 1).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val loadAtStart = loadavg()
       var rows = -1L
-      def timedRun(): Option[Double] = {
+      def timedRun(): Option[(Double, Double)] = {
+        val (c0, _) = CpuMeter.snapshot(spark)
         val t0 = System.nanoTime()
         try {
           rows = BenchConsume.consume(fn(spark, sfDir))._1
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (c1, _) = CpuMeter.snapshot(spark)
+          Some((wall, c1 - c0))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -63,12 +76,17 @@ object Bench {
       // contention retry: a busy-host spike inflates all three runs at
       // once; extra runs after the spike clears recover the real min
       var retries = 0
-      while (times.nonEmpty && times.min > OutlierSec && retries < ExtraRuns) {
+      while (times.nonEmpty && times.map(_._1).min > OutlierSec && retries < ExtraRuns) {
         times = times ++ timedRun()
         retries += 1
       }
       spark.catalog.clearCache() // drop per-query persists between timings
-      (name, if (times.nonEmpty) times.min else -1.0, times, rows, loadAtStart)
+      val wall = if (times.nonEmpty) times.map(_._1).min else -1.0
+      // min CPU pairs with min wall in meaning (steady-state plan cost):
+      // first-run artifact builds and JIT warmth inflate early runs'
+      // CPU the same way they inflate wall
+      val cpu = if (times.nonEmpty) times.map(_._2).min else -1.0
+      (name, wall, times, rows, loadAtStart, cpu)
     }
     val loadAfter = loadavg()
     // Locale.ROOT: `f"$v%.4f"` uses the JVM default locale, which under
@@ -77,7 +95,7 @@ object Bench {
     def jnum(v: Double) =
       if (v == v.floor && v.abs < 1e15) v.toString
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + jnum(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     // The driver's stdout capture keeps only a ~2 KB TAIL (BENCH_r06–r09
     // all arrived `parsed: null`): 106 full-name entries alone are ~2.7 KB,
@@ -97,21 +115,28 @@ object Bench {
     def shortKey(k: String) = {
       val p = k.takeWhile(_ != '_'); if (dupPrefixes(p)) k else p
     }
-    val qsShort = results.map { case (k, v, _, _, _) =>
+    val qsShort = results.map { case (k, v, _, _, _, _) =>
       "\"" + shortKey(k) + "\":" + jnum2(v)
     }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, ts, _, _) =>
-      "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
+    val runs = results.map { case (k, _, ts, _, _, _) =>
+      "\"" + k + "\":" + ts.map(t => jnum(t._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val rows = results.map { case (k, _, _, n, _) => "\"" + k + "\":" + n }
+    val cpuS = results.map { case (k, _, _, _, _, c) => "\"" + k + "\":" + jnum(c) }
       .mkString("{", ",", "}")
-    val perQLoad = results.map { case (k, _, _, _, l) =>
+    val cpuRuns = results.map { case (k, _, ts, _, _, _) =>
+      "\"" + k + "\":" + ts.map(t => jnum(t._2)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rows = results.map { case (k, _, _, n, _, _) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val perQLoad = results.map { case (k, _, _, _, l, _) =>
       "\"" + k + "\":\"" + l + "\""
     }.mkString("{", ",", "}")
     // -1 failure sentinels must not subtract from the suite total
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
+    val cpuTotal = results.collect { case (_, _, _, _, _, c) if c >= 0 => c }.sum
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","cpu_value":${jnum(cpuTotal)},"cpu_s":$cpuS,"cpu_runs":$cpuRuns""" +
       s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
     // Compact contract line (fits the driver's 2 KB stdout tail); keys are
     // the unique query-name prefixes, full detail in the file artifacts.
@@ -120,18 +145,18 @@ object Bench {
     // (still valid per the contract: "queries" maps name→seconds) rather
     // than overflowing the tail and losing the whole line.
     val perQueryLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","full":"target/bench_last.json"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_value":${jnum2(cpuTotal)},"queries":$qsShort,"sf":"$sfDir","full":"target/bench_last.json"}"""
     val shortLine =
       if (perQueryLine.length <= 1600) perQueryLine
       else {
         val fams = results.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
           .map { case (f, g) =>
-            "\"" + f + "\":" + jnum2(g.collect { case (_, v, _, _, _) if v >= 0 => v }.sum)
+            "\"" + f + "\":" + jnum2(g.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum)
           }.mkString("{", ",", "}")
         val slowest = results.sortBy(-_._2).take(12)
-          .map { case (k, v, _, _, _) => "\"" + shortKey(k) + "\":" + jnum2(v) }
+          .map { case (k, v, _, _, _, _) => "\"" + shortKey(k) + "\":" + jnum2(v) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slowest,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","full":"target/bench_last.json"}"""
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","cpu_value":${jnum2(cpuTotal)},"queries":$slowest,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","full":"target/bench_last.json"}"""
       }
     println(shortLine)
     // Self-contained official artifact: the driver's stdout capture keeps

@@ -18,17 +18,20 @@ object BenchOne {
       spark.stop()
       return
     }
+    CpuMeter.install(spark)
     val times = (1 to iters).map { i =>
+      val (c0, _) = CpuMeter.snapshot(spark)
       val t0 = System.nanoTime()
       // consume every output column (BenchConsume) — bare count() lets
       // Catalyst elide cardinality-preserving stages (PERF.md r11 s12)
       val (n, digest) = BenchConsume.consume(fn(spark, sfDir))
       val s = (System.nanoTime() - t0) / 1e9
+      val (c1, _) = CpuMeter.snapshot(spark)
       spark.catalog.clearCache()
-      println(f"[bench-one] $name run $i: $s%.3f s ($n rows, digest $digest%016x)")
-      s
+      println(f"[bench-one] $name run $i: $s%.3f s cpu ${c1 - c0}%.3f s ($n rows, digest $digest%016x)")
+      (s, c1 - c0)
     }
-    println(f"[bench-one] $name min: ${times.min}%.3f s")
+    println(f"[bench-one] $name min: ${times.map(_._1).min}%.3f s cpu min: ${times.map(_._2).min}%.3f s")
     spark.stop()
   }
 }

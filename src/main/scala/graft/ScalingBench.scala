@@ -33,15 +33,19 @@ object ScalingBench {
       else Seq("target/testdata-local/sf0.1", "target/testdata-local/sf1")
     val capDir = sys.env.get("GRAFT_CAPCHECK_DIR")
     val spark = Session.get("graft-scaling")
+    CpuMeter.install(spark)
     for (dir <- dirs; name <- ScaleQueries) {
       val fn = SparkEntry.queries(name)
       val runs = (1 to 3).map { _ =>
+        val (c0, _) = CpuMeter.snapshot(spark)
         val t0 = System.nanoTime()
         val n = BenchConsume.consume(fn(spark, dir))._1
-        ((System.nanoTime() - t0) / 1e9, n)
+        val (c1, _) = CpuMeter.snapshot(spark)
+        ((System.nanoTime() - t0) / 1e9, n, c1 - c0)
       }
       spark.catalog.clearCache()
       println(f"[scaling] $name%-22s $dir%-30s min=${runs.map(_._1).min}%7.3f s " +
+        f"cpu=${runs.map(_._3).min}%7.3f s " +
         f"runs=${runs.map(r => f"${r._1}%.2f").mkString("/")} rows=${runs.head._2}")
     }
     capDir.foreach { dir =>

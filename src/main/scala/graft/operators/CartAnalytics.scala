@@ -398,23 +398,31 @@ object CartAnalytics {
   // Q12 — the export join (reference py:531-546): 6-way mixed outer join
   // fanning out from the fact pair to every dimension, 8-col GROUP BY,
   // top-50. Scale: customer/nation/region/part/supplier are dimension
-  // tables — Catalyst broadcasts each (verified in the plan); only the
-  // lineitem⋈orders join shuffles.
+  // tables — under the broadcast ceiling Catalyst broadcasts each
+  // (verified in the plan) and only the lineitem⋈orders join shuffles;
+  // past the ceiling each oversized dim falls back to a SHUFFLE_HASH
+  // join via Scale.dimJoin instead of a fact-sized sort-merge (the
+  // sf100star default-knob DISK-FULL: five chained SMJs, >56 GB spill —
+  // PERF 14d; PlanSpec pins both regimes).
   // ---------------------------------------------------------------------
   def q12ExportJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Scale.dimJoin
     val o = ord(spark, dir)
     val cust = Tables.load(spark, dir, "customer")
     val nat = Tables.load(spark, dir, "nation")
     val reg = Tables.load(spark, dir, "region")
     val prt = Tables.load(spark, dir, "part")
     val sup = Tables.load(spark, dir, "supplier")
-    li(spark, dir)
+    val fact = li(spark, dir)
       .join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
-      .join(cust, col("o_custkey") === col("c_custkey"), "left_outer")
-      .join(nat, col("c_nationkey") === col("n_nationkey"), "left_outer")
-      .join(reg, col("n_regionkey") === col("r_regionkey"), "left_outer")
-      .join(prt, col("l_partkey") === col("p_partkey"), "left_outer")
-      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_outer")
+    val withDims = Seq(
+      (cust, col("o_custkey") === col("c_custkey")),
+      (nat, col("c_nationkey") === col("n_nationkey")),
+      (reg, col("n_regionkey") === col("r_regionkey")),
+      (prt, col("l_partkey") === col("p_partkey")),
+      (sup, col("l_suppkey") === col("s_suppkey"))
+    ).foldLeft(fact) { case (acc, (dim, cond)) => dimJoin(acc, dim, cond, "left_outer") }
+    withDims
       .where(abandoned)
       .groupBy(
         col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),

@@ -135,7 +135,9 @@ object Scale {
     * scheduling costs more than single-task CPU saves: the r14 sf0.1
     * sweep (5 MB corpus) paid a systematic ~0.2-0.4 s per spread query
     * with nothing to amortize it, while every ≥15 MB corpus won
-    * (t04 sf1 1.61→0.97 s, sf10full 13.2→~3 s). Env-overridable like
+    * (t04 sf1 1.61→0.97 s, sf10full 13.2→10.1 s per the committed r14
+    * sweep — bench/scaling_r14/bench_sf10full.json; t01 12.9→3.8 s,
+    * t02 10.0→5.3 s are the family's big wins). Env-overridable like
     * the session's other scale knobs. */
   private[graft] val SpreadMinBytes: Long =
     sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES").map(_.toLong).getOrElse(4L << 20)
@@ -152,10 +154,17 @@ object Scale {
     // Keying on the scan's ROOT paths costs no FS access at all —
     // they're already resolved in the relation. A memoized decision can
     // go stale if the file is overwritten in place mid-JVM, but the
-    // decision is PERFORMANCE-ONLY (repartition or not — values are
-    // identical either way, unlike probeMemo's skew counts which gate a
-    // branch choice), so JVM-lifetime staleness is acceptable and
-    // documented.
+    // decision is PERFORMANCE-ONLY for VALUES (repartition or not —
+    // results are identical either way, unlike probeMemo's skew counts
+    // which gate a branch choice). It is NOT performance-only for
+    // artifact KEYS: the Repartition node is part of the defining plans
+    // Artifacts.key hashes, so a stale decision after an in-place
+    // corpus rewrite would mint a key no fresh JVM reproduces and strand
+    // a duplicate artifact table. Artifacts.keyFor therefore calls
+    // [[clearSpreadMemoUnder]] whenever a corpus dir's fingerprint
+    // changes — the rewrite is re-probed exactly where key stability
+    // matters, and JVM-lifetime staleness remains acceptable everywhere
+    // else.
     val roots = sourceRoots(df)
     val memoKey = if (roots.isEmpty) null else roots.sorted.mkString("\n")
     if (memoKey != null) spreadDecisionMemo.get(memoKey) match {
@@ -230,6 +239,59 @@ object Scale {
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
   private[graft] def clearSpreadMemo(): Unit = spreadDecisionMemo.clear()
+
+  /** Evict spread decisions whose source roots lie under `dir` — called
+    * by Artifacts.keyFor when a corpus dir's content fingerprint
+    * changes, so artifact keys derived after an in-place rewrite hash
+    * the plan a fresh JVM would build (see the staleness note on
+    * [[spreadIfNarrow]]). Substring match on the root URIs: roots are
+    * absolute (`file:/…`), `dir` is the corpus path. */
+  private[graft] def clearSpreadMemoUnder(dir: String): Unit = {
+    val needle = dir.stripSuffix("/")
+    spreadDecisionMemo.keys.filter(_.contains(needle))
+      .foreach(spreadDecisionMemo.remove)
+  }
+
+  /** Fact⋈dim join with an automatic strategy escape past the broadcast
+    * ceiling (r14 verdict task 4 — the q12 dim cliff). Under the
+    * session's `autoBroadcastJoinThreshold` the join is left alone and
+    * Catalyst broadcasts the dim (the contract-scale plan, PlanSpec-
+    * pinned). Once the dim outgrows the ceiling, Catalyst's default is
+    * a fact-sized SORT-MERGE join — and a star query chaining several
+    * of those sorts the fact once per dim (sf100star default knobs:
+    * five chained SMJs, >56 GB of spill, DISK-FULL — PERF 14d). The
+    * escape hints SHUFFLE_HASH on the dim side instead: the fact still
+    * shuffles on the join key (unavoidable once broadcast is off the
+    * table) but is never sorted, and the hash map is built from the dim
+    * side only — spill is bounded by the dim, not the fact. The dim
+    * size probe is one FS-metadata pass over the dim's input files (no
+    * job), deliberately the same on-disk-bytes statistic Catalyst's own
+    * broadcast decision uses for parquet relations, so the two
+    * decisions agree at the boundary: every dim is either under the
+    * ceiling and broadcast, or over it and shuffle-hashed — never
+    * sort-merged. Both branches produce identical values (strategy
+    * hints never change join semantics). On a real cluster with table
+    * stats, replace the file probe with a stats lookup and keep the
+    * same two branches; past the point where even shuffle-hash is too
+    * hot, the co-bucketed layout (Bucketing.cojoin) is the prepared
+    * exchange-free path. */
+  def dimJoin(fact: DataFrame, dim: DataFrame, cond: Column, joinType: String): DataFrame = {
+    val spark = dim.sparkSession
+    val thresholdStr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // -1 (or any negative) disables broadcast entirely → every dim takes
+    // the shuffle-hash escape
+    val ceiling =
+      if (thresholdStr.trim.startsWith("-")) 0L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresholdStr)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = dim.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    if (bytes > ceiling) fact.join(dim.hint("shuffle_hash"), cond, joinType)
+    else fact.join(dim, cond, joinType)
+  }
 
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on

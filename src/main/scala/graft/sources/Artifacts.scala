@@ -163,12 +163,25 @@ object Artifacts {
     * expensive part, constructing + analyzing + canonicalizing the full
     * defining derivation tree, runs once per corpus state per JVM.
     * Within one JVM the code is fixed, so (kind, dir, content) fully
-    * determines the defining plan; cross-JVM artifact reuse is
-    * untouched because the derived key is byte-identical to [[key]]'s.
+    * determines the defining plan — given two JVM-stable inputs the
+    * plan also embeds: the session's defaultParallelism (Repartition
+    * numPartitions from Scale.spreadIfNarrow is hashed) and the spread
+    * decision itself. Parallelism is fixed per session; the spread memo
+    * is made safe here: a fingerprint CHANGE for this dir evicts the
+    * dir's spread decisions (Scale.clearSpreadMemoUnder) before the
+    * defining plan is rebuilt, so the rebuilt plan is the one a fresh
+    * JVM reading the new content would build — without that eviction an
+    * in-place corpus rewrite would mint a key no other JVM reproduces
+    * and strand a duplicate artifact table (the exact failure [[key]]'s
+    * docstring warns about). Cross-JVM artifact reuse is untouched
+    * because the derived key is byte-identical to [[key]]'s.
     * `kind` must be unique per artifact FAMILY (edges/labels/...) —
     * two families over the same corpus may legitimately share one
     * defining plan (labels and edges both key on the edge derivation)
-    * and still need their own memo rows.
+    * and still need their own memo rows. The memo keeps only the LATEST
+    * fingerprint per (kind, dir): regenerating a corpus in place many
+    * times over one driver lifetime replaces the row instead of leaking
+    * one per state.
     *
     * Measured (r14): every d/s-family consumer re-derived its defining
     * plan per query — a diffuse ~0.1-0.8 s per artifact-served row at
@@ -177,11 +190,27 @@ object Artifacts {
   def keyFor(spark: SparkSession, dir: String, kind: String)(
       defining: => DataFrame): String = {
     val fp = corpusFingerprint(spark, dir)
-    keyMemo.getOrElseUpdate((kind, dir, fp), keyOf(dir, fp, defining))
+    // dir-level (not per-kind) change tracking: after a rewrite, the
+    // FIRST keyFor of ANY kind over the dir must rebuild from a fresh
+    // spread decision, even if that kind never keyed the old state
+    if (dirFpSeen.put(dir, fp).exists(_ != fp))
+      graft.plans.Scale.clearSpreadMemoUnder(dir)
+    keyMemo.get((kind, dir)) match {
+      case Some((oldFp, k)) if oldFp == fp => k
+      case _ =>
+        val k = keyOf(dir, fp, defining)
+        keyMemo.put((kind, dir), (fp, k))
+        k
+    }
   }
 
+  /** dir → last fingerprint any keyFor observed (latest state only). */
+  private val dirFpSeen =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** (kind, dir) → (corpus fingerprint, derived key); latest state only. */
   private val keyMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   /** Content fingerprint of a data dir: md5 over the sorted recursive
     * file listing (path, length, mtime). A directory listing — not a

@@ -63,6 +63,26 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$plan")
   }
 
+  test("q12: past the broadcast ceiling every dim join falls back to " +
+      "shuffle-hash, never a fact-sized sort-merge (r14 verdict task 4)") {
+    // ceiling -1 = broadcast disabled = every dim is "too big": the
+    // strongest form of the sf100star default-knob cliff (PERF 14d,
+    // five chained fact-sized SMJs → >56 GB spill → DISK-FULL). The
+    // escape (Scale.dimJoin) must hint SHUFFLE_HASH on each dim side;
+    // only the fact⋈fact join may sort-merge.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = formatted(CartAnalytics.q12ExportJoin(spark, sf))
+      val nShj = plan.linesIterator
+        .count(_.trim.matches("""\(\d+\) ShuffledHashJoin.*"""))
+      val nSmj = plan.linesIterator
+        .count(_.trim.matches("""\(\d+\) SortMergeJoin.*"""))
+      assert(nShj >= 5, s"expected >=5 shuffle-hash dim joins, got $nShj:\n$plan")
+      assert(nSmj <= 1, s"dim joins must not sort-merge (fact join only), got $nSmj:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q05: nation dim join is broadcast, not shuffled") {
     val plan = formatted(CartAnalytics.q05AbandonedByCustomerNation(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -614,4 +614,41 @@ class SourcesSpec extends SparkSpec {
     assert(built === 3 && k3 != k1,
       "a rewritten corpus must re-derive and change the key")
   }
+
+  test("Artifacts.keyFor evicts stale spread decisions on in-place corpus " +
+      "rewrite so keys stay fresh-JVM-reproducible (ADVICE r14)") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import graft.sources.Artifacts
+    import graft.plans.Scale
+    // same env preconditions as ScaleSpec's spread fixture
+    assume(sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES").isEmpty,
+      "SPARK_GRAFT_SPREAD_MIN_BYTES is set — fixture assumes the default floor")
+    assume(spark.sparkContext.defaultParallelism >= 2,
+      "needs defaultParallelism >= 2 for the spread to fire")
+    val dir = Files.createTempDirectory("graft-keyfor-spread").toString
+    val path = s"$dir/documents.parquet"
+    // ~12 MB of incompressible hex in one row group → the spread fires
+    // and its decision is memoized per source root
+    spark.range(2000)
+      .select($"id", expr(
+        "concat_ws('', transform(sequence(1, 200), i -> md5(concat(id, '-', i))))").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    Scale.clearSpreadMemo()
+    def defining() = Scale.spreadIfNarrow(spark.read.parquet(path))
+    val kBig = Artifacts.keyFor(spark, dir, "keyfor-spread")(defining())
+    assert(defining().rdd.getNumPartitions === spark.sparkContext.defaultParallelism,
+      "fixture must actually trigger (and memoize) a spread")
+    Thread.sleep(1100) // distinct mtime on coarse-granularity filesystems
+    spark.range(10).select($"id", lit("t").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    // keyFor sees the new fingerprint → evicts the dir's spread rows →
+    // the defining plan it hashes is the one a FRESH JVM would build
+    val kSmall = Artifacts.keyFor(spark, dir, "keyfor-spread")(defining())
+    assert(kSmall != kBig)
+    Scale.clearSpreadMemo()
+    val kFresh = Artifacts.key(spark, dir, Scale.spreadIfNarrow(spark.read.parquet(path)))
+    assert(kSmall === kFresh,
+      "post-rewrite keyFor must hash the plan a fresh JVM reproduces " +
+        "(stale spread decision baked into the defining plan)")
+  }
 }

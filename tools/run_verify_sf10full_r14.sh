@@ -14,3 +14,4 @@ java $JOPTS -cp "/opt/spark/jars/*:target/r14_classes" graft.Verify \
   target/testdata-local/sf10full target/vout_sf10full_r14
 rc=$?
 echo "=== verify sf10full done rc=$rc: $(date -Is)"
+exit $rc
