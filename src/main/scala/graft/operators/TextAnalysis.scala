@@ -169,11 +169,28 @@ object TextAnalysis {
     * (TextWalksSpec pins min/count/distinct against that exact chain,
     * distinct over the SAME h31 domain the oracle counts). Docs with
     * < 4 words produce no windows and are dropped (`n_windows > 0` ≡
-    * the old `size(w) >= 4` guard — oracle parity). */
+    * the old `size(w) >= 4` guard — oracle parity).
+    *
+    * The `__barrier` column is load-bearing (r15, PERF 15b): the
+    * n_windows filter REFERENCES the walk result, and predicate
+    * pushdown happily substitutes the walk expression into the filter
+    * and pushes it through the spread's round-robin exchange into the
+    * single-split scan task — measured at sf10full, the "spread" plan
+    * still ran the whole 9.5 s walk serially inside the scan stage
+    * (wall ≈ cpu in ProbeT04). A non-deterministic column in the walk
+    * projection makes it a pushdown fence (predicate pushdown through a
+    * Project requires every project field deterministic), so the walk
+    * evaluates where it was placed: above the exchange, across the
+    * session's parallelism. The filter must REFERENCE the column
+    * (always-true: monotonically_increasing_id is non-negative) or
+    * column pruning deletes it and the fence with it — measured: the
+    * unreferenced form re-pushed and re-serialized the walk. Values are
+    * untouched — the column is dropped before output. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr("graft_ngram_fp(text, 4)").as("fp"))
-      .where(col("fp.n_windows") > 0)
+      .select(col("doc_id"), expr("graft_ngram_fp(text, 4)").as("fp"),
+        monotonically_increasing_id().as("__barrier"))
+      .where(col("fp.n_windows") > 0 && col("__barrier") >= 0)
       .select(col("doc_id"),
         col("fp.fingerprint").as("fingerprint"),
         col("fp.n_windows").as("n_windows"),

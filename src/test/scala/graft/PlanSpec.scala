@@ -471,7 +471,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s12: semdedup pair stage is a cell-equi join — no cartesian, no nested loop over the corpus") {
-    val plan = formatted(Similarity.s12Semdedup(spark, sf))
+    // pin the DERIVATION body: s12 itself serves the persisted verdict
+    // artifact (next test), so its own plan is a table scan
+    val plan = formatted(Similarity.s12Derive(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"within-cell pairing must be equi:\n$plan")
     // the only nested-loop joins allowed are the K-row centroid
     // broadcasts — one per cellRanked reference (a-side, b-side, base)
@@ -480,6 +482,18 @@ class PlanSpec extends SparkSpec {
     // the pair stage itself must be an equi join on cell
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"cell join lost its equi key:\n$plan")
+  }
+
+  test("s12: the query reads the PERSISTED verdict artifact — never a per-query Σ cell² re-derivation") {
+    // the s08/edges contract applied to SemDeDup (r15): the sweep burns
+    // ~190 s of executor CPU per derivation at sf10full, so it is index
+    // state — built once by semVerdicts, served from the semv_* table.
+    val physical = Similarity.s12Semdedup(spark, sf).queryExecution.executedPlan.toString
+    assert(physical.contains(graft.sources.Artifacts.Db) && physical.contains("semv_"),
+      s"verdicts must come from the persisted artifact:\n$physical")
+    assert(!physical.contains("embeddings.parquet"),
+      s"the pair sweep must not re-run inside s12:\n$physical")
+    assert(!physical.contains("Join"), s"served s12 should be a plain scan:\n$physical")
   }
 
   test("s09: the knn pair join is salted cell-equi — salt in the join key, no cartesian") {
