@@ -6,9 +6,20 @@
 #   2. Verify @ sf0.01     — the driver-contract correctness dump
 #   3. DuckDB oracle       — per-query compare over the dump (the gate)
 #   4. Bench @ sf0.1       — the driver-contract timing JSON
+#   5. (GRAFT_GATE_STAR=1) — third-decade star leg: verify-dump the five
+#      sf100star headliners and oracle-compare them, so the scale
+#      evidence regenerates instead of aging (r14 verdict task 7).
+#      Needs target/testdata-local/sf100star (tools/gen_star_big.py).
 # Scale legs (sf1/sf10full sweeps, per-query oracle at scale, probes) are
 # separate scripts by design — they take hours and have their own logs;
 # this gate is the "is HEAD shippable" answer in one invocation.
+#
+# CANONICAL BENCH LEG (r14 verdict task 5): gate 4's bench_sf0.1.json is
+# THE one wall-clock number a round quotes — three same-HEAD sf0.1 totals
+# coexisted in r14 (sweep/gate/driver) and round-over-round comparisons
+# drowned in leg-picking. Cross-round comparisons use its cpu_value /
+# cpu_s fields (executor CPU, host-stall-immune); wall stays what a user
+# experiences on this host.
 #
 # Usage: tools/run_release_check.sh [outdir]   (default target/release_check)
 set -u
@@ -66,6 +77,40 @@ if [ $rc -eq 0 ] && [ -n "$total" ]; then
   note "GATE bench: PASS (${total}s sf0.1 suite) [$OUT/bench_sf0.1.json]"
 else
   note "GATE bench: FAIL rc=$rc [$OUT/bench.log]"; fail=1
+fi
+
+# ---- gate 5 (optional): third-decade star oracle leg --------------------
+if [ "${GRAFT_GATE_STAR:-0}" = "1" ]; then
+  STARDIR=target/testdata-local/sf100star
+  if [ ! -f "$STARDIR/lineitem.parquet" ]; then
+    note "GATE star: FAIL (no $STARDIR corpus — run tools/gen_star_big.py)"; fail=1
+  else
+    QS="q01_top_abandoned_parts,q02_co_abandoned_pairs,q12_export_join,q25_rolling_window,e01_sessionize"
+    VSTAR="$OUT/vout_star"
+    rm -rf "$VSTAR"
+    JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx48g"
+    # big-corpus knobs for the shuffle/bench path; result VALUES are
+    # knob-independent — which is exactly what the oracle proves
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+      java $JOPTS -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+      graft.Verify "$STARDIR" "$VSTAR" "$QS" > "$OUT/verify_star.log" 2>&1
+    rc=$?
+    if [ $rc -ne 0 ]; then
+      note "GATE star: FAIL verify rc=$rc [$OUT/verify_star.log]"; fail=1
+    else
+      tools/run_oracle_sfN.sh "$STARDIR" "$VSTAR" "$OUT/oracle_star.txt" \
+        > "$OUT/oracle_star_run.log" 2>&1
+      # grep -c prints 0 itself on no-match (exit 1) — no || echo fallback,
+      # which would append a second line to the substitution
+      passes=$(grep -c "^PASS" "$OUT/oracle_star.txt" 2>/dev/null)
+      fails=$(grep -c "^FAIL" "$OUT/oracle_star.txt" 2>/dev/null)
+      if [ "$fails" = "0" ] && [ "$passes" -ge 5 ]; then
+        note "GATE star: PASS ($passes/5 sf100star headliners) [$OUT/oracle_star.txt]"
+      else
+        note "GATE star: FAIL ($passes pass / $fails fail) [$OUT/oracle_star.txt]"; fail=1
+      fi
+    fi
+  fi
 fi
 
 if [ $fail -eq 0 ]; then note "RELEASE CHECK: ALL GATES GREEN"; else note "RELEASE CHECK: FAILED"; fi
