@@ -397,13 +397,32 @@ object CartAnalytics {
   // ---------------------------------------------------------------------
   // Q12 — the export join (reference py:531-546): 6-way mixed outer join
   // fanning out from the fact pair to every dimension, 8-col GROUP BY,
-  // top-50. Scale: customer/nation/region/part/supplier are dimension
-  // tables — under the broadcast ceiling Catalyst broadcasts each
-  // (verified in the plan) and only the lineitem⋈orders join shuffles;
-  // past the ceiling each oversized dim falls back to a SHUFFLE_HASH
-  // join via Scale.dimJoin instead of a fact-sized sort-merge (the
-  // sf100star default-knob DISK-FULL: five chained SMJs, >56 GB spill —
-  // PERF 14d; PlanSpec pins both regimes).
+  // top-50.
+  //
+  // Scale shape (r15): the TOP-50 IS DECIDED BY THE ORDERS SCAN ALONE.
+  // The final sort keys (o_totalprice DESC, o_orderkey ASC) are GROUP
+  // keys that exist before any join, the abandonment filter is a pure
+  // orders predicate, and every join key is unique on its far side
+  // (orders PK; dim PKs), so each abandoned order yields EXACTLY one
+  // output group — top-50 groups ≡ top-50 abandoned orders, a rewrite
+  // Catalyst cannot derive itself (it has no functional-dependency
+  // reasoning to push a LIMIT through an aggregate). The plan is then:
+  // TakeOrdered(50) over the orders scan (partial top-k per partition,
+  // no shuffle) → broadcast SEMI join reduces lineitem to the 50
+  // orders' lines map-only → the outer join, dims, and aggregate all
+  // run on ≤50-order rows. ZERO fact shuffles at any scale.
+  //
+  // Why not join-then-aggregate (the r14 shape): at sf100star the
+  // default 10 MB ceiling stopped the dims broadcasting and the five
+  // fact-sized joins DISK-FULLed this host twice — as chained sort-
+  // merge spills (>56 GB, PERF 14d) and, with the r15 shuffle-hash
+  // fallback, as five accreting full-fact shuffle writes (PERF 15f).
+  // Past the broadcast ceiling there IS no fact-shuffling plan that
+  // fits a bounded scratch disk; the top-k-first shape removes the
+  // fact from the join entirely. Scale.dimJoin still guards the dim
+  // attachment (broadcast under the ceiling, SHUFFLE_HASH above it —
+  // now over a 50-row probe side, so either branch is trivial);
+  // PlanSpec pins both regimes plus the TakeOrdered + semi-join shape.
   // ---------------------------------------------------------------------
   def q12ExportJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.Scale.dimJoin
@@ -413,8 +432,16 @@ object CartAnalytics {
     val reg = Tables.load(spark, dir, "region")
     val prt = Tables.load(spark, dir, "part")
     val sup = Tables.load(spark, dir, "supplier")
-    val fact = li(spark, dir)
-      .join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
+    val top50 = o.where(abandoned)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+    // semi-reduce lineitem to the 50 orders' lines (broadcast, map-only
+    // over the fact), then LEFT OUTER from the orders side — preserves
+    // line-less orders exactly like the original right_outer
+    val lines = li(spark, dir)
+      .join(broadcast(top50.select(col("o_orderkey").as("__k"))),
+        col("l_orderkey") === col("__k"), "left_semi")
+    val fact = top50.join(lines, col("o_orderkey") === col("l_orderkey"), "left_outer")
     val withDims = Seq(
       (cust, col("o_custkey") === col("c_custkey")),
       (nat, col("c_nationkey") === col("n_nationkey")),
@@ -423,7 +450,6 @@ object CartAnalytics {
       (sup, col("l_suppkey") === col("s_suppkey"))
     ).foldLeft(fact) { case (acc, (dim, cond)) => dimJoin(acc, dim, cond, "left_outer") }
     withDims
-      .where(abandoned)
       .groupBy(
         col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
         col("o_totalprice"), col("o_orderpriority"),

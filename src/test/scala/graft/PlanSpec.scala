@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$plan")
   }
 
+  test("q12: top-50 is decided on the orders scan and lineitem is semi-reduced " +
+      "before any wide join (zero fact shuffles at any scale)") {
+    // the sort keys are group keys that exist pre-join and every join
+    // key is unique on its far side, so top-50 groups ≡ top-50 abandoned
+    // orders — the fact never shuffles (r15; PERF 15f: both fact-
+    // shuffling shapes DISK-FULLed sf100star at default knobs)
+    val plan = formatted(CartAnalytics.q12ExportJoin(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must come from a TakeOrdered over orders, not a global sort:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"lineitem must be semi-reduced to the 50 orders before the outer join:\n$plan")
+    val smj = plan.linesIterator.count(_.trim.matches("""\(\d+\) SortMergeJoin.*"""))
+    assert(smj === 0, s"no fact-sized sort-merge join should remain:\n$plan")
+  }
+
   test("q12: past the broadcast ceiling every dim join falls back to " +
       "shuffle-hash, never a fact-sized sort-merge (r14 verdict task 4)") {
     // ceiling -1 = broadcast disabled = every dim is "too big": the
