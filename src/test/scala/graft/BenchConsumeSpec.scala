@@ -28,15 +28,29 @@ class BenchConsumeSpec extends SparkSpec {
     }
   }
 
-  test("the hazard is real: s12 under bare count() loses its verdict join") {
-    val df = SparkEntry.queries("s12_semdedup")(spark, sf)
+  test("the hazard is real: the s12 DERIVATION under bare count() loses its verdict join") {
+    // r15 re-pointed this pin: s12_semdedup now SERVES the semv_* artifact
+    // (zero joins on both sides, so the served plan can't exhibit the
+    // hazard), but the derivation body still carries the left-outer
+    // verdict join that count() legally eliminates — the reason
+    // BenchConsume hashes every column instead of counting.
+    val df = operators.Similarity.s12Derive(spark, sf)
     val (jCount, _) = stages(df.agg(count(lit(1))).queryExecution.optimizedPlan)
     val (jConsume, _) = stages(
       BenchConsume.consumedFrame(df).queryExecution.optimizedPlan)
     assert(jCount < jConsume,
-      s"expected count() to elide s12's verdict join ($jCount vs $jConsume) — " +
+      s"expected count() to elide s12Derive's verdict join ($jCount vs $jConsume) — " +
         "if this starts failing the optimizer stopped eliminating it and the " +
         "r11 PERF.md caveat can be retired")
+  }
+
+  test("the served s12 plan is join-free on both sides (the r15 serve-rewrite)") {
+    val df = SparkEntry.queries("s12_semdedup")(spark, sf)
+    val (jCount, _) = stages(df.agg(count(lit(1))).queryExecution.optimizedPlan)
+    val (jConsume, _) = stages(
+      BenchConsume.consumedFrame(df).queryExecution.optimizedPlan)
+    assert(jCount === 0 && jConsume === 0,
+      s"served s12 should read semv_* with zero joins ($jCount/$jConsume)")
   }
 
   test("digest is order-insensitive and value-sensitive") {
