@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
 object CpuMeter {
   private val cpuNs = new LongAdder
   private val runMs = new LongAdder
-  @volatile private var installed = false
+  @volatile private var installedOn: String = null
 
   private object listener extends SparkListener {
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -47,11 +47,18 @@ object CpuMeter {
     }
   }
 
-  /** Idempotent; harness mains call it once right after Session.get. */
+  /** Idempotent per SparkContext; harness mains call it right after
+    * Session.get. Keyed on applicationId, not a global flag (r15
+    * advisory): a stop()/rebuild cycle in one JVM mints a new context
+    * that never had the listener — a global flag would leave every
+    * snapshot delta silently reading 0 CPU, which a round-over-round
+    * comparator misreads as a massive speedup. The adders stay
+    * cumulative across contexts; harnesses only consume deltas. */
   def install(spark: SparkSession): Unit = synchronized {
-    if (!installed) {
+    val app = spark.sparkContext.applicationId
+    if (installedOn != app) {
       spark.sparkContext.addSparkListener(listener)
-      installed = true
+      installedOn = app
     }
   }
 

@@ -240,15 +240,36 @@ object Scale {
 
   private[graft] def clearSpreadMemo(): Unit = spreadDecisionMemo.clear()
 
+  /** Test hook: is any spread decision memoized for a root under `dir`?
+    * (Observability only — eviction is value-invisible, decisions just
+    * re-probe, so the boundary-match pin needs to see the memo.) */
+  private[graft] def spreadMemoHasRootUnder(dir: String): Boolean = {
+    def pathOf(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+    val needle = pathOf(dir)
+    spreadDecisionMemo.keys.exists(_.split('\n').exists { r =>
+      val p = pathOf(r); p == needle || p.startsWith(needle + "/")
+    })
+  }
+
   /** Evict spread decisions whose source roots lie under `dir` — called
     * by Artifacts.keyFor when a corpus dir's content fingerprint
     * changes, so artifact keys derived after an in-place rewrite hash
     * the plan a fresh JVM would build (see the staleness note on
-    * [[spreadIfNarrow]]). Substring match on the root URIs: roots are
-    * absolute (`file:/…`), `dir` is the corpus path. */
+    * [[spreadIfNarrow]]). Match is scheme-stripped and path-boundary
+    * (r15 advisory): a raw substring test on `.../sf1` also evicted the
+    * sibling `.../sf10full`'s memo rows — harmless to values (decisions
+    * re-probe) but it defeated the memo for unrelated corpora. Memo
+    * keys are newline-joined root URIs, so each root is tested alone. */
   private[graft] def clearSpreadMemoUnder(dir: String): Unit = {
-    val needle = dir.stripSuffix("/")
-    spreadDecisionMemo.keys.filter(_.contains(needle))
+    def pathOf(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+    val needle = pathOf(dir)
+    def under(root: String): Boolean = {
+      val p = pathOf(root)
+      p == needle || p.startsWith(needle + "/")
+    }
+    spreadDecisionMemo.keys.filter(_.split('\n').exists(under))
       .foreach(spreadDecisionMemo.remove)
   }
 
@@ -284,12 +305,23 @@ object Scale {
       if (thresholdStr.trim.startsWith("-")) 0L
       else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresholdStr)
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = dim.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(conf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => 0L }
-    }.sum
-    if (bytes > ceiling) fact.join(dim.hint("shuffle_hash"), cond, joinType)
+    val files = dim.inputFiles
+    // A dim with no file backing (view, in-memory frame) probes 0 bytes
+    // on disk, which used to default it to the plain-join branch — with
+    // broadcast off or the dim genuinely huge that silently reintroduces
+    // the fact-sized sort-merge cliff (r15 advisory). Fall back to
+    // Catalyst's own plan-stats size estimate, which is conservative
+    // (unknown → defaultSizeInBytes, effectively +inf), so an
+    // unknowable dim takes the bounded shuffle-hash escape while a
+    // small LocalRelation still broadcasts.
+    val bytes: BigInt =
+      if (files.isEmpty) dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      else BigInt(files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum)
+    if (bytes > BigInt(ceiling)) fact.join(dim.hint("shuffle_hash"), cond, joinType)
     else fact.join(dim, cond, joinType)
   }
 

@@ -192,8 +192,13 @@ object Artifacts {
     val fp = corpusFingerprint(spark, dir)
     // dir-level (not per-kind) change tracking: after a rewrite, the
     // FIRST keyFor of ANY kind over the dir must rebuild from a fresh
-    // spread decision, even if that kind never keyed the old state
-    if (dirFpSeen.put(dir, fp).exists(_ != fp))
+    // spread decision, even if that kind never keyed the old state.
+    // First OBSERVATION evicts too (r15 advisory): spreadIfNarrow may
+    // have memoized a decision against content keyFor never saw — if
+    // the corpus was then rewritten in place, a change-only check would
+    // hash the stale spread into the key. Eviction on a miss costs one
+    // re-probe per (dir, JVM), nothing at steady state.
+    if (!dirFpSeen.put(dir, fp).contains(fp))
       graft.plans.Scale.clearSpreadMemoUnder(dir)
     keyMemo.get((kind, dir)) match {
       case Some((oldFp, k)) if oldFp == fp => k

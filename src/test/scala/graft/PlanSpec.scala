@@ -98,6 +98,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dimJoin on a non-file-backed dim uses Catalyst's stats, not a 0-byte " +
+      "file probe: small in-memory dims broadcast, big ones shuffle-hash (ADVICE r15)") {
+    import graft.plans.Scale
+    import org.apache.spark.sql.functions.col
+    val fact = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    // small LocalRelation: no input files, but plan stats are tiny →
+    // must stay on the plain branch and broadcast
+    val small = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("k", "v")
+    assert(small.inputFiles.isEmpty, "fixture must be non-file-backed")
+    val pSmall = formatted(Scale.dimJoin(fact, small, fact("k") === small("k"), "left_outer"))
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"a 2-row in-memory dim must broadcast:\n$pSmall")
+    // big Range-backed dim: no input files, stats ~8 B/row ≫ 10 MB
+    // ceiling → must take the bounded shuffle-hash escape (the old
+    // 0-byte probe defaulted it to plain join → fact-sized sort-merge)
+    val big = spark.range(20L << 20).toDF("k")
+    assert(big.inputFiles.isEmpty, "fixture must be non-file-backed")
+    val pBig = formatted(Scale.dimJoin(fact, big, fact("k") === big("k"), "left_outer"))
+    assert(pBig.contains("ShuffledHashJoin") && !pBig.contains("SortMergeJoin"),
+      s"an over-ceiling statsed dim must shuffle-hash, never sort-merge:\n$pBig")
+  }
+
   test("q05: nation dim join is broadcast, not shuffled") {
     val plan = formatted(CartAnalytics.q05AbandonedByCustomerNation(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -651,4 +651,66 @@ class SourcesSpec extends SparkSpec {
       "post-rewrite keyFor must hash the plan a fresh JVM reproduces " +
         "(stale spread decision baked into the defining plan)")
   }
+
+  test("keyFor's FIRST observation of a dir also evicts spread decisions " +
+      "(spread memoized before any keyFor, then in-place rewrite — ADVICE r15)") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import graft.sources.Artifacts
+    import graft.plans.Scale
+    assume(sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES").isEmpty,
+      "SPARK_GRAFT_SPREAD_MIN_BYTES is set — fixture assumes the default floor")
+    assume(spark.sparkContext.defaultParallelism >= 2,
+      "needs defaultParallelism >= 2 for the spread to fire")
+    val dir = Files.createTempDirectory("graft-keyfor-firstobs").toString
+    val path = s"$dir/documents.parquet"
+    spark.range(2000)
+      .select($"id", expr(
+        "concat_ws('', transform(sequence(1, 200), i -> md5(concat(id, '-', i))))").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    Scale.clearSpreadMemo()
+    // a non-artifact query memoizes the spread decision — NO keyFor ran,
+    // so dirFpSeen has never observed this dir
+    Scale.spreadIfNarrow(spark.read.parquet(path)).count()
+    assert(Scale.spreadMemoHasRootUnder(dir), "fixture must memoize a spread")
+    Thread.sleep(1100)
+    spark.range(10).select($"id", lit("t").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    // FIRST keyFor over the dir: a change-only check would see put()
+    // return None, skip eviction, and hash the stale spread
+    val k = Artifacts.keyFor(spark, dir, "keyfor-firstobs")(
+      Scale.spreadIfNarrow(spark.read.parquet(path)))
+    Scale.clearSpreadMemo()
+    val kFresh = Artifacts.key(spark, dir, Scale.spreadIfNarrow(spark.read.parquet(path)))
+    assert(k === kFresh,
+      "first-observation keyFor must evict the pre-existing spread memo " +
+        "and mint the key a fresh JVM reproduces")
+  }
+
+  test("clearSpreadMemoUnder matches path boundaries: evicting sf1 must not " +
+      "evict the sibling sf10-named corpus (ADVICE r15)") {
+    import org.apache.spark.sql.functions.expr
+    import graft.plans.Scale
+    assume(sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES").isEmpty,
+      "SPARK_GRAFT_SPREAD_MIN_BYTES is set — fixture assumes the default floor")
+    assume(spark.sparkContext.defaultParallelism >= 2,
+      "needs defaultParallelism >= 2 for the spread to fire")
+    val base = Files.createTempDirectory("graft-memo-boundary").toString
+    def mk(sub: String): String = {
+      val p = s"$base/$sub/documents.parquet"
+      spark.range(2000)
+        .select($"id", expr(
+          "concat_ws('', transform(sequence(1, 200), i -> md5(concat(id, '-', i))))").as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      Scale.spreadIfNarrow(spark.read.parquet(p)).count()
+      s"$base/$sub"
+    }
+    Scale.clearSpreadMemo()
+    val sf1 = mk("sf1")
+    val sf10 = mk("sf10full") // prefix-collides with "sf1" under substring match
+    assert(Scale.spreadMemoHasRootUnder(sf1) && Scale.spreadMemoHasRootUnder(sf10))
+    Scale.clearSpreadMemoUnder(sf1)
+    assert(!Scale.spreadMemoHasRootUnder(sf1), "sf1's memo row must be evicted")
+    assert(Scale.spreadMemoHasRootUnder(sf10),
+      "sibling sf10full's memo row must SURVIVE eviction of sf1 (prefix collision)")
+  }
 }

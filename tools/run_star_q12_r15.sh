@@ -10,7 +10,9 @@
 #      regime for comparison; digests must agree
 #   3. Verify dump + DuckDB oracle at DEFAULT knobs — the PASS proof
 # Usage: run_star_q12_r15.sh [classdir] [logfile]
-set -u
+# pipefail so the logged rc after each `java | grep` leg reflects the
+# JVM, not grep (r15 advisory: a mid-run JVM crash used to log rc=0).
+set -u -o pipefail
 cd /root/repo
 CLS=${1:-target/scala-2.13/classes}
 LOG=${2:-target/star_q12_r15.log}
