@@ -75,6 +75,10 @@ object CartAnalytics {
   // Scale: status filter pushes into the orders parquet scan; ORDER
   // BY+LIMIT plans as TakeOrderedAndProject (no global sort); distinct agg
   // is two-phase partial/final hashed on l_partkey.
+  // topKFirst applicability (r15 verdict task 5): NO — the sort key
+  // `abandoned_orders` is a post-aggregate countDistinct over the join,
+  // not a pre-join anchor column (precondition 1 fails); the aggregate
+  // must run over ALL abandoned lines before any top-k is knowable.
   // ---------------------------------------------------------------------
   def q01TopAbandonedParts(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir).join(ord(spark, dir), col("l_orderkey") === col("o_orderkey"), "right_outer")
@@ -98,6 +102,9 @@ object CartAnalytics {
   // null-extension bucket (abandoned orders with <2 distinct parts) is
   // reconstructed from per-order part counts, which reuses the same
   // l_orderkey partitioning as the pair join (no extra shuffle).
+  // topKFirst applicability: NO — the top-100 is by the pair-level
+  // countDistinct(order) computed BY the self-join; no anchor table
+  // carries the sort key pre-join (precondition 1 fails).
   // ---------------------------------------------------------------------
   /** Lines of abandoned orders — q02's pair-stage input (shared with the
     * SQL-text parity lock in SqlParitySpec). The join rides
@@ -311,7 +318,11 @@ object CartAnalytics {
   }
 
   /** Q9 — per-part launch table filtered to first-year launches (HAVING on
-    * YEAR(MIN(...))), top-100 by abandonment. */
+    * YEAR(MIN(...))), top-100 by abandonment.
+    * topKFirst applicability: NO — both the filter (YEAR(MIN(launch_ts)),
+    * an aggregate of the join) and the sort key (abandoned_orders, a
+    * post-aggregate count) only exist after the full aggregation
+    * (preconditions 1 and 3 fail). */
   def q09LaunchYearTopParts(spark: SparkSession, dir: String): DataFrame = {
     val firstYear = Tables.load(spark, dir, "orders")
       .agg(year(min(col("o_orderdate"))).as("y")).first().getInt(0)
@@ -432,15 +443,17 @@ object CartAnalytics {
     val reg = Tables.load(spark, dir, "region")
     val prt = Tables.load(spark, dir, "part")
     val sup = Tables.load(spark, dir, "supplier")
-    val top50 = o.where(abandoned)
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(50)
-    // semi-reduce lineitem to the 50 orders' lines (broadcast, map-only
-    // over the fact), then LEFT OUTER from the orders side — preserves
-    // line-less orders exactly like the original right_outer
-    val lines = li(spark, dir)
-      .join(broadcast(top50.select(col("o_orderkey").as("__k"))),
-        col("l_orderkey") === col("__k"), "left_semi")
+    // the shared topKFirst harness (Scale) — q12 satisfies all four
+    // preconditions: sort keys (o_totalprice, o_orderkey) are orders
+    // columns; the group keys are functionally determined by o_orderkey
+    // (orders PK + unique dim PKs); `abandoned` is a pure orders
+    // predicate; o_orderkey asc is the unique tiebreaker.
+    // Then LEFT OUTER from the orders side — preserves line-less orders
+    // exactly like the original right_outer.
+    val (top50, lines) = graft.plans.Scale.topKFirst(
+      o.where(abandoned),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 50,
+      li(spark, dir), col("l_orderkey"), col("o_orderkey"))
     val fact = top50.join(lines, col("o_orderkey") === col("l_orderkey"), "left_outer")
     val withDims = Seq(
       (cust, col("o_custkey") === col("c_custkey")),

@@ -757,7 +757,17 @@ object Dedup {
     * real deployment passes its actual benchmark corpus as `evalDocs`;
     * the fixture wrappers below split the driver corpus on doc_id % 10
     * as the eval stand-in. */
-  def contaminationPairs(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    contaminationPairsHashed(hashed60ShinglesOf(train),
+      hashed60ShinglesOf(evalDocs), evalDocs.count())
+
+  /** [[contaminationPairs]] over PRE-HASHED (doc_id, h) shingle frames —
+    * the core the served-index build path enters directly (the shingle
+    * derivation is the served h60 artifact there, not a fresh corpus
+    * walk). `nEvalDocs` gates the broadcast hint only; it never changes
+    * values. */
+  private def contaminationPairsHashed(trainHashed: DataFrame,
+      evalHashed: DataFrame, nEvalDocs: Long): DataFrame = {
     // Join and count on the 60-bit trigram hash, never the shingle
     // string (r11: the string join owned d07's 30x second-decade growth
     // flag — the pair-output Σ_s dfE(s)·dfT(s) is intrinsic to exact
@@ -765,12 +775,9 @@ object Dedup {
     // and ~60-byte shuffle width for what 16 bytes of longs express).
     // Counts over distinct h60 equal counts over distinct shingles up to
     // a ~2⁻⁶⁰-per-pair collision, and the oracle mirrors the same hash.
-    val eval_ = hashed60ShinglesOf(evalDocs)
-      .select(col("doc_id").as("eval_id"), col("h"))
+    val eval_ = evalHashed.select(col("doc_id").as("eval_id"), col("h"))
     val evalSizes = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
-    val trainSh = hashed60ShinglesOf(train)
-      .select(col("doc_id").as("train_id"), col("h"))
-    val nEvalDocs = evalDocs.count()
+    val trainSh = trainHashed.select(col("doc_id").as("train_id"), col("h"))
     val evalSide =
       if (nEvalDocs <= ContaminationBroadcastMaxEvalDocs) broadcast(eval_) else eval_
     val overlap = evalSide.join(trainSh, Seq("h"))
@@ -798,10 +805,69 @@ object Dedup {
     (docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0))
   }
 
-  def d07Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val (train, eval_) = fixtureEvalSplit(spark, dir)
-    contamination(train, eval_)
+  /** The h60 shingle index as a PERSISTED CATALOG ARTIFACT — the
+    * corpus-wide (doc_id, 60-bit trigram hash) inverted index every
+    * contamination consumer re-derived per cold JVM (r15 A/B: the
+    * d-chain's standalone legs burn ~1,700–1,860 executor-CPU-s, an
+    * order of magnitude over their warm-suite mins, almost all of it
+    * shingle re-derivation a full-suite run amortizes). Built once per
+    * corpus state; the contamination pair build and any future
+    * h60 consumer read the parquet table. Values are exact longs, so
+    * the round trip is bit-identical to recompute. */
+  private[graft] def h60ArtifactName(spark: SparkSession, dir: String): String =
+    "h60_" + graft.sources.Artifacts.keyFor(spark, dir, "h60")(
+      hashed60ShinglesOf(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))))
+
+  private[graft] def persistedH60Shingles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, h60ArtifactName(spark, dir)) {
+      hashed60ShinglesOf(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** The qualifying contamination PAIR SET as a persisted catalog
+    * artifact — the s12/edges pattern applied to the d-chain (r15
+    * verdict task 3): the pair table is index state with two consumers
+    * (d07's top-k view, d15's decontaminate apply), exactly like d08's
+    * labels, so it is built once per corpus state and every later
+    * read — this session or the next JVM — pays a table scan. Keyed by
+    * the RAW fixture derivation (fresh-JVM reproducible, the labels
+    * discipline); the BUILD body derives from the served h60 artifact,
+    * so even a cold build never re-walks corpus text for shingles.
+    * Columns are exact longs → serve ≡ recompute bit-for-bit. */
+  private[graft] def contamPairsArtifactName(spark: SparkSession, dir: String): String =
+    "contam_" + graft.sources.Artifacts.keyFor(spark, dir, "contam")({
+      val (train, eval_) = fixtureEvalSplit(spark, dir)
+      contaminationPairs(train, eval_)
+    })
+
+  /** The contamination pair DERIVATION body over the served h60 index —
+    * what [[persistedContamPairs]] materializes once per corpus state.
+    * Filtering the corpus-wide index by the fixture predicate equals
+    * hashing the filtered frames (shingling is per-row), so this plan
+    * is value-identical to the raw derivation the key hashes. */
+  private[graft] def contamPairsDerive(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = persistOnce(persistedH60Shingles(spark, dir))
+    val nEvalDocs = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 0).count()
+    contaminationPairsHashed(h60.where(col("doc_id") % 10 =!= 0),
+      h60.where(col("doc_id") % 10 === 0), nEvalDocs)
   }
+
+  private[graft] def persistedContamPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, contamPairsArtifactName(spark, dir)) {
+      contamPairsDerive(spark, dir)
+    }
+
+  /** Test hook: drop the persisted pair artifact (entry + files). */
+  private[graft] def clearContamCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, contamPairsArtifactName(spark, dir))
+
+  def d07Contamination(spark: SparkSession, dir: String): DataFrame =
+    persistedContamPairs(spark, dir)
+      .orderBy((col("shared").cast("double") / col("n_eval")).desc,
+        col("eval_id").asc, col("train_id").asc)
+      .limit(200)
 
   // ---------------------------------------------------------------------
   // d15 — decontamination APPLY: the train corpus minus every doc that
@@ -824,8 +890,17 @@ object Dedup {
   }
 
   def d15DecontaminateApply(spark: SparkSession, dir: String): DataFrame = {
-    val (train, eval_) = fixtureEvalSplit(spark, dir)
-    decontaminate(train, eval_)
+    // detection's pair set comes from the SAME served artifact d07
+    // reads, so detect and apply still cannot disagree — the shared-
+    // derivation contract, now shared through the warehouse instead of
+    // a per-JVM cache
+    val dirty = persistedContamPairs(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 0)
+      .join(dirty, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
   }
 
   // ---------------------------------------------------------------------
@@ -900,8 +975,46 @@ object Dedup {
           concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text")))
   }
 
+  /** The scored containment-audit verdicts as a persisted catalog
+    * artifact — the same index-state argument as the contamination
+    * pairs: the audit's band join + exact verification over the
+    * excerpt-augmented corpus runs once per corpus state and every
+    * later read pays a table scan. Keyed by the RAW audit derivation;
+    * the build derives its shingles from the served shingle artifact
+    * (sh(docs ∪ excerpts) = served_sh(docs) ∪ sh(excerpts) — shingling
+    * is per-row and the excerpt ids are provably disjoint), so a cold
+    * build re-walks only the 1/17 excerpt slice, not the corpus. The
+    * rounded doubles round-trip parquet bit-exactly (IEEE), so serve ≡
+    * recompute. */
+  private[graft] def contAuditArtifactName(spark: SparkSession, dir: String): String =
+    "contaud_" + graft.sources.Artifacts.keyFor(spark, dir, "contaud")(
+      containmentAudit(excerptAugmented(spark, dir)))
+
+  /** The d16 DERIVATION body over the served shingle artifact — what
+    * [[persistedContainmentAudit]] materializes once per corpus state. */
+  private[graft] def d16Derive(spark: SparkSession, dir: String): DataFrame = {
+    val excerpts = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 17 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text"))
+    val sh = persistOnce(
+      persistedShingles(spark, dir).unionAll(shinglesOf(excerpts)))
+    val sig = lshSignatures(sh)
+    scoreContainment(lshCandidates(sig), sh, sig.select(col("doc_id"), col("n")))
+  }
+
+  private[graft] def persistedContainmentAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, contAuditArtifactName(spark, dir)) {
+      d16Derive(spark, dir)
+    }
+
+  /** Test hook: drop the persisted audit artifact (entry + files). */
+  private[graft] def clearContAuditCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, contAuditArtifactName(spark, dir))
+
   def d16ContainmentAudit(spark: SparkSession, dir: String): DataFrame =
-    containmentAudit(excerptAugmented(spark, dir))
+    persistedContainmentAudit(spark, dir)
+      .orderBy(col("containment").desc, col("doc_a").asc, col("doc_b").asc)
 
   // ---------------------------------------------------------------------
   // d17 — containment SKETCH: the guaranteed-recall fix for d16's

@@ -325,6 +325,38 @@ object Scale {
     else fact.join(dim, cond, joinType)
   }
 
+  /** The LIMIT-commutes-through-joins rewrite (q12's sf100star shape,
+    * PERF 15f) as a reusable harness: decide the top-k on the ANCHOR
+    * table alone — TakeOrdered over its scan, partial top-k per
+    * partition, no shuffle — then semi-reduce the fact to the k anchors'
+    * rows with a broadcast left-semi join (map-only over the fact). The
+    * fact never shuffles at any scale; dims then attach to a ≤k-anchor
+    * frame.
+    *
+    * LEGALITY preconditions — the caller must prove, per query (Catalyst
+    * cannot: pushing a LIMIT through an aggregate needs functional-
+    * dependency reasoning it doesn't have):
+    *   1. every final sort key is an anchor column (exists pre-join);
+    *   2. the final group keys are functionally determined by the
+    *      anchor's key (unique far-side join keys), so each anchor row
+    *      yields EXACTLY one output group — top-k groups ≡ top-k anchors;
+    *   3. the eligibility filter is a pure anchor predicate (applied to
+    *      `anchor` before calling);
+    *   4. `order` is a total order (unique tiebreaker), so top-k is
+    *      deterministic.
+    * Queries ordering by POST-AGGREGATE measures (q01/q02/q09's counts)
+    * fail precondition 1 and must aggregate first.
+    *
+    * Returns (top-k anchors, fact semi-reduced to them). The broadcast
+    * is ≤k keys — always under any ceiling. */
+  def topKFirst(anchor: DataFrame, order: Seq[Column], k: Int,
+      fact: DataFrame, factKey: Column, anchorKey: Column): (DataFrame, DataFrame) = {
+    val top = anchor.orderBy(order: _*).limit(k)
+    val reduced = fact.join(broadcast(top.select(anchorKey.as("__k"))),
+      factKey === col("__k"), "left_semi")
+    (top, reduced)
+  }
+
   /** Exact top-k rows per group with bounded memory: partial top-k per
     * input partition (sortWithinPartitions + per-group take via window on
     * the map side is not expressible declaratively, so we use the

@@ -797,6 +797,31 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(cold.nonEmpty)
   }
 
+  test("contamination/containment caches: the served artifact is bit-identical " +
+      "to a cold build AND to the raw core derivation (r16)") {
+    // truly cold: pair + audit artifacts dropped (h60/shingle artifacts
+    // may persist — they are exact and shared by the builds)
+    Dedup.clearContamCache(spark, sf)
+    Dedup.clearContAuditCache(spark, sf)
+    def d07snap() = Dedup.d07Contamination(spark, sf).collect().map(_.toString).toSeq
+    def d15snap() = Dedup.d15DecontaminateApply(spark, sf).collect().map(_.toString).toSeq
+    def d16snap() = Dedup.d16ContainmentAudit(spark, sf).collect().map(_.toString).toSeq
+    val (cold07, cold15, cold16) = (d07snap(), d15snap(), d16snap())
+    val (warm07, warm15, warm16) = (d07snap(), d15snap(), d16snap())
+    assert(cold07 === warm07 && cold15 === warm15 && cold16 === warm16)
+    assert(cold07.nonEmpty && cold15.nonEmpty && cold16.nonEmpty)
+    // the served path must agree with the raw cores over the same frames
+    // (the fixture split / excerpt augmentation, no artifacts involved)
+    val docs = Tables.load(spark, sf, "documents")
+    import org.apache.spark.sql.functions.col
+    val rawD07 = Dedup.contamination(docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0)).collect().map(_.toString).toSeq
+    assert(cold07 === rawD07, "served d07 diverged from the raw core derivation")
+    val rawD16 = Dedup.containmentAudit(Dedup.excerptAugmented(spark, sf))
+      .collect().map(_.toString).toSeq
+    assert(cold16 === rawD16, "served d16 diverged from the raw core derivation")
+  }
+
   test("knn-graph cache: a cached serve is bit-identical to the cold build; s09/s11 read the artifact") {
     Similarity.clearKnnGraphCache(spark, sf)
     Similarity.clearKnnLabelsCache(spark, sf)

@@ -178,10 +178,31 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d16: containment candidates come from the band join — no cartesian anywhere") {
-    val plan = formatted(Dedup.d16ContainmentAudit(spark, sf))
+    // pin the DERIVATION body: d16 itself serves the persisted audit
+    // artifact (see the serve-path test below)
+    val plan = formatted(Dedup.d16Derive(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"containment audit must stay O(band collisions):\n${plan.take(2000)}")
+  }
+
+  test("d07/d15/d16 serve their persisted artifacts — no per-query shingle re-derivation (r16)") {
+    // the s12/edges contract applied to the d-chain (r15 verdict task 3):
+    // pair/audit tables are index state; the query-side plan is a table
+    // scan plus cheap consumption (top-k for d07, anti-join for d15,
+    // re-sort for d16) — never the h60/shingle walk
+    val db = graft.sources.Artifacts.Db
+    Seq(
+      ("d07", "contam_", Dedup.d07Contamination(spark, sf)),
+      ("d15", "contam_", Dedup.d15DecontaminateApply(spark, sf)),
+      ("d16", "contaud_", Dedup.d16ContainmentAudit(spark, sf))).foreach {
+      case (name, prefix, df) =>
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains(db) && physical.contains(prefix),
+          s"$name must read its persisted artifact:\n$physical")
+        assert(!physical.toLowerCase.contains("trigram"),
+          s"$name must not re-derive shingles per query:\n$physical")
+    }
   }
 
   test("t18: frequency spectrum is aggregates + a broadcast self-join — no window, no sort-merge") {
@@ -279,7 +300,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d07: the eval-side contamination join is broadcast (train side never shuffles)") {
-    val plan = formatted(Dedup.d07Contamination(spark, sf))
+    // pin the DERIVATION body (what the artifact build runs): d07 itself
+    // serves the persisted pair artifact
+    val plan = formatted(Dedup.contamPairsDerive(spark, sf))
     assert(plan.linesIterator.exists(_.trim.matches("""\(\d+\) BroadcastHashJoin.*""")),
       s"eval⋈train must broadcast the eval shingles:\n$plan")
   }
