@@ -241,10 +241,13 @@ object Dedup {
       .groupBy(col("c.doc_a"), col("c.doc_b"))
       .agg(count(lit(1)).as("shared"))
 
-  /** MinHash+LSH near-dup pairs over ANY (doc_id, text) frame — the
-    * O(docs + collisions) scale path. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs)
+  /** The SCORED LSH candidate table over a shingle frame: every band-
+    * collision pair with its minhash agreement estimate, both set sizes,
+    * and the exact shared-shingle count (null when the colliding pair
+    * shares no shingle). This is the one pair population the LSH family
+    * acts on — d03's top-k view, d14's threshold sweep, and the edge
+    * set d08/d09/s08 cluster over are all projections of it. */
+  private[graft] def scoredCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val sig = lshSignatures(sh)
     val cand = lshCandidates(sig)
     val est = (0 until NumHashes)
@@ -255,23 +258,50 @@ object Dedup {
       .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"), est.as("est_raw"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
-    val shared = withEst.as("c")
-      .join(sh.as("a"), col("c.doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("c.doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("c.doc_a"), col("c.doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    withEst.join(sharedCounts(cand, sh), Seq("doc_a", "doc_b"), "left_outer")
+  }
+
+  private[graft] def scoredCandidatesOf(docs: DataFrame): DataFrame =
+    scoredCandidatesFromShingles(shinglesOf(docs))
+
+  /** d03's top-k tail over a scored candidate frame. */
+  private def minhashTopK(scored: DataFrame): DataFrame = {
     val j = coalesce(col("shared"), lit(0L)).cast("double") /
       (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L)))
-    withEst
-      .join(shared, Seq("doc_a", "doc_b"), "left_outer")
+    scored
       .orderBy(j.desc, col("doc_a").asc, col("doc_b").asc)
       .limit(200)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_raw"), 6).as("est_similarity"), round(j, 6).as("jaccard"))
   }
 
+  /** MinHash+LSH near-dup pairs over ANY (doc_id, text) frame — the
+    * O(docs + collisions) scale path. */
+  def minhashLsh(docs: DataFrame): DataFrame =
+    minhashTopK(scoredCandidatesOf(docs))
+
+  /** The scored candidate table as a persisted catalog artifact — the
+    * contam_/contaud_ argument one level deeper: the band joins + exact
+    * verification are index state shared by THREE consumers (d03 view,
+    * d14 sweep, the edges_* build), so they run once per corpus state.
+    * Keyed by the raw derivation; the build reads the served shingle
+    * artifact. est_raw is k/16 (exact in binary) and the counts are
+    * longs, so the parquet round trip is bit-identical to recompute. */
+  private[graft] def scoredArtifactName(spark: SparkSession, dir: String): String =
+    "scored_" + graft.sources.Artifacts.keyFor(spark, dir, "scored")(
+      scoredCandidatesOf(Tables.load(spark, dir, "documents")))
+
+  private[graft] def persistedScoredCandidates(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, scoredArtifactName(spark, dir)) {
+      scoredCandidatesFromShingles(persistOnce(persistedShingles(spark, dir)))
+    }
+
+  /** Test hook: drop the persisted scored-candidate artifact. */
+  private[graft] def clearScoredCache(spark: SparkSession, dir: String): Unit =
+    graft.sources.Artifacts.dropArtifact(spark, scoredArtifactName(spark, dir))
+
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLsh(Tables.load(spark, dir, "documents"))
+    minhashTopK(persistedScoredCandidates(spark, dir))
 
   // ---------------------------------------------------------------------
   // d04 — SimHash: 120-bit signature (two 60-bit words from one md5 per
@@ -1454,7 +1484,15 @@ object Dedup {
     * full edge set per query. */
   private[graft] def persistedLshEdges(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Artifacts.servePersisted(spark, edgesArtifactName(spark, dir)) {
-      lshEdges(spark, dir)
+      // build from the served SCORED candidate artifact (r16): the edge
+      // set is the ≥ threshold slice of the one scored pair population —
+      // a cold edge build pays a table scan, not its own band joins +
+      // verification. Expression mirrors thresholdEdges exactly (Divide
+      // casts to double; a null `shared` comparison is null → dropped,
+      // same as the inner join it replaces).
+      persistedScoredCandidates(spark, dir)
+        .where(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= ClusterThreshold)
+        .select(col("doc_a"), col("doc_b"))
     }
 
   /** Test hook: drop the persisted edge artifact (entry + files). */
@@ -2074,16 +2112,13 @@ object Dedup {
   // ---------------------------------------------------------------------
   val SweepBuckets = 20
 
-  /** Jaccard-threshold sweep over ANY (doc_id, text) frame. */
-  def thresholdSweep(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** The sweep tail over a scored candidate frame: pairs sharing ≥1
+    * shingle (shared non-null — the inner sharedCounts population)
+    * bucketed by exact Jaccard, with the cumulative tail as a broadcast
+    * theta-join over the ≤ SweepBuckets+1 bucket rows. */
+  private def sweepFromScored(scored: DataFrame): DataFrame = {
     val j = col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))
-    val buckets = sharedCounts(lshCandidates(lshSignatures(sh)), sh)
-      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
+    val buckets = scored.where(col("shared").isNotNull)
       .select(floor(j * SweepBuckets).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
     buckets.as("a")
@@ -2095,8 +2130,12 @@ object Dedup {
       .orderBy(col("bucket").asc)
   }
 
+  /** Jaccard-threshold sweep over ANY (doc_id, text) frame. */
+  def thresholdSweep(docs: DataFrame): DataFrame =
+    sweepFromScored(scoredCandidatesOf(docs))
+
   def d14ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
-    thresholdSweep(Tables.load(spark, dir, "documents"))
+    sweepFromScored(persistedScoredCandidates(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_threshold_sweep" -> d14ThresholdSweep _,

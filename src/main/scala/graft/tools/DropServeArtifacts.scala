@@ -13,9 +13,10 @@ object DropServeArtifacts {
     val spark = Session.get("graft-drop-artifacts")
     Dedup.clearContamCache(spark, dir)
     Dedup.clearContAuditCache(spark, dir)
+    Dedup.clearScoredCache(spark, dir)
     graft.sources.Artifacts.dropArtifact(spark, Dedup.h60ArtifactName(spark, dir))
     graft.sources.Artifacts.dropArtifact(spark, Dedup.shingleArtifactName(spark, dir))
-    println(s"[drop-artifacts] dropped contam/contaud/h60/shingles for $dir")
+    println(s"[drop-artifacts] dropped contam/contaud/scored/h60/shingles for $dir")
     spark.stop()
   }
 }

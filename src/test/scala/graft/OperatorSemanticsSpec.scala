@@ -822,6 +822,22 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(cold16 === rawD16, "served d16 diverged from the raw core derivation")
   }
 
+  test("scored-candidate cache: the served artifact is bit-identical to a cold " +
+      "build AND to the raw cores for d03/d14 (r16)") {
+    Dedup.clearScoredCache(spark, sf)
+    def d03snap() = Dedup.d03MinhashLsh(spark, sf).collect().map(_.toString).toSeq
+    def d14snap() = Dedup.d14ThresholdSweep(spark, sf).collect().map(_.toString).toSeq
+    val (cold03, cold14) = (d03snap(), d14snap())
+    val (warm03, warm14) = (d03snap(), d14snap())
+    assert(cold03 === warm03 && cold14 === warm14)
+    assert(cold03.nonEmpty && cold14.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(cold03 === Dedup.minhashLsh(docs).collect().map(_.toString).toSeq,
+      "served d03 diverged from the raw core derivation")
+    assert(cold14 === Dedup.thresholdSweep(docs).collect().map(_.toString).toSeq,
+      "served d14 diverged from the raw core derivation")
+  }
+
   test("knn-graph cache: a cached serve is bit-identical to the cold build; s09/s11 read the artifact") {
     Similarity.clearKnnGraphCache(spark, sf)
     Similarity.clearKnnLabelsCache(spark, sf)

@@ -154,12 +154,24 @@ class PlanSpec extends SparkSpec {
     assertOnlySpreadAndSortExchanges(plan, "only spread + final ORDER BY may shuffle")
   }
 
-  test("d03: persisted signature table is served from cache (InMemoryTableScan)") {
-    val df = Dedup.d03MinhashLsh(spark, sf)
-    df.count() // materialize caches
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
-      s"signature/shingle caches not used:\n${plan.take(2000)}")
+  test("d03: the derivation serves the persisted signature/shingle caches " +
+      "(InMemoryTableScan); the query itself serves the scored_* artifact") {
+    // derive body: the in-JVM persistOnce caches still carry the build
+    val derive = Dedup.scoredCandidatesOf(
+      graft.Tables.load(spark, sf, "documents"))
+    derive.count() // materialize caches
+    val dplan = derive.queryExecution.executedPlan.toString
+    assert(dplan.contains("InMemoryTableScan") || dplan.contains("TableCacheQueryStage"),
+      s"signature/shingle caches not used:\n${dplan.take(2000)}")
+    // query side: d03 and d14 read the scored artifact, no band joins
+    Seq("d03" -> Dedup.d03MinhashLsh(spark, sf),
+      "d14" -> Dedup.d14ThresholdSweep(spark, sf)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(graft.sources.Artifacts.Db) && plan.contains("scored_"),
+        s"$name must read the scored artifact:\n${plan.take(2000)}")
+      assert(!plan.toLowerCase.contains("trigram"),
+        s"$name must not re-derive shingles per query:\n${plan.take(2000)}")
+    }
   }
 
   test("d05: all-pairs baseline plans a codegen'd equi join — no nested-loop, no cartesian") {
