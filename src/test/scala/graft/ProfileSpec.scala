@@ -73,4 +73,26 @@ class ProfileSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("mean_value")))
     assert(row.getAs[Double]("stddev_value") === 0.0)
   }
+
+  test("q15/q17 serve persisted profile artifacts, bit-identical to the raw cores (r16)") {
+    import graft.operators.CartAnalytics
+    val ordDf = Tables.load(spark, sf, "orders")
+    val raw15 = Profile.summarize(ordDf, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .collect().map(_.toString).toSeq
+    val raw17 = Profile.summarizeStrings(ordDf, Seq("o_orderstatus", "o_orderpriority"))
+      .collect().map(_.toString).toSeq
+    val served15 = CartAnalytics.q15ProfileOrders(spark, sf)
+    val served17 = CartAnalytics.q17ProfileOrdersStrings(spark, sf)
+    assert(served15.collect().map(_.toString).toSeq === raw15,
+      "served q15 diverged from the raw summarize core")
+    assert(served17.collect().map(_.toString).toSeq === raw17,
+      "served q17 diverged from the raw summarizeStrings core")
+    // serve path: an artifact scan (the statistics-table idiom), not a
+    // per-query full sort-aggregate of the fact
+    Seq("profile_" -> served15, "profstr_" -> served17).foreach { case (p, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(graft.sources.Artifacts.Db) && plan.contains(p),
+        s"profile must serve the $p artifact:\n${plan.take(1500)}")
+    }
+  }
 }
