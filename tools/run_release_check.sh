@@ -14,6 +14,12 @@
 # separate scripts by design — they take hours and have their own logs;
 # this gate is the "is HEAD shippable" answer in one invocation.
 #
+# STANDING ROUND-CLOSE RULE (r15 verdict task 2): this gate is the LAST
+# thing a round runs, AFTER the round's final code commit — a gate run
+# that predates any code change proves nothing (r15 shipped a red suite
+# exactly this way). The gate-artifact commit itself must contain only
+# the gate outputs (bench/release_rN/), so the gated code IS HEAD's code.
+#
 # CANONICAL BENCH LEG (r14 verdict task 5): gate 4's bench_sf0.1.json is
 # THE one wall-clock number a round quotes — three same-HEAD sf0.1 totals
 # coexisted in r14 (sweep/gate/driver) and round-over-round comparisons
