@@ -22,7 +22,12 @@ package graft
   *   - per-query executor CPU seconds under "cpu_s" (+ "cpu_runs",
   *     suite "cpu_value") via [[CpuMeter]] — the stall-immune
   *     round-over-round comparator (r14 verdict task 1): host stalls
-  *     inflate wall, not task CPU.
+  *     inflate wall, not task CPU;
+  *   - an untimed artifact-prebuild pass at the TARGET corpus before the
+  *     timed window (wall reported as "prebuild_s"): persisted-artifact
+  *     builds are once-per-corpus-state index costs a deployment pays in
+  *     its build session — paying them mid-window polluted later rows'
+  *     heap state (r16: d10 618 CPU-s in-leg vs 259 standalone).
   */
 object Bench {
   /** Min above this triggers extra runs: every PERF.md steady-state row
@@ -45,6 +50,27 @@ object Bench {
       try BenchConsume.consume(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // Untimed ARTIFACT-PREBUILD pass at the TARGET corpus (PERF 16e's d10
+    // finding, generalized): the persisted-artifact families (h60/contam/
+    // scored/shingles/dedupsig/semv/edges/labels/centroids/knn/profile…)
+    // are once-per-corpus-state INDEX BUILDS — a deployment pays them in
+    // its build session, not in query traffic. Before this pass they were
+    // paid inside the timed window (min-of-3 discarded the build run's
+    // TIME, but the builds' heap/GC state leaked into later rows: the r16
+    // sf10full leg read d10 at 618 CPU-s in-leg vs 259 standalone at the
+    // same HEAD). One untimed full pass at sfDir materializes every
+    // artifact first, so the timed window is uniformly serve-state; its
+    // wall is reported as "prebuild_s" — the honest once-per-state cost,
+    // kept out of no ledger.
+    val prebuildT0 = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try BenchConsume.consume(fn(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+    val prebuildSec = (System.nanoTime() - prebuildT0) / 1e9
+    // timed runs start in-JVM-cache-clean; persisted artifacts are
+    // on-disk tables, so the serve paths are unaffected
+    spark.catalog.clearCache()
     // Failed runs must not contribute a (fast) failure time — only
     // successful runs count, and a query with no successful run
     // reports -1 (excluded from the suite total below).
@@ -136,6 +162,7 @@ object Bench {
     val cpuTotal = results.collect { case (_, _, _, _, _, c) if c >= 0 => c }.sum
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","prebuild_s":${jnum(prebuildSec)}""" +
       s""","cpu_value":${jnum(cpuTotal)},"cpu_s":$cpuS,"cpu_runs":$cpuRuns""" +
       s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
     // Compact contract line (fits the driver's 2 KB stdout tail); keys are
