@@ -62,12 +62,32 @@ object Bench {
     // artifact first, so the timed window is uniformly serve-state; its
     // wall is reported as "prebuild_s" — the honest once-per-state cost,
     // kept out of no ledger.
+    // Note on what "prebuild_s" measures: one full untimed pass of EVERY
+    // query at sfDir — artifact builds PLUS one serve-execution of each
+    // row. It is an upper bound on the once-per-corpus-state build cost
+    // (the serve-pass share is the leg's own timed total, small next to
+    // the builds at sf1+), chosen because "run everything once" is also
+    // what guarantees the timed window starts uniformly serve-state.
+    // A prebuild failure is NOT silent (r16 advisory): the build cost
+    // would fall back into the timed window and prebuild_s would
+    // underreport, so every failure is logged like timedRun's.
     val prebuildT0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try BenchConsume.consume(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
+      }
     }
     val prebuildSec = (System.nanoTime() - prebuildT0) / 1e9
+    // Warehouse GC rides the build session (r16 verdict task 6): with
+    // content-keyed fingerprints an artifact generation is superseded
+    // only by a REAL corpus change, and nothing else ever deleted it.
+    val swept =
+      try graft.sources.Artifacts.sweepStale(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact GC failed: ${e.getMessage}"); 0
+      }
+    System.err.println(s"[bench] artifact GC: swept $swept superseded generations")
     // timed runs start in-JVM-cache-clean; persisted artifacts are
     // on-disk tables, so the serve paths are unaffected
     spark.catalog.clearCache()

@@ -133,14 +133,62 @@ object Artifacts {
   def dropEntry(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${qualified(table)}")
 
+  /** Artifact table names are `<kind>_<dirhash10>_<fp8>_<plan8>`; the
+    * (fp, plan) suffix is one corpus GENERATION of the (kind, dir)
+    * family. */
+  private val GenerationName = "^(.+_[0-9a-f]{10})_[0-9a-f]{8}_[0-9a-f]{8}$".r
+
+  /** GC superseded artifact generations (r16 verdict task 6):
+    * [[servePersisted]] writes a new `<kind>_<key>` table per corpus
+    * state and nothing ever removed the old ones — every corpus rewrite
+    * left a full artifact generation behind in the warehouse, forever.
+    * Keeps the newest `keep` generations per (kind, corpus-dir) group by
+    * artifact-directory mtime and deletes the rest (files + catalog
+    * entry); also clears crashed-build `_stage_` leftovers older than
+    * the stale-lock horizon. `keep` ≥ 1 always retains the generation a
+    * live session is serving (it is the newest of its group); keeping 2
+    * tolerates one in-flight corpus swap. Returns the number of
+    * generations deleted. */
+  def sweepStale(spark: SparkSession, keep: Int = 2): Int = {
+    require(keep >= 1, "sweepStale must keep at least the live generation")
+    val dbDir = new Path(s"${spark.conf.get("spark.sql.warehouse.dir")}/$Db.db")
+    val fs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbDir)) return 0
+    val now = System.currentTimeMillis()
+    var swept = 0
+    val children = fs.listStatus(dbDir)
+    children.foreach { st => // crashed-build staging dirs: never registered
+      if (st.isDirectory && st.getPath.getName.contains("_stage_") &&
+          st.getModificationTime < now - StaleLockMs) {
+        fs.delete(st.getPath, true); swept += 1
+      }
+    }
+    children.filter(st => st.isDirectory && !st.getPath.getName.contains("_stage_"))
+      .flatMap { st =>
+        st.getPath.getName match {
+          case GenerationName(group) => Some((group, st))
+          case _ => None
+        }
+      }
+      .groupBy(_._1).values.foreach { gen =>
+        gen.sortBy(-_._2.getModificationTime).drop(keep).foreach { case (_, st) =>
+          dropArtifact(spark, st.getPath.getName); swept += 1
+        }
+      }
+    swept
+  }
+
   /** Deterministic table-name key: corpus-dir digest + corpus CONTENT
     * fingerprint + defining-plan digest.
     *
     * The content fingerprint closes the stale-serve hole: the warehouse
-    * outlives the JVM, so regenerating a corpus in place (the documented
-    * tools/gen_sf_local.py workflow) must MISS and rebuild, not silently
-    * serve the old corpus's labels/centroids. Any file added, removed,
-    * resized, or rewritten under the corpus dir changes the key.
+    * outlives the JVM, so rewriting a corpus in place with DIFFERENT
+    * data must MISS and rebuild, not silently serve the old corpus's
+    * labels/centroids. Any file added, removed, resized, or rewritten
+    * with new bytes under the corpus dir changes the key — while a
+    * byte-identical regeneration (same seed, fresh mtimes) keeps it, so
+    * artifacts survive the regenerate-from-seed workflow instead of
+    * rebuilding on every round (r16 verdict task 3).
     *
     * The plan digest hashes the CANONICALIZED plan's string form,
     * NOT `semanticHash()` — canonicalized expression ids print as stable
@@ -157,9 +205,11 @@ object Artifacts {
 
   /** [[key]] with the defining-plan construction MEMOIZED per
     * (kind, dir, corpus fingerprint). The fingerprint is recomputed on
-    * every call — one FS metadata walk, which is what keeps the
-    * documented staleness contract (a corpus regenerated in place
-    * changes the fingerprint, so it misses and re-derives) — but the
+    * every call — one FS metadata walk at steady state (per-file content
+    * digests are memoized by (path, len, mtime)), which is what keeps
+    * the documented staleness contract (a corpus rewritten in place with
+    * different bytes changes the fingerprint, so it misses and
+    * re-derives; a byte-identical regeneration keeps it and HITS) — but the
     * expensive part, constructing + analyzing + canonicalizing the full
     * defining derivation tree, runs once per corpus state per JVM.
     * Within one JVM the code is fixed, so (kind, dir, content) fully
@@ -217,11 +267,37 @@ object Artifacts {
   private val keyMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
-  /** Content fingerprint of a data dir: md5 over the sorted recursive
-    * file listing (path, length, mtime). A directory listing — not a
-    * data read — so it costs one FS metadata walk, no job. Also keys the
-    * scalar-probe memos (anchor/docCount/packMaxId/skew): memo hits are
-    * only valid while the underlying files are untouched. */
+  /** CONTENT fingerprint of a data dir: md5 over the sorted recursive
+    * file listing of (path, length, per-file content digest).
+    *
+    * Until r16 this hashed (path, length, mtime) — which made the key
+    * strictly TIME-keyed: regenerating a corpus from the same seed
+    * (byte-identical values, fresh mtimes — the documented
+    * tools/gen_sf_local.py workflow, and what the driver does to
+    * /root/testdata between rounds) minted a new fingerprint and every
+    * persisted artifact family rebuilt from scratch (r16 gate:
+    * prebuild_s 1,658.9 s at sf10full on data identical to what the
+    * artifacts were built from). Content keys close that: identical
+    * bytes ⇒ identical key ⇒ the serve architecture actually serves
+    * across corpus regenerations, sessions, and JVMs.
+    *
+    * The per-file digest reads the file's HEAD and TAIL windows (64 KiB
+    * each; whole file when smaller), not the full bytes: for parquet the
+    * tail window covers the footer — row-group offsets, sizes, and
+    * column min/max stats — so any data change that survives identical
+    * (path, length) still moves the digest. Cost scales with FILE COUNT
+    * (two ranged reads per file), not byte volume — at 100 TB this is
+    * the same O(footers) a planner's schema merge already pays, and
+    * nothing like re-reading the corpus. Per JVM each (path, len, mtime)
+    * digests ONCE ([[fileDigestMemo]]); steady-state calls are a pure
+    * metadata walk exactly as before, with mtime serving as the memo's
+    * cheap validity check rather than as the identity itself.
+    *
+    * Also keys the scalar-probe memos (anchor/docCount/packMaxId/skew):
+    * memo hits are valid precisely while the CONTENT is unchanged, so
+    * content keys make those memos survive an in-place same-bytes
+    * rewrite too — which is correct, where the mtime key's forced miss
+    * was merely safe. */
   def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -229,11 +305,53 @@ object Artifacts {
     def walk(d: Path): Unit =
       fs.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (!st.getPath.getName.startsWith(".")) // ignore CRC sidecars
-          entries += s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+        else if (!st.getPath.getName.startsWith(".")) { // ignore CRC sidecars
+          val path = st.getPath.toUri.getPath
+          val dig = fileDigestMemo.getOrElseUpdate(
+            (path, st.getLen, st.getModificationTime),
+            headTailDigest(fs, st.getPath, st.getLen))
+          entries += s"$path|${st.getLen}|$dig"
+        }
       }
     if (fs.exists(p)) walk(p)
     md5hex(entries.mkString("\n"))
+  }
+
+  /** (path, len, mtime) → content digest. Unbounded in principle but in
+    * practice one row per corpus file per observed state — corpus counts
+    * here are tens of files, and a 1000-file deployment corpus is still
+    * only 1000 small tuples per JVM. */
+  private val fileDigestMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
+
+  private val DigestWindow = 64 * 1024
+
+  /** md5 over head (first 64 KiB) + tail (last 64 KiB) of the file —
+    * whole file when ≤128 KiB. The tail is what matters for parquet
+    * (footer metadata: offsets + stats); the head catches header-side
+    * formats (CSV/JSON-lines). Length is hashed separately by the
+    * caller, so the windows only need to distinguish same-length
+    * rewrites. */
+  private def headTailDigest(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      len: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](DigestWindow)
+      def digestAt(pos: Long, n: Int): Unit = {
+        in.seek(pos)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) throw new java.io.EOFException(s"$p truncated under digest")
+          off += r
+        }
+        md.update(buf, 0, n)
+      }
+      if (len <= 2L * DigestWindow) digestAt(0, len.toInt)
+      else { digestAt(0, DigestWindow); digestAt(len - DigestWindow, DigestWindow) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private def md5hex(s: String): String =

@@ -413,6 +413,79 @@ class SourcesSpec extends SparkSpec {
       "in-place overwrite must change the fingerprint")
   }
 
+  test("content-keyed fingerprint: identical bytes with fresh mtimes keep the key " +
+      "(regenerate-from-seed must HIT, r16 verdict task 3)") {
+    import graft.sources.Artifacts
+    val dir = s"$tmpDir/fpc"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val before = Artifacts.corpusFingerprint(spark, dir)
+    val keyBefore = Artifacts.key(spark, dir, spark.read.parquet(s"$dir/documents.parquet"))
+    Thread.sleep(1100) // distinct mtime on coarse-granularity filesystems
+    // byte-identical in-place rewrite: same files, same bytes, new mtimes
+    // (what a seed-deterministic corpus regeneration produces)
+    val files = Files.walk(Paths.get(dir)).iterator()
+    files.forEachRemaining { p =>
+      if (Files.isRegularFile(p)) Files.write(p, Files.readAllBytes(p))
+    }
+    assert(Artifacts.corpusFingerprint(spark, dir) === before,
+      "identical content under fresh mtimes must keep the fingerprint")
+    assert(Artifacts.key(spark, dir, spark.read.parquet(s"$dir/documents.parquet"))
+        === keyBefore,
+      "identical content under fresh mtimes must keep the artifact key " +
+        "(a time-keyed fingerprint would rebuild every artifact per regeneration)")
+  }
+
+  test("content-keyed fingerprint: a same-length same-path data change still " +
+      "changes the key (parquet footer moves under the digest windows)") {
+    import graft.sources.Artifacts
+    val dir = s"$tmpDir/fpd"
+    val p = Paths.get(dir, "blob.bin")
+    Files.createDirectories(p.getParent)
+    // same length, middle-of-head-window byte flipped — digest must move
+    val bytes = Array.fill[Byte](4096)(7)
+    Files.write(p, bytes)
+    val before = Artifacts.corpusFingerprint(spark, dir)
+    bytes(2048) = 9
+    Files.write(p, bytes)
+    assert(Artifacts.corpusFingerprint(spark, dir) !== before,
+      "a rewrite with different bytes at identical (path, length) must change the key")
+  }
+
+  test("sweepStale keeps the newest N generations per (kind, dir) family " +
+      "and deletes superseded ones (r16 verdict task 6)") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Artifacts
+    val dbDir = new Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${Artifacts.Db}.db")
+    val fs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Ingest.ensureDatabase(spark, Artifacts.Db)
+    fs.mkdirs(dbDir)
+    val groupA = "sweeptest_" + "a" * 10
+    val groupB = "sweeptest_" + "b" * 10
+    def mkGen(group: String, plan: String, ageMs: Long): String = {
+      val name = s"${group}_${"0" * 8}_$plan"
+      val d = new Path(dbDir, name)
+      fs.mkdirs(d)
+      fs.create(new Path(d, "_SUCCESS")).close()
+      new java.io.File(d.toUri.getPath)
+        .setLastModified(System.currentTimeMillis() - ageMs)
+      name
+    }
+    val a1 = mkGen(groupA, "11111111", 4000) // oldest
+    val a2 = mkGen(groupA, "22222222", 3000)
+    val a3 = mkGen(groupA, "33333333", 2000)
+    val a4 = mkGen(groupA, "44444444", 1000) // newest
+    val b1 = mkGen(groupB, "55555555", 5000) // lone generation, other family
+    val swept = Artifacts.sweepStale(spark, keep = 2)
+    def exists(n: String) = fs.exists(new Path(dbDir, n))
+    assert(!exists(a1) && !exists(a2), "superseded generations must be deleted")
+    assert(exists(a3) && exists(a4), "the newest `keep` generations must survive")
+    assert(exists(b1), "a family with <= keep generations must be untouched")
+    assert(swept >= 2, s"sweep must report what it deleted (got $swept)")
+    Seq(a3, a4, b1).foreach(n => Artifacts.dropArtifact(spark, n)) // cleanup
+  }
+
   test("snapshot-keyed memo: overwrite-then-query returns fresh values in one JVM") {
     val dir = s"$tmpDir/memo"
     def docs(n: Int) = spark.range(n)
