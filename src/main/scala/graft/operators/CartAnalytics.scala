@@ -124,7 +124,18 @@ object CartAnalytics {
   /** Canonical co-abandonment pair stage: unordered (a,b) pairs via
     * least/greatest + groupBy — the algebraic equivalent of the
     * reference's CASE-key + row_number dedup (SqlParitySpec proves the
-    * equivalence against `CartSql.q02PairsRefShapeSql` row-for-row). */
+    * equivalence against `CartSql.q02PairsRefShapeSql` row-for-row).
+    *
+    * Count-bound prune audit (r16 verdict task 5): pairs(a,b) ≤
+    * min(orders(a), orders(b)) suggests a per-part admission floor
+    * before the self-join. Measured at sf10full: the 100th-best pair
+    * holds T = 2 co-abandoned orders while per-part counts sit at
+    * 10 ± small (max 28), so `orders(p) < T` prunes 929 of 1,999,898
+    * parts — 0.005% of the pair input — and the extra count pass +
+    * semi-join would cost more than it saves. NO: the bound admits too
+    * much on near-uniform part popularity; it only pays on skewed
+    * co-occurrence (hot-part corpora), which [[graft.plans.Scale
+    * .skewAwareJoin]] already handles from the blow-up side. */
   private[graft] def q02CanonicalPairs(abLines: DataFrame): DataFrame =
     abLines.as("c1")
       .join(abLines.as("c2"),

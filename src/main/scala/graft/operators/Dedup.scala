@@ -249,7 +249,18 @@ object Dedup {
     * set d08/d09/s08 cluster over are all projections of it. */
   private[graft] def scoredCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val sig = lshSignatures(sh)
-    val cand = lshCandidates(sig)
+    scoreCandidates(lshCandidates(sig), sig, sh)
+  }
+
+  /** The scoring tail of the scored-candidate table, factored out so the
+    * incremental refresh path can score a BATCH-RESTRICTED candidate set
+    * against a batch-restricted signature/shingle slice with the exact
+    * same expressions (per-pair values depend only on the two endpoint
+    * docs, so scoring a restricted population yields the same rows a
+    * full-population pass yields for those pairs). `sig` needs one row
+    * per candidate endpoint (doc_id, mh0..mhN, n); `sh` the endpoint
+    * docs' (doc_id, shingle) rows. */
+  private def scoreCandidates(cand: DataFrame, sig: DataFrame, sh: DataFrame): DataFrame = {
     val est = (0 until NumHashes)
       .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
@@ -1658,7 +1669,8 @@ object Dedup {
   private def incrementalDedupProgram(incoming: DataFrame,
       matchIndex: DataFrame, verifyIndex: DataFrame,
       verifyShingles: DataFrame,
-      pairOk: (Column, Column) => Column): DataFrame = {
+      pairOk: (Column, Column) => Column,
+      materialize: Boolean = true): DataFrame = {
     val exactMatch = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(matchIndex.select(col("text_md5").as("h"), col("doc_id").as("m")), Seq("h"))
       .where(pairOk(col("doc_id"), col("m")))
@@ -1707,6 +1719,12 @@ object Dedup {
     // stages dominate nothing at sf1). Round-9's frozen-classes scaling
     // legs pre-dated the fix, so its published d10 rows carry the
     // subsidized number.
+    //
+    // materialize = false returns the LAZY verdict plan — never executed;
+    // used only as the artifact-KEY defining plan (keyFor hashes its
+    // canonicalized form), where the localCheckpoint below would run the
+    // whole probe just to mint a table name.
+    if (!materialize) return out
     val result = out.localCheckpoint()
     cand.unpersist(false)
     shInc.unpersist(false)
@@ -1798,7 +1816,8 @@ object Dedup {
     * re-derives from raw text) without paying three serial
     * materializations. The verify side stays corpus-only — stream docs'
     * shingles/sizes come from the batch derivation exactly once. */
-  def e15StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  private def e15Program(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val idx = persistedDedupIndex(spark, dir)
     val shs = persistedShingles(spark, dir)
@@ -1818,21 +1837,60 @@ object Dedup {
       idx,
       idx.where(isCorpus(col("doc_id"))),
       shs.where(isCorpus(col("doc_id"))),
-      (a, b) => isCorpus(b) || ordinal(b) < ordinal(a))
+      (a, b) => isCorpus(b) || ordinal(b) < ordinal(a),
+      materialize)
   }
 
-  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The stream-fold VERDICT LEDGER as a persisted catalog artifact
+    * (r16 verdict task 8): a crawl pipeline records each batch's
+    * admission verdicts ONCE — the ledger is the pipeline's output
+    * state, exactly like the contamination pair set (16a) — so the fold
+    * derivation (the two largest remaining sf10full CPU lines together
+    * with d10's) runs once per corpus state in the build session and
+    * every later read pays a result-sized table scan. Verdicts are
+    * min()-aggregated longs + a 3-value string → serve ≡ recompute
+    * bit-for-bit (StreamingSpec pins served ≡ text-derived fold); the
+    * DuckDB oracle still re-derives the whole fold from raw text per
+    * gate run. Keyed by the LAZY verdict plan itself (materialize =
+    * false), so a changed threshold/band layout mints a new key and can
+    * never serve stale. */
+  private[graft] def e15ArtifactName(spark: SparkSession, dir: String): String =
+    "e15verd_" + graft.sources.Artifacts.keyFor(spark, dir, "e15verd")(
+      e15Program(spark, dir, materialize = false))
+
+  def e15StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, e15ArtifactName(spark, dir)) {
+      e15Program(spark, dir, materialize = true)
+    }.orderBy(col("doc_id").asc)
+
+  private def d10Program(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // The existing side probes the PERSISTED index artifacts, filtered
     // to the fixture's existing ids — per-doc rows are corpus-independent,
     // so the filtered full-corpus artifact equals an index built over the
     // existing side alone, and the serve path is the one a deployment
     // pays daily (the oracle re-derives identical state from raw text).
-    incrementalDedup(
-      docs.where(col("doc_id") % IncrementalMod === 0),
-      persistedDedupIndex(spark, dir).where(col("doc_id") % IncrementalMod =!= 0),
-      persistedShingles(spark, dir).where(col("doc_id") % IncrementalMod =!= 0))
+    val idx = persistedDedupIndex(spark, dir)
+      .where(col("doc_id") % IncrementalMod =!= 0)
+    incrementalDedupProgram(
+      docs.where(col("doc_id") % IncrementalMod === 0).select(col("doc_id"), col("text")),
+      idx, idx,
+      persistedShingles(spark, dir).where(col("doc_id") % IncrementalMod =!= 0),
+      (_, _) => lit(true),
+      materialize)
   }
+
+  /** d10's verdict ledger — same argument and contract as
+    * [[e15ArtifactName]]. */
+  private[graft] def d10ArtifactName(spark: SparkSession, dir: String): String =
+    "d10verd_" + graft.sources.Artifacts.keyFor(spark, dir, "d10verd")(
+      d10Program(spark, dir, materialize = false))
+
+  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, d10ArtifactName(spark, dir)) {
+      d10Program(spark, dir, materialize = true)
+    }.orderBy(col("doc_id").asc)
 
   // ---------------------------------------------------------------------
   // Incremental LABEL REFRESH: d10's batch-probe economics applied to the
@@ -1849,6 +1907,44 @@ object Dedup {
   // component) plus batch/previously-isolated ids, so the component min
   // over contracted ids is the true min over all members.
   // ---------------------------------------------------------------------
+  /** Contract-and-propagate: fold `newEdges` — every near-dup edge with
+    * at least one batch endpoint — into `existingLabels`. The second
+    * half of [[refreshLabels]], factored out so the artifact-level
+    * refresh can feed it the batch-touching SLICE of the refreshed
+    * edges_ artifact instead of re-deriving band candidates the scored_
+    * refresh already found (r17: the re-probe cost 227 CPU-s at
+    * sf10full where the slice + this propagation costs ~20). Exactness:
+    * old×old edges cannot change under an append, so the union graph's
+    * components equal the components of the CONTRACTED graph in which
+    * every existing endpoint is collapsed to its cluster label; the
+    * loop runs over a batch-scaled edge set and existing rows update by
+    * one remap join. */
+  private def mergeNewEdgesIntoLabels(existingLabels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    // contract: an existing endpoint is represented by its cluster label
+    // (batch ids and previously-isolated existing ids pass through)
+    val lab = existingLabels.select(col("doc_id").as("e_id"), col("label").as("e_lab"))
+    val contracted = newEdges
+      .join(lab.as("la"), col("doc_a") === col("la.e_id"), "left_outer")
+      .join(lab.as("lb"), col("doc_b") === col("lb.e_id"), "left_outer")
+      .select(coalesce(col("la.e_lab"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb.e_lab"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val contractedLabels = minLabelComponents(contracted) // batch-scale loop
+    // existing rows: one remap join (old label → merged component label)
+    val remap = contractedLabels
+      .select(col("doc_id").as("old_lab"), col("label").as("new_lab"))
+    val refreshedOld = existingLabels
+      .join(remap, col("label") === col("old_lab"), "left_outer")
+      .select(col("doc_id"), coalesce(col("new_lab"), col("label")).as("label"))
+    // contracted nodes NOT in the old table: batch docs and existing docs
+    // that just gained their first edge (old-label nodes are already
+    // covered by the remap — their own row remaps like any member's)
+    val fresh = contractedLabels
+      .join(existingLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    refreshedOld.unionAll(fresh)
+  }
+
   /** Refresh an existing near-dup label table with a new batch, probing
     * the existing corpus's PRE-BUILT index — the deployment shape,
     * mirroring the 3-arg [[incrementalDedup]]: `existingIndex` is the
@@ -1877,33 +1973,12 @@ object Dedup {
       existingIndex.select(col("doc_id"), col("n"))
         .join(touched, Seq("doc_id"), "left_semi"))
     val newEdges = thresholdEdges(sharedCounts(cand, sh), sizes)
-    // contract: an existing endpoint is represented by its cluster label
-    // (batch ids and previously-isolated existing ids pass through)
-    val lab = existingLabels.select(col("doc_id").as("e_id"), col("label").as("e_lab"))
-    val contracted = newEdges
-      .join(lab.as("la"), col("doc_a") === col("la.e_id"), "left_outer")
-      .join(lab.as("lb"), col("doc_b") === col("lb.e_id"), "left_outer")
-      .select(coalesce(col("la.e_lab"), col("doc_a")).as("doc_a"),
-        coalesce(col("lb.e_lab"), col("doc_b")).as("doc_b"))
-      .where(col("doc_a") =!= col("doc_b"))
-    val contractedLabels = minLabelComponents(contracted) // batch-scale loop
-    // existing rows: one remap join (old label → merged component label)
-    val remap = contractedLabels
-      .select(col("doc_id").as("old_lab"), col("label").as("new_lab"))
-    val refreshedOld = existingLabels
-      .join(remap, col("label") === col("old_lab"), "left_outer")
-      .select(col("doc_id"), coalesce(col("new_lab"), col("label")).as("label"))
-    // contracted nodes NOT in the old table: batch docs and existing docs
-    // that just gained their first edge (old-label nodes are already
-    // covered by the remap — their own row remaps like any member's)
-    val fresh = contractedLabels
-      .join(existingLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // Materialize now (one job; the cand cache serves both consumers
     // inside it), then release the batch-keyed caches — the
     // incrementalDedup idiom: these plans can never be re-served by a
     // later query, so leaving them cached leaks one CacheManager entry
     // per refresh for the JVM's lifetime.
-    val result = refreshedOld.unionAll(fresh).localCheckpoint()
+    val result = mergeNewEdgesIntoLabels(existingLabels, newEdges).localCheckpoint()
     cand.unpersist(false)
     shB.unpersist(false)
     sigB.unpersist(false)
@@ -1949,6 +2024,247 @@ object Dedup {
         persistedShingles(spark, oldDir),
         clusterLabels(spark, oldDir), batch)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental refresh for the SERVED ARTIFACT FAMILIES (r16 verdict
+  // task 1). Until r17 the artifact lifecycle answered ANY corpus change
+  // with a full rebuild of every family (r16 gate: 1,658.9 s prebuild at
+  // sf10full) — but corpus snapshots evolve by append, and for the
+  // append case every family below has a batch-cost update that is
+  // ROW-IDENTICAL to a from-scratch rebuild:
+  //   - shingles_/h60_/dedupsig_ are per-row derivations: rows of the
+  //     new state = old artifact ∪ derivation(batch). No old text read.
+  //   - scored_ pairs split by endpoint membership: old×old pairs are
+  //     unchanged (per-pair values depend only on the two docs), and
+  //     pairs touching the batch come from band-probing the OLD INDEX
+  //     artifacts with batch signatures — d10's economics.
+  //   - contam_ pairs split the same way over the (train, eval) cross:
+  //     new pairs are (batch-eval × all-train) ∪ (old-eval ×
+  //     batch-train), both joins over the served h60 index.
+  //   - edges_ is the threshold slice of scored_, labels_ refreshes via
+  //     [[refreshLabels]]'s contracted-graph propagation — both ride the
+  //     refreshed scored/index artifacts.
+  // Each refresh persists under the NEW state's own key (the same key a
+  // from-scratch build computes), so later cold sessions serve the
+  // incrementally-built table transparently and serve ≡ recompute stays
+  // a checked contract.
+  // NOT refreshed incrementally, by design: contaud_ (its excerpt
+  // augmentation would need an augmented-signature artifact before the
+  // old side can be probed without re-walking 1/17 of old text) and
+  // profile_ (exact countDistinct + exact median are not mergeable from
+  // final statistics; an incremental profile needs a per-value histogram
+  // artifact instead — a different data structure, not a refresh).
+  // ---------------------------------------------------------------------
+  /** The appended batch between two corpus states: rows of `newDir`'s
+    * documents whose doc_id is absent from `oldDir`'s. Reads the new
+    * state fully (it is the batch, plus ids) and ONLY the doc_id column
+    * of the old state (parquet-pruned) — never old text. Caller
+    * contract (same as [[refreshedClusterLabels]]): `newDir` holds
+    * `oldDir`'s corpus plus appended rows; in-place row EDITS are a
+    * different lifecycle and must rebuild. */
+  private def appendedBatch(spark: SparkSession, oldDir: String, newDir: String): DataFrame =
+    Tables.load(spark, newDir, "documents")
+      .join(Tables.load(spark, oldDir, "documents").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  /** File-level append refresh shared by the PER-ROW families
+    * (shingles/h60/dedupsig): compose `newTable` as hard links to
+    * `oldTable`'s immutable part files plus freshly written
+    * batch-derived files. Per-row derivations give rows(new corpus) =
+    * rows(old artifact) ∪ rows(batch derivation), so the composed table
+    * is value-identical to a from-scratch rebuild while paying O(batch)
+    * COMPUTE and O(files) metadata — no corpus-sized decode/re-encode
+    * (the r17-measured shingle rewrite cost 70 CPU-s at sf10full for a
+    * 1% batch; the link form pays ~1). `batchRows` derives the batch's
+    * rows and is written with whatever layout the caller gives it. */
+  private def appendRefreshed(spark: SparkSession, newTable: String,
+      oldTable: String)(
+      batchRows: scala.collection.mutable.Buffer[DataFrame] => DataFrame): DataFrame = {
+    // the thunk registers every internally-persisted frame here so the
+    // batch-keyed caches (never re-servable) are released after the
+    // build — the incrementalDedup release discipline
+    val built = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val res = graft.sources.Artifacts.servePersistedBy(spark, newTable) { stage =>
+      batchRows(built).write.mode("overwrite").parquet(stage.toString)
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.Artifacts.linkDataFilesInto(fs,
+        graft.sources.Artifacts.location(spark, oldTable), stage)
+    }
+    built.foreach(_.unpersist(false))
+    res
+  }
+
+  /** Serve `newDir`'s shingle artifact, building it incrementally from
+    * `oldDir`'s when absent: shingling is per-row, so the new state's
+    * rows are exactly old-artifact ∪ shinglesOf(batch). The previous
+    * generation's doc_id-clustered files are LINKED unchanged (their
+    * per-file min/max pruning stays intact); the batch files are
+    * clustered among themselves — global range disjointness degrades to
+    * per-file pruning, which is what parquet min/max stats give anyway. */
+  private[graft] def refreshedShingles(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    persistedShingles(spark, oldDir) // previous generation must exist
+    appendRefreshed(spark, shingleArtifactName(spark, newDir),
+        shingleArtifactName(spark, oldDir)) { built =>
+      val shB = shinglesOf(
+        appendedBatch(spark, oldDir, newDir).select(col("doc_id"), col("text")))
+      built += shB
+      shB.repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id"))
+    }
+  }
+
+  /** Serve `newDir`'s h60 inverted index, incrementally when absent —
+    * per-row derivation, same union argument as [[refreshedShingles]]. */
+  private[graft] def refreshedH60Shingles(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    persistedH60Shingles(spark, oldDir)
+    appendRefreshed(spark, h60ArtifactName(spark, newDir),
+        h60ArtifactName(spark, oldDir)) { built =>
+      val hB = hashed60ShinglesOf(
+        appendedBatch(spark, oldDir, newDir).select(col("doc_id"), col("text")))
+      built += hB
+      hB
+    }
+  }
+
+  /** Serve `newDir`'s per-doc signature index, incrementally when
+    * absent — per-row derivation (md5 + own-shingle MinHash). */
+  private[graft] def refreshedDedupIndex(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    persistedDedupIndex(spark, oldDir)
+    appendRefreshed(spark, dedupIndexArtifactName(spark, newDir),
+        dedupIndexArtifactName(spark, oldDir)) { built =>
+      val batch = appendedBatch(spark, oldDir, newDir)
+      val shB = shinglesOf(batch.select(col("doc_id"), col("text")))
+      val sigB = lshSignatures(shB)
+      built += shB; built += sigB
+      batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .join(sigB, Seq("doc_id"), "left_outer")
+    }
+  }
+
+  /** Serve `newDir`'s scored LSH candidate table, incrementally when
+    * absent. Old×old pairs are the old artifact verbatim; pairs touching
+    * the batch are found by band-probing the old SIGNATURE artifact with
+    * batch signatures (canonicalized to doc_a < doc_b like the
+    * from-scratch self-join) plus the batch self-pairs, then scored by
+    * [[scoreCandidates]] over batch shingles ∪ the band-collided slice
+    * of the old SHINGLE artifact (semi-join pushdown into the
+    * doc_id-clustered table). No old text is read; old index rows are
+    * read only for collided docs. */
+  private[graft] def refreshedScoredCandidates(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    val built = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val res = graft.sources.Artifacts.servePersisted(
+        spark, scoredArtifactName(spark, newDir)) {
+      val oldScored = persistedScoredCandidates(spark, oldDir)
+      val oldIdx = persistedDedupIndex(spark, oldDir)
+      val oldSh = persistedShingles(spark, oldDir)
+      val shB = shinglesOf(
+        appendedBatch(spark, oldDir, newDir).select(col("doc_id"), col("text")))
+      val sigB = lshSignatures(shB)
+      val candB = persistOnce(
+        bandCandidates(sigB, oldIdx, canonical = false)
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+          .unionAll(bandCandidates(sigB, sigB, canonical = true)))
+      built += shB; built += sigB; built += candB
+      val touched = candB.select(col("doc_a").as("doc_id"))
+        .unionAll(candB.select(col("doc_b").as("doc_id"))).distinct()
+      val sigCols = col("doc_id") +:
+        (0 until NumHashes).map(i => col(s"mh$i")) :+ col("n")
+      val sig = sigB.select(sigCols: _*).unionAll(
+        oldIdx.select(sigCols: _*).join(touched, Seq("doc_id"), "left_semi"))
+      val sh = shB.unionAll(oldSh.join(touched, Seq("doc_id"), "left_semi"))
+      oldScored.unionAll(scoreCandidates(candB, sig, sh))
+    }
+    built.foreach(_.unpersist(false))
+    res
+  }
+
+  /** Serve `newDir`'s contamination pair artifact, incrementally when
+    * absent. Pairs split by endpoint membership: (old-eval × old-train)
+    * is the old artifact; (batch-eval × all-train) and (old-eval ×
+    * batch-train) are two h60-keyed joins over the served index — the
+    * old corpus is touched only through its h60 artifact (a table scan),
+    * never its text. Per-pair (shared, n_eval) depend only on the two
+    * docs' shingle sets, so the union is row-identical to a from-scratch
+    * derivation over the appended corpus. */
+  private[graft] def refreshedContamPairs(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame = {
+    val built = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val res = graft.sources.Artifacts.servePersisted(
+        spark, contamPairsArtifactName(spark, newDir)) {
+      val oldPairs = persistedContamPairs(spark, oldDir)
+      val oldH60 = persistOnce(persistedH60Shingles(spark, oldDir))
+      val batch = appendedBatch(spark, oldDir, newDir)
+      val bH60 = hashed60ShinglesOf(batch.select(col("doc_id"), col("text")))
+      built += oldH60; built += bH60
+      val bEval = bH60.where(col("doc_id") % 10 === 0)
+      val bTrain = bH60.where(col("doc_id") % 10 =!= 0)
+      val oldEval = oldH60.where(col("doc_id") % 10 === 0)
+      val oldTrain = oldH60.where(col("doc_id") % 10 =!= 0)
+      // counts gate the broadcast hint only (values are count-independent)
+      val nEvalB = batch.where(col("doc_id") % 10 === 0).count()
+      val nEvalOld = Tables.load(spark, oldDir, "documents")
+        .where(col("doc_id") % 10 === 0).count()
+      oldPairs
+        .unionAll(contaminationPairsHashed(oldTrain.unionAll(bTrain), bEval, nEvalB))
+        .unionAll(contaminationPairsHashed(bTrain, oldEval, nEvalOld))
+    }
+    built.foreach(_.unpersist(false))
+    res
+  }
+
+  /** Refresh EVERY incrementally-refreshable served family for the
+    * corpus at `newDir` (= `oldDir` plus an appended batch) — the
+    * deployment's "corpus advanced one snapshot" entry point. Families
+    * build in dependency order (scored before edges so the edge build's
+    * threshold slice reads the refreshed scored table; index/shingles
+    * before labels so the label refresh probes served artifacts).
+    * Returns (family, table name) for each refreshed artifact; every
+    * table is named with the NEW state's from-scratch key, so all later
+    * consumers — this session or any cold JVM — serve transparently. */
+  /** Labels refresh RIDING the refreshed edges_ artifact: the scored_
+    * refresh already found and verified every pair touching the batch,
+    * so the label update is [[mergeNewEdgesIntoLabels]] over the
+    * batch-touching slice of edges(newDir) — no second band probe.
+    * ([[refreshedClusterLabels]] stays the direct-probe form for
+    * deployments that refresh labels WITHOUT maintaining a scored
+    * artifact.) */
+  private[graft] def refreshedClusterLabelsViaEdges(spark: SparkSession,
+      oldDir: String, newDir: String): DataFrame =
+    graft.sources.Artifacts.servePersisted(spark, labelsArtifactName(spark, newDir)) {
+      val batchIds = appendedBatch(spark, oldDir, newDir).select(col("doc_id"))
+      val e = persistedLshEdges(spark, newDir)
+      val touching = e
+        .join(batchIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .select(col("doc_a"), col("doc_b"))
+        .unionAll(e
+          .join(batchIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+          .join(batchIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b")))
+      mergeNewEdgesIntoLabels(clusterLabels(spark, oldDir), touching)
+    }
+
+  def refreshArtifactsAfterAppend(spark: SparkSession,
+      oldDir: String, newDir: String): Seq[(String, String)] = {
+    refreshedShingles(spark, oldDir, newDir)
+    refreshedH60Shingles(spark, oldDir, newDir)
+    refreshedDedupIndex(spark, oldDir, newDir)
+    refreshedScoredCandidates(spark, oldDir, newDir)
+    persistedLshEdges(spark, newDir) // threshold slice of refreshed scored
+    refreshedContamPairs(spark, oldDir, newDir)
+    refreshedClusterLabelsViaEdges(spark, oldDir, newDir)
+    Seq(
+      "shingles" -> shingleArtifactName(spark, newDir),
+      "h60" -> h60ArtifactName(spark, newDir),
+      "dedupsig" -> dedupIndexArtifactName(spark, newDir),
+      "scored" -> scoredArtifactName(spark, newDir),
+      "edges" -> edgesArtifactName(spark, newDir),
+      "contam" -> contamPairsArtifactName(spark, newDir),
+      "labels" -> labelsArtifactName(spark, newDir))
   }
 
   // ---------------------------------------------------------------------

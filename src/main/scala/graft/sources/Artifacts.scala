@@ -39,18 +39,57 @@ object Artifacts {
     * two threads constructing plans over the same corpus — must not race
     * one build), and registration is IF-NOT-EXISTS so losing a race to
     * another session over the shared in-memory catalog stays benign. */
-  def servePersisted(spark: SparkSession, table: String)(build: => DataFrame): DataFrame = {
+  def servePersisted(spark: SparkSession, table: String)(build: => DataFrame): DataFrame =
+    servePersistedBy(spark, table) { stage =>
+      build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    }
+
+  /** [[servePersisted]] generalized to a FILE-LEVEL build: `buildInto`
+    * populates the staging directory itself — the incremental-append
+    * refresh path composes a new artifact generation as hard links to
+    * the previous generation's immutable part files plus freshly written
+    * batch-derived files (the snapshot-manifest idiom), paying O(batch)
+    * compute and O(files) metadata instead of re-encoding the whole
+    * artifact. Locking/staging/registration semantics are identical. */
+  private[graft] def servePersistedBy(spark: SparkSession, table: String)(
+      buildInto: Path => Unit): DataFrame = {
     if (!spark.catalog.tableExists(s"$Db.$table")) buildLock.synchronized {
       if (!spark.catalog.tableExists(s"$Db.$table")) {
         Ingest.ensureDatabase(spark, Db)
         val loc = location(spark, table)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        ensureBuilt(fs, loc)(build)
+        ensureBuilt(fs, loc)(buildInto)
         spark.sql(s"CREATE TABLE IF NOT EXISTS ${qualified(table)} USING parquet " +
           s"LOCATION '${fs.makeQualified(loc).toString}'")
       }
     }
     spark.table(qualified(table))
+  }
+
+  /** Link every DATA file of artifact directory `src` into `dst` under a
+    * `prev_` prefix (collision-proof against the fresh `part-*` files).
+    * Local filesystems hard-link (O(1) per file, zero bytes moved);
+    * other schemes fall back to a byte copy. `_SUCCESS`, locks, and
+    * checksum sidecars are skipped — the staging write provides its own
+    * `_SUCCESS`. Returns the number of files linked. */
+  private[graft] def linkDataFilesInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Int = {
+    var n = 0
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) {
+        val target = new Path(dst, s"prev_$name")
+        if (fs.getScheme == "file")
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(st.getPath.toUri.getPath))
+        else
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, target,
+            false, fs.getConf)
+        n += 1
+      }
+    }
+    n
   }
 
   private object buildLock
@@ -76,7 +115,7 @@ object Artifacts {
     *      sessions building the same 172 s sf1 artifact) is gone: the
     *      loser waits instead of rebuilding. */
   private[graft] def ensureBuilt(fs: org.apache.hadoop.fs.FileSystem, loc: Path)(
-      build: => DataFrame): Unit = {
+      buildInto: Path => Unit): Unit = {
     val success = new Path(loc, "_SUCCESS")
     if (fs.exists(success)) return
     fs.mkdirs(loc.getParent)
@@ -101,7 +140,7 @@ object Artifacts {
             val stage = new Path(loc.getParent,
               loc.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
             try {
-              build.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+              buildInto(stage)
               if (fs.exists(loc)) fs.delete(loc, true) // crashed-build partial
               if (!fs.rename(stage, loc))
                 throw new java.io.IOException(s"rename $stage -> $loc failed")
@@ -337,7 +376,8 @@ object Artifacts {
     val md = java.security.MessageDigest.getInstance("MD5")
     val in = fs.open(p)
     try {
-      val buf = new Array[Byte](DigestWindow)
+      // whole-file path reads up to 2 windows in one call
+      val buf = new Array[Byte](2 * DigestWindow)
       def digestAt(pos: Long, n: Int): Unit = {
         in.seek(pos)
         var off = 0

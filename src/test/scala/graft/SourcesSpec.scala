@@ -385,7 +385,9 @@ class SourcesSpec extends SparkSpec {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       val futs = (1 to 4).map(_ => pool.submit(new Runnable {
-        def run(): Unit = Artifacts.ensureBuilt(fs, loc)(build)
+        def run(): Unit = Artifacts.ensureBuilt(fs, loc)(stage =>
+          build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(stage.toString))
       }))
       futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
