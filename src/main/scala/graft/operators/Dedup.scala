@@ -2062,11 +2062,33 @@ object Dedup {
     * of the old state (parquet-pruned) — never old text. Caller
     * contract (same as [[refreshedClusterLabels]]): `newDir` holds
     * `oldDir`'s corpus plus appended rows; in-place row EDITS are a
-    * different lifecycle and must rebuild. */
-  private def appendedBatch(spark: SparkSession, oldDir: String, newDir: String): DataFrame =
-    Tables.load(spark, newDir, "documents")
-      .join(Tables.load(spark, oldDir, "documents").select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    * different lifecycle and must rebuild.
+    *
+    * MATERIALIZED once per corpus-state pair: all seven refresh
+    * families need the same batch rows, and deriving it per family
+    * re-scanned the new corpus's full text column once per family (the
+    * r17 probe's first leg paid ~6 corpus text scans per refresh).
+    * Keyed by both content fingerprints (the scalar-probe memo
+    * discipline); superseded pairs free their checkpoint blocks. */
+  private def appendedBatch(spark: SparkSession, oldDir: String, newDir: String): DataFrame = {
+    val fp = graft.sources.Artifacts.corpusFingerprint(spark, oldDir) + ":" +
+      graft.sources.Artifacts.corpusFingerprint(spark, newDir)
+    batchMemo.get((oldDir, newDir)) match {
+      case Some((f, df)) if f == fp => df
+      case prior =>
+        val df = Tables.load(spark, newDir, "documents")
+          .join(Tables.load(spark, oldDir, "documents").select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        prior.foreach(p => freeCheckpoint(p._2))
+        batchMemo.put((oldDir, newDir), (fp, df))
+        df
+    }
+  }
+
+  /** (oldDir, newDir) → (state-pair fingerprint, materialized batch). */
+  private val batchMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, DataFrame)]
 
   /** File-level append refresh shared by the PER-ROW families
     * (shingles/h60/dedupsig): compose `newTable` as hard links to
