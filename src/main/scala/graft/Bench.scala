@@ -72,6 +72,7 @@ object Bench {
     // would fall back into the timed window and prebuild_s would
     // underreport, so every failure is logged like timedRun's.
     val prebuildT0 = System.nanoTime()
+    val builds0 = graft.sources.Artifacts.buildCount
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try BenchConsume.consume(fn(spark, sfDir))
       catch { case e: Throwable =>
@@ -79,6 +80,9 @@ object Bench {
       }
     }
     val prebuildSec = (System.nanoTime() - prebuildT0) / 1e9
+    // builds the prebuild pass actually EXECUTED (0 on a content-
+    // unchanged corpus whose warehouse already carries every family)
+    val prebuildBuilds = graft.sources.Artifacts.buildCount - builds0
     // Warehouse GC rides the build session (r16 verdict task 6): with
     // content-keyed fingerprints an artifact generation is superseded
     // only by a REAL corpus change, and nothing else ever deleted it.
@@ -182,7 +186,7 @@ object Bench {
     val cpuTotal = results.collect { case (_, _, _, _, _, c) if c >= 0 => c }.sum
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","prebuild_s":${jnum(prebuildSec)}""" +
+      s""","prebuild_s":${jnum(prebuildSec)},"prebuild_builds":$prebuildBuilds""" +
       s""","cpu_value":${jnum(cpuTotal)},"cpu_s":$cpuS,"cpu_runs":$cpuRuns""" +
       s""","runs":$runs,"rows":$rows,"loadavg":{"before":"$loadBefore","after":"$loadAfter","per_query":$perQLoad}}"""
     // Compact contract line (fits the driver's 2 KB stdout tail); keys are

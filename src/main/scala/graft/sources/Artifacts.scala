@@ -92,6 +92,15 @@ object Artifacts {
     n
   }
 
+  /** Count of artifact builds this JVM actually EXECUTED (lock winner
+    * ran the build body — catalog hits, file re-registrations, and lock
+    * losers don't count). Bench snapshots it around the prebuild pass:
+    * `prebuild_builds: 0` is the visible proof that a content-unchanged
+    * corpus served every family instead of rebuilding (prebuild_s alone
+    * can't show it — it includes one serve-pass of every query). */
+  private val buildsExecuted = new java.util.concurrent.atomic.AtomicLong
+  def buildCount: Long = buildsExecuted.get()
+
   private object buildLock
   /** A builder that holds the lock longer than this is presumed dead
     * (crashed JVM left its lock file behind); waiters break the lock. */
@@ -141,6 +150,7 @@ object Artifacts {
               loc.getName + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
             try {
               buildInto(stage)
+              buildsExecuted.incrementAndGet()
               if (fs.exists(loc)) fs.delete(loc, true) // crashed-build partial
               if (!fs.rename(stage, loc))
                 throw new java.io.IOException(s"rename $stage -> $loc failed")
