@@ -38,6 +38,21 @@ object Session {
     * path. */
   def broadcastThreshold: String =
     sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10485760")
+  /** Shuffled-hash-vs-sort-merge stays at Spark's default (prefer SMJ):
+    * flipping it was MEASURED and REJECTED — interleaved sf1 A/B pairs
+    * on the join-heaviest fact query read q08 20.2-21.6 CPU-s under SMJ
+    * vs 24.0-33.7 under SHJ (PERF 17e; the per-partition hash-map build
+    * over the 4M-row join costs more than the codegen'd long-key sort),
+    * and no suite query improved outside window noise. Both knobs stay
+    * env-flippable for corpora where the build side is genuinely small
+    * per partition. */
+  def preferSortMergeJoin: String =
+    sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true")
+  /** AQE SMJ→SHJ rewrite ceiling (per-partition build-side bytes).
+    * 0 = off (Spark default; see [[preferSortMergeJoin]] — the rewrite
+    * lost its A/B here). */
+  def shjLocalMapThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0")
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
@@ -48,6 +63,9 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
+      .config("spark.sql.join.preferSortMergeJoin", preferSortMergeJoin)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        shjLocalMapThreshold)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -740,6 +740,12 @@ object CartAnalytics {
     * testdata is referentially intact everywhere. */
   private[graft] def fkEdgeAudit(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
+    // The child is scanned twice (raw count + anti probe) ON PURPOSE: a
+    // pre-aggregated (key, cnt) probe that folds both counts into one
+    // keyed frame measured 1.16 → 7.64 CPU-s at sf1 (PERF 17e) — the
+    // distinct-key hash aggregate costs far more than the single-column
+    // parquet count scan it saves, at every scale where the keys don't
+    // broadcast anyway.
     val orphans = child.join(parent.select(col(parentKey)),
       col(childKey) === col(parentKey), "left_anti")
     child.agg(count(lit(1)).as("n_rows"))

@@ -238,11 +238,19 @@ object Curation {
   def p05LossAttribution(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
+    // persisted: the rollup feeds BOTH the output rows and the per-source
+    // totals join-back — without it the whole p01+token subtree (doc scan,
+    // labels join, quality rules, token join, groupBy) plans twice and
+    // runtime exchange reuse does not recover it (interleaved sf1 A/B:
+    // 33.6 unpersisted vs 14.1 CPU-s persisted, digest unchanged —
+    // PERF 17e). The cached frame is ≤|sources|×|statuses| rows — the
+    // materialization is the cheap side of the trade at any corpus size.
     val agg = p01CurationLedger(spark, dir)
       .select(col("doc_id"), col("source"), col("status"))
       .join(toks, Seq("doc_id"))
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .transform(Dedup.persistOnce)
     val tot = agg.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
     agg.join(broadcast(tot), Seq("source"))
       .select(col("source"), col("status"), col("n_docs"), col("n_tokens"),
@@ -302,6 +310,11 @@ object Curation {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
     val scored = TextAnalysis.t02QualityScore(spark, dir)
       .select(col("doc_id"), col("quality_score"))
+    // NOT persisted although consumed three times (rank side "a",
+    // broadcast rank side "b", the nSources scalar): an interleaved sf1
+    // A/B measured 17.0 vs 17.6 CPU-s (PERF 17e) — runtime exchange
+    // reuse already recovers the triplicated subtree here, unlike p05's
+    // (where the reused exchange is hidden behind a join).
     val perSource = docs.join(scored, Seq("doc_id"))
       .select(col("source"),
         floor(col("quality_score") * lit(1e9)).cast(DecimalType(38, 0)).as("q"))

@@ -543,6 +543,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("p05: the (source,status) rollup is persisted — the ledger subtree plans once") {
+    // r17: unpersisted, the totals join-back replans the whole
+    // p01+token subtree (doc scan, labels join, quality rules) a second
+    // time and runtime exchange reuse does not recover it — measured
+    // 33.6 → 14.1 CPU-s at sf1 (PERF 17e). The pin: the rollup is
+    // cached, and the labels artifact feeds the plan through exactly
+    // one scan subtree (it appeared twice before the fix).
+    val plan = formatted(Curation.p05LossAttribution(spark, sf))
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (source,status) rollup must be persisted:\n$plan")
+    val labelScans = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) Scan parquet spark_catalog\.graft_artifacts\.labels_.*"""))
+    assert(labelScans == 1,
+      s"expected ONE labels-artifact scan (subtree planned once), got $labelScans:\n$plan")
+  }
+
   test("s12: semdedup pair stage is a cell-equi join — no cartesian, no nested loop over the corpus") {
     // pin the DERIVATION body: s12 itself serves the persisted verdict
     // artifact (next test), so its own plan is a table scan
